@@ -1,24 +1,93 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.algos.PageRank
+import graft.core.LinkGraph
+import graft.ingest.Pages
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Two sections:
+  *  1. `queries`: wall seconds for representative SparkEntry queries on
+  *     SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS threads.
+  *  2. `scaling`: the BASELINE.json north metric — PageRank edges/sec per
+  *     power iteration on the deterministic synthetic power-law web graph
+  *     (seed 42, FIXTURES.md §4), run at local[8] and local[32] on the
+  *     IDENTICAL input (pure function of (seed,id) — no data movement
+  *     between runs), plus throughput scaling efficiency
+  *     = (eps_32 / eps_8) / 4, the sandbox stand-in for N -> 4N executors.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  /** Edge table of the synthetic power-law graph, generated distributedly. */
+  def synthEdges(spark: SparkSession, n: Long, avgDeg: Int, partitions: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions)
+      .flatMap(i => Pages.outLinks(Pages.DefaultSeed, i, n, avgDeg).map(t => (i, t)))
+      .toDF("src", "dst")
+  }
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", math.max(cpus, 8).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** PageRank seconds/iteration at a given parallelism (fresh session). */
+  private def prSecPerIter(cpus: Int, n: Long, avgDeg: Int, iters: Int): (Double, Long) = {
+    val spark = session(cpus)
+    try {
+      val edges = synthEdges(spark, n, avgDeg, partitions = math.max(cpus * 2, 16))
+      val g = LinkGraph(edges, directed = true, Some(n))
+      val m = g.ecount()
+      // warmup iteration excluded from timing (JIT + codegen + scan caches)
+      PageRank.run(g, fixedIters = Some(1))
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      PageRank.run(g, fixedIters = Some(iters))
+      ((System.nanoTime() - t0) / 1e9 / iters, m)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "300000").toLong
+    val benchIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "8").toInt
+
+    // --- section 1: representative operator timings on the sf tables ------
+    val headline = Seq("q_pagerank", "q_wcc", "q_triangles", "q_local_cc",
+      "q_lpa", "q_dedup_exact", "q_minhash_cand", "q_simhash", "q_ann_brute", "q_ann_lsh")
+    val spark = session(cpus)
+    val results = headline.map { name =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // --- section 2: PageRank throughput at two parallelism levels ---------
+    val (sec8, m) = prSecPerIter(8, benchN, avgDeg = 10, benchIters)
+    val (sec32, _) = prSecPerIter(32, benchN, avgDeg = 10, benchIters)
+    val eps8 = m / sec8
+    val eps32 = m / sec32
+    val efficiency = (eps32 / eps8) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + f""""\":$v%.3f""".stripPrefix("\"") }
+      .map(s => s) // keep order
+    val qJson = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.0f".format(eps32)},"unit":"edges/sec/iter","queries":$qJson,"sf":"$sfDir","total_query_sec":${"%.2f".format(total)},"scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,"sec_per_iter_local8":${"%.3f".format(sec8)},"sec_per_iter_local32":${"%.3f".format(sec32)},"eps_local8":${"%.0f".format(eps8)},"eps_local32":${"%.0f".format(eps32)},"efficiency_8_to_32":${"%.3f".format(efficiency)}}}""")
   }
 }

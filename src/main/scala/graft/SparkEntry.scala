@@ -1,13 +1,386 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.algos._
+import graft.core._
+import graft.data.Tables
+import graft.ingest.Pages
+import graft.sim.Ann
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 run against the
+  * driver parquet tables at `dir` (graph operators run on the two derived
+  * edge tables in [[graft.data.Tables]]); `oracleSql` holds the DuckDB
+  * equivalent over the same tables. Column names and types are aligned on
+  * both sides; float outputs are rounded to 6 decimals on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: synthesize a deterministic web corpus, extract + link-parse
+    * into an edge table, run PageRank to convergence, return ranked urls.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = Pages.generate(spark, n = 2000, avgDeg = 8, partitions = 8)
+    val (dict, g) = Pages.toGraph(pages)
+    val pr = PageRank.run(g, tol = 1e-8, maxIter = 50)
+    pr.ranks.join(dict, Seq("id"))
+      .orderBy(col("rank").desc, col("id"))
+      .select(col("id"), col("url"), col("rank"))
+      .limit(100)
+  }
+
+  private def scalar(spark: SparkSession, name: String, v: Double): DataFrame = {
+    import spark.implicits._
+    Seq(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toDF(name)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- degree family (events digraph) ---
+    "q_degree_out" -> ((s, dir) => GraphOps.degrees(Tables.eventsGraph(s, dir), Mode.Out)
+      .select(col("id"), col("degree"))),
+    "q_degree_in" -> ((s, dir) => GraphOps.degrees(Tables.eventsGraph(s, dir), Mode.In)
+      .select(col("id"), col("degree"))),
+    "q_degree_all" -> ((s, dir) => GraphOps.degrees(Tables.eventsGraph(s, dir), Mode.All)
+      .select(col("id"), col("degree"))),
+    "q_strength_out" -> ((s, dir) => {
+      val e = Tables.read(s, dir, "events").select(
+        col("user_id").as("src"), (floor(col("value")).cast("long") % 97).as("dst"),
+        col("value").as("weight"))
+      GraphOps.strength(LinkGraph(e, directed = true, None), Mode.Out)
+        .select(col("id"), round(col("strength"), 4).as("strength"))
+    }),
+    "q_degree_dist" -> ((s, dir) => GraphOps.degreeDistribution(Tables.eventsGraph(s, dir), Mode.Out)
+      .select(col("degree"), col("n_vertices"))),
+    "q_simplify" -> ((s, dir) => {
+      val g = Tables.eventsGraph(s, dir)
+      GraphOps.simplify(g, combine = "count").edges
+        .select(col("src"), col("dst"), col("weight").cast("long").as("multiplicity"))
+    }),
+    "q_density" -> ((s, dir) => scalar(s, "density", GraphOps.density(Tables.eventsGraph(s, dir)))),
+    "q_reciprocity" -> ((s, dir) => scalar(s, "reciprocity", GraphOps.reciprocity(Tables.eventsGraph(s, dir)))),
+
+    // --- iterative algorithms (events digraph) ---
+    "q_pagerank" -> ((s, dir) => {
+      val r = PageRank.run(Tables.eventsGraph(s, dir), damping = 0.85, fixedIters = Some(15))
+      r.ranks.select(col("id"), round(col("rank"), 6).as("pagerank"))
+    }),
+    "q_wcc" -> ((s, dir) => Components.wcc(Tables.eventsGraph(s, dir)).select(col("id"), col("comp"))),
+    "q_scc" -> ((s, dir) => Components.scc(Tables.eventsGraph(s, dir)).select(col("id"), col("comp"))),
+    "q_bfs" -> ((s, dir) => Paths.bfs(Tables.eventsGraph(s, dir), 0L, Mode.Out)
+      .select(col("id"), col("dist"))),
+    "q_lpa" -> ((s, dir) => LabelProp.run(GraphOps.simplify(Tables.eventsGraph(s, dir)))
+      .select(col("id"), col("label"))),
+    "q_kcore" -> ((s, dir) => KCore.coreness(Tables.copartGraph(s, dir))
+      .select(col("id"), col("coreness"))),
+
+    // --- join-shaped structural queries ---
+    "q_cocitation" -> ((s, dir) => GraphOps.cocitation(Tables.eventsGraph(s, dir))
+      .select(col("a"), col("b"), col("common"))),
+    "q_jaccard_sim" -> ((s, dir) => GraphOps.similarityJaccard(Tables.eventsGraph(s, dir))
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q_neighborhood2" -> ((s, dir) => GraphOps.neighborhoodSize(Tables.eventsGraph(s, dir), 2)
+      .select(col("id"), col("size"))),
+    "q_contract" -> ((s, dir) => GraphOps.contractVertices(
+      Tables.eventsGraph(s, dir),
+      Tables.eventsGraph(s, dir).vertices.select(col("id"), (col("id") % 10).as("label")))
+      .select(col("src"), col("dst"), col("weight").cast("long").as("weight"), col("n_edges"))),
+    "q_edge_setops" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def half(m: Int) = {
+        val h = li.where(col("ok") % 2 === m)
+        val e = h.alias("a").join(h.alias("b"), Seq("ok")).where(col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+        LinkGraph(e, directed = false, None)
+      }
+      val (a, b) = (half(1), half(0))
+      import s.implicits._
+      Seq((GraphOps.union(a, b).ecount(), GraphOps.intersection(a, b).ecount(),
+        GraphOps.difference(a, b).ecount())).toDF("n_union", "n_intersect", "n_diff")
+    }),
+
+    // --- triangles / transitivity (co-part graph) ---
+    "q_triangles" -> ((s, dir) => {
+      import s.implicits._
+      Seq(Triangles.count(Tables.copartGraph(s, dir))).toDF("triangles")
+    }),
+    "q_tri_pervertex" -> ((s, dir) => Triangles.perVertex(Tables.copartGraph(s, dir))
+      .select(col("id"), col("triangles"))),
+    "q_transitivity" -> ((s, dir) => scalar(s, "transitivity",
+      Triangles.transitivityGlobal(Tables.copartGraph(s, dir)))),
+    "q_local_cc" -> ((s, dir) => Triangles.transitivityLocal(Tables.copartGraph(s, dir), zeroMode = true)
+      .select(col("id"), round(col("cc"), 6).as("cc"))),
+    "q_knn" -> ((s, dir) => GraphOps.knn(Tables.copartGraph(s, dir))
+      .select(col("id"), col("degree"), round(col("knn"), 6).as("knn"))),
+    "q_modularity" -> ((s, dir) => {
+      val g = Tables.copartGraph(s, dir)
+      val membership = g.vertices.select(col("id"), (col("id") % 10).as("label"))
+      scalar(s, "q", Modularity.modularity(g, membership))
+    }),
+
+    // --- text / dedup (documents) ---
+    "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.read(s, dir, "documents"))
+      .select(col("hash"), col("n_dupes"), col("keep_id"))),
+    "q_doc_stats" -> ((s, dir) => TextOps.docStats(Tables.read(s, dir, "documents"))
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("distinct_ratio"), col("mean_token_len"))),
+    "q_quality" -> ((s, dir) => TextOps.qualityScore(Tables.read(s, dir, "documents"))),
+    "q_token_global" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val toks = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      val total = docs.agg(sum(size(TextOps.tokens(col("text")))).cast("long")).head.getLong(0)
+      val vocab = toks.distinct().count()
+      import s.implicits._
+      Seq((total, vocab)).toDF("total_tokens", "vocab")
+    }),
+    "q_jaccard_dupes" -> ((s, dir) => TextOps.jaccardPairs(Tables.read(s, dir, "documents"), n = 3, threshold = 0.5)
+      .select(col("a"), col("b"), col("jaccard"))),
+    "q_minhash_cand" -> ((s, dir) => TextOps.minhashCandidates(Tables.read(s, dir, "documents"))
+      .select(col("a"), col("b"))),
+    "q_simhash" -> ((s, dir) => TextOps.simhashPairs(Tables.read(s, dir, "documents"), maxDist = 6)
+      .select(col("a"), col("b"), col("dist"))),
+    "q_langid" -> ((s, dir) => TextOps.langId(Tables.read(s, dir, "documents"))
+      .select(col("doc_id"), col("pred_lang"))),
+    "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.read(s, dir, "documents"))
+      .select(col("doc_id"), col("fingerprint"))),
+
+    // --- similarity search (embeddings) ---
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }),
+
+    // --- ingest pipeline (synthetic pages; deterministic, dir-independent) ---
+    "q_pages_pagerank" -> ((s, dir) => {
+      val pages = Pages.generate(s, n = 1000, avgDeg = 8, partitions = 8)
+      val (_, g) = Pages.toGraph(pages)
+      PageRank.run(g, fixedIters = Some(10)).ranks
+        .select(col("id"), round(col("rank"), 6).as("pagerank"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val E = Tables.eventsGraphSql
+  private val P = Tables.copartGraphSql
+
+  /** Unrolled k-iteration PageRank in ANSI SQL (DuckDB), exactly mirroring
+    * [[graft.algos.PageRank]]'s update rule incl. dangling handling.
+    */
+  private def pagerankSql(k: Int, withCte: String, eTable: String, vTable: String,
+                          damping: Double = 0.85): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $withCte,\n")
+    sb.append(s"outd AS (SELECT src, SUM(weight) AS ow FROM $eTable GROUP BY src),\n")
+    sb.append(s"le AS (SELECT src, dst, SUM(weight) AS w FROM $eTable GROUP BY src, dst),\n")
+    sb.append("links AS (SELECT le.src, le.dst, le.w / o.ow AS p FROM le JOIN outd o ON le.src = o.src),\n")
+    sb.append(s"nn AS (SELECT COUNT(*) AS n FROM $vTable),\n")
+    sb.append(s"r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM $vTable)")
+    val d = damping
+    for (i <- 1 to k) {
+      sb.append(s""",
+m$i AS (SELECT l.dst AS id, SUM(l.p * r.r) AS msg FROM links l JOIN r${i - 1} r ON l.src = r.id GROUP BY l.dst),
+s$i AS (SELECT COALESCE(SUM(msg), 0) AS t FROM m$i),
+r$i AS (SELECT v.id, ((${1 - d} + $d * GREATEST(1.0 - (SELECT t FROM s$i), 0)) / (SELECT n FROM nn)) + $d * COALESCE(m.msg, 0) AS r FROM $vTable v LEFT JOIN m$i m ON v.id = m.id)""")
+    }
+    sb.append(s"\nSELECT id, ROUND(r, 6) AS pagerank FROM r$k")
+    sb.toString
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_degree_out" ->
+      s"""WITH $E, od AS (SELECT src AS id, COUNT(*) AS degree FROM e GROUP BY src)
+         |SELECT v.id, COALESCE(od.degree, 0) AS degree FROM v LEFT JOIN od ON od.id = v.id""".stripMargin,
+    "q_degree_in" ->
+      s"""WITH $E, idg AS (SELECT dst AS id, COUNT(*) AS degree FROM e GROUP BY dst)
+         |SELECT v.id, COALESCE(idg.degree, 0) AS degree FROM v LEFT JOIN idg ON idg.id = v.id""".stripMargin,
+    "q_degree_all" ->
+      s"""WITH $E, ad AS (SELECT id, COUNT(*) AS degree FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id)
+         |SELECT v.id, COALESCE(ad.degree, 0) AS degree FROM v LEFT JOIN ad ON ad.id = v.id""".stripMargin,
+    "q_strength_out" ->
+      s"""WITH ew AS (SELECT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 97 AS dst, value AS weight FROM events),
+         |vw AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ew UNION ALL SELECT dst FROM ew)),
+         |st AS (SELECT src AS id, SUM(weight) AS strength FROM ew GROUP BY src)
+         |SELECT vw.id, ROUND(COALESCE(st.strength, 0), 4) AS strength FROM vw LEFT JOIN st ON st.id = vw.id""".stripMargin,
+    "q_degree_dist" ->
+      s"""WITH $E, od AS (SELECT src AS id, COUNT(*) AS degree FROM e GROUP BY src),
+         |dv AS (SELECT v.id, COALESCE(od.degree, 0) AS degree FROM v LEFT JOIN od ON od.id = v.id)
+         |SELECT degree, COUNT(*) AS n_vertices FROM dv GROUP BY degree""".stripMargin,
+    "q_simplify" ->
+      s"""WITH $E
+         |SELECT src, dst, COUNT(*) AS multiplicity FROM e WHERE src <> dst GROUP BY src, dst""".stripMargin,
+    "q_density" ->
+      s"""WITH $E
+         |SELECT ROUND((SELECT COUNT(*) FROM e) * 1.0 /
+         |  ((SELECT COUNT(*) FROM v) * ((SELECT COUNT(*) FROM v) - 1)), 6) AS density""".stripMargin,
+    "q_reciprocity" ->
+      s"""WITH $E, de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)
+         |SELECT ROUND((SELECT COUNT(*) FROM de x JOIN de y ON x.src = y.dst AND x.dst = y.src) * 1.0
+         |  / (SELECT COUNT(*) FROM de), 6) AS reciprocity""".stripMargin,
+    "q_pagerank" -> pagerankSql(15, E, "e", "v"),
+    "q_wcc" ->
+      s"""WITH RECURSIVE $E,
+         |ue AS (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         |reach AS (SELECT id AS a, id AS b FROM v
+         |  UNION SELECT r.a, ue.b FROM reach r JOIN ue ON ue.a = r.b)
+         |SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a""".stripMargin,
+    "q_scc" ->
+      s"""WITH RECURSIVE $E,
+         |de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+         |reach AS (SELECT id AS a, id AS b FROM v
+         |  UNION SELECT r.a, de.dst FROM reach r JOIN de ON de.src = r.b)
+         |SELECT r1.a AS id, MIN(r1.b) AS comp FROM reach r1
+         |JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a GROUP BY r1.a""".stripMargin,
+    "q_bfs" ->
+      s"""WITH RECURSIVE $E,
+         |de AS (SELECT DISTINCT src, dst FROM e),
+         |bfs AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+         |  UNION SELECT de.dst, b.d + 1 FROM bfs b JOIN de ON de.src = b.id WHERE b.d < 50)
+         |SELECT id, MIN(d) AS dist FROM bfs GROUP BY id""".stripMargin,
+    "q_cocitation" ->
+      s"""WITH $E, de AS (SELECT DISTINCT src, dst FROM e)
+         |SELECT x.dst AS a, y.dst AS b, COUNT(*) AS common FROM de x
+         |JOIN de y ON x.src = y.src AND x.dst < y.dst GROUP BY x.dst, y.dst""".stripMargin,
+    "q_jaccard_sim" ->
+      s"""WITH $E,
+         |ue AS (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         |degj AS (SELECT a, COUNT(*) AS deg FROM ue GROUP BY a),
+         |com AS (SELECT x.a AS a, y.a AS b, COUNT(*) AS common FROM ue x
+         |  JOIN ue y ON x.b = y.b AND x.a < y.a GROUP BY x.a, y.a)
+         |SELECT c.a, c.b, ROUND(c.common * 1.0 / (da.deg + db.deg - c.common), 6) AS jaccard
+         |FROM com c JOIN degj da ON da.a = c.a JOIN degj db ON db.a = c.b""".stripMargin,
+    "q_neighborhood2" ->
+      s"""WITH $E,
+         |ue AS (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         |r2 AS (SELECT id AS a, id AS b FROM v
+         |  UNION SELECT a, b FROM ue
+         |  UNION SELECT DISTINCT x.a, y.b FROM ue x JOIN ue y ON x.b = y.a)
+         |SELECT a AS id, COUNT(*) AS size FROM r2 GROUP BY a""".stripMargin,
+    "q_contract" ->
+      s"""WITH $E
+         |SELECT src % 10 AS src, dst % 10 AS dst, CAST(SUM(weight) AS BIGINT) AS weight,
+         |  COUNT(*) AS n_edges FROM e GROUP BY e.src % 10, e.dst % 10""".stripMargin,
+    "q_edge_setops" ->
+      """WITH lo AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey % 2 = 1),
+        |le AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey % 2 = 0),
+        |pa AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM lo a JOIN lo b ON a.ok = b.ok AND a.pk < b.pk),
+        |pb AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM le a JOIN le b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT (SELECT COUNT(*) FROM (SELECT * FROM pa UNION SELECT * FROM pb)) AS n_union,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM pa INTERSECT SELECT * FROM pb)) AS n_intersect,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM pa EXCEPT SELECT * FROM pb)) AS n_diff""".stripMargin,
+    "q_triangles" ->
+      s"""WITH $P
+         |SELECT COUNT(*) AS triangles FROM pe e1
+         |JOIN pe e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |JOIN pe e3 ON e3.src = e1.dst AND e3.dst = e2.dst""".stripMargin,
+    "q_tri_pervertex" ->
+      s"""WITH $P,
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM pe e1
+         |  JOIN pe e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |  JOIN pe e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |tc AS (SELECT id, COUNT(*) AS triangles FROM
+         |  (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY id)
+         |SELECT pv.id, COALESCE(tc.triangles, 0) AS triangles FROM pv LEFT JOIN tc ON tc.id = pv.id""".stripMargin,
+    "q_transitivity" ->
+      s"""WITH $P,
+         |degp AS (SELECT id, COUNT(*) AS deg FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe) GROUP BY id),
+         |t AS (SELECT COUNT(*) AS triangles FROM pe e1
+         |  JOIN pe e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |  JOIN pe e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+         |SELECT ROUND(3.0 * (SELECT triangles FROM t)
+         |  / (SELECT SUM(deg * (deg - 1) / 2.0) FROM degp), 6) AS transitivity""".stripMargin,
+    "q_local_cc" ->
+      s"""WITH $P,
+         |degp AS (SELECT id, COUNT(*) AS deg FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe) GROUP BY id),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM pe e1
+         |  JOIN pe e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |  JOIN pe e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |tc AS (SELECT id, COUNT(*) AS triangles FROM
+         |  (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY id)
+         |SELECT d.id, ROUND(CASE WHEN d.deg < 2 THEN 0
+         |  ELSE 2.0 * COALESCE(tc.triangles, 0) / (d.deg * (d.deg - 1)) END, 6) AS cc
+         |FROM degp d LEFT JOIN tc ON tc.id = d.id""".stripMargin,
+    "q_knn" ->
+      s"""WITH $P,
+         |degp AS (SELECT id, COUNT(*) AS deg FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe) GROUP BY id),
+         |adj AS (SELECT src AS id, dst AS nbr FROM pe UNION ALL SELECT dst, src FROM pe)
+         |SELECT a.id, MAX(d0.deg) AS degree, ROUND(AVG(dn.deg), 6) AS knn
+         |FROM adj a JOIN degp dn ON dn.id = a.nbr JOIN degp d0 ON d0.id = a.id GROUP BY a.id""".stripMargin,
+    "q_modularity" ->
+      s"""WITH $P,
+         |em AS (SELECT src % 10 AS cs, dst % 10 AS cd, 1.0 AS w FROM pe),
+         |tot AS (SELECT SUM(w) AS m FROM em),
+         |insw AS (SELECT cs AS label, SUM(w) AS w_in FROM em WHERE cs = cd GROUP BY cs),
+         |degs AS (SELECT label, SUM(w) AS deg FROM
+         |  (SELECT cs AS label, w FROM em UNION ALL SELECT cd, w FROM em) GROUP BY label)
+         |SELECT ROUND(SUM(COALESCE(i.w_in, 0) / (SELECT m FROM tot)
+         |  - POWER(d.deg / (2 * (SELECT m FROM tot)), 2)), 6) AS q
+         |FROM degs d LEFT JOIN insw i ON d.label = i.label""".stripMargin,
+    "q_dedup_exact" ->
+      "SELECT MD5(text) AS hash, COUNT(*) AS n_dupes, MIN(doc_id) AS keep_id FROM documents GROUP BY MD5(text)",
+    "q_doc_stats" ->
+      """SELECT doc_id, LENGTH(text) AS n_chars,
+        |  LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+        |  LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+        |  ROUND(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0 / LEN(STRING_SPLIT(text, ' ')), 6) AS distinct_ratio,
+        |  ROUND((LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1)) * 1.0 / LEN(STRING_SPLIT(text, ' ')), 6) AS mean_token_len
+        |FROM documents""".stripMargin,
+    "q_quality" ->
+      """WITH t AS (SELECT doc_id, LENGTH(text) AS nc, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |  LEN(LIST_INTERSECT(LIST_DISTINCT(toks), ['the','a','of','and','to','in','is','it','on','for'])) * 1.0 AS stop_hits,
+        |  (nc - (LEN(toks) - 1)) * 1.0 / LEN(toks) AS mean_len,
+        |  LEN(LIST_DISTINCT(toks)) * 1.0 / LEN(toks) AS dr FROM t)
+        |SELECT doc_id, ROUND(GREATEST(0.0, LEAST(1.0,
+        |  0.4 * LEAST(stop_hits / 10.0, 1.0)
+        |  + 0.3 * (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+        |  + 0.3 * dr)), 6) AS quality FROM f""".stripMargin,
+    "q_token_global" ->
+      """SELECT (SELECT CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) FROM documents) AS total_tokens,
+        |  (SELECT COUNT(DISTINCT w) FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)) AS vocab""".stripMargin,
+    "q_jaccard_dupes" ->
+      """WITH sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        |    RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+        |    i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS sh FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |com AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common FROM sh x
+        |  JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)
+        |SELECT c.a, c.b, ROUND(c.common * 1.0 / (sa.sz + sb.sz - c.common), 6) AS jaccard
+        |FROM com c JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+        |WHERE c.common * 1.0 / (sa.sz + sb.sz - c.common) >= 0.5""".stripMargin,
+    "q_ann_brute" ->
+      """WITH ex AS (SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+        |    GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings),
+        |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id),
+        |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.x * c.x) AS dot
+        |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, c.vec_id),
+        |scored AS (SELECT d.query_id, d.neighbor_id, d.dot / (nq.nrm * nc.nrm) AS cos
+        |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id JOIN norms nc ON nc.vec_id = d.neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM ranked WHERE rank <= 5""".stripMargin
+  )
 }

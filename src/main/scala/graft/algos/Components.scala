@@ -1,0 +1,157 @@
+package graft.algos
+
+import graft.core.{CheckpointStore, Iterate, LinkGraph}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weakly / strongly connected components.
+  *
+  * Reference: `clusters(mode=weak|strong)` (`__init__.py:613-622`,
+  * `graphobject.c:4358-4387`) returns a membership vector; goldens compare
+  * memberships up to relabeling (`test_decomposition.py:175-188,213-215`).
+  *
+  * Output convention here: (id, comp) where `comp` is the **minimum vertex id
+  * in the component** — a deterministic, cluster-size-independent label that
+  * needs no global sort; [[graft.core.GraphOps.canonicalizeMembership]]
+  * densifies to 0..k-1 when igraph-style labels are required.
+  */
+object Components {
+
+  /** WCC: min-label propagation with pointer-jumping ("shortcutting").
+    *
+    * Each round does (1) a neighbor-min hash join + groupBy over the
+    * bidirected edge view, then (2) one label-table self-join that replaces
+    * every label by its label's label — the union-find path-halving analog
+    * that turns O(diameter) convergence into ~O(log diameter) rounds; web
+    * graphs converge in a handful of supersteps. Lineage is cut every round.
+    */
+  def wcc(g: LinkGraph, store: Option[CheckpointStore] = None, maxIter: Int = 50): DataFrame = {
+    val adj = g.bidirected.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .persist()
+    var labels = g.vertices.select(col("id"), col("id").as("comp")).transform(graft.core.Lineage.cut)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val t0 = System.currentTimeMillis()
+      val nbrMin = adj.join(labels, adj("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr_comp"))
+      val step1 = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // pointer jumping: comp <- comp(comp)
+      val jump = step1.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val step2 = step1.join(jump, step1("comp") === jump("jid"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+      val cut = Iterate.cut(step2, iter + 1, store, t0)
+      changed = cut.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .where(col("comp") =!= col("old")).count()
+      labels = cut
+      iter += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
+  /** SCC by the coloring algorithm (Orzan): repeat {trim trivial SCCs;
+    * forward max-id coloring to fixpoint; backward reach from each color root
+    * within its color class => one SCC per root; peel}. Expressed entirely as
+    * join/groupBy supersteps with lineage cuts. Exact; matches the
+    * reference's `clusters(mode="strong")` up to relabeling.
+    *
+    * Scale note: good on web graphs after trimming (giant SCC + tendrils);
+    * worst case (long chains) degrades to O(n) rounds — the documented
+    * mitigation is the trim phase, which removes tendril chains one whole
+    * pass per round.
+    */
+  def scc(g: LinkGraph, maxRounds: Int = 200): DataFrame = {
+    require(g.directed, "scc requires a directed graph")
+    val spark = g.spark
+    var remainingV = g.vertices.transform(graft.core.Lineage.cut)
+    var remainingE = g.weighted.select("src", "dst")
+      .where(col("src") =!= col("dst")).distinct().transform(graft.core.Lineage.cut)
+    var result = spark.emptyDataFrame
+      .withColumn("id", lit(0L)).withColumn("comp", lit(0L)).limit(0)
+    var rounds = 0
+
+    while (remainingV.count() > 0 && rounds < maxRounds) {
+      rounds += 1
+      // --- trim: vertices with no in- or no out-edges are singleton SCCs
+      var trimmed = true
+      while (trimmed) {
+        val hasOut = remainingE.select(col("src").as("id")).distinct()
+        val hasIn = remainingE.select(col("dst").as("id")).distinct()
+        val trivial = remainingV
+          .join(hasOut, Seq("id"), "left_anti")
+          .union(remainingV.join(hasIn, Seq("id"), "left_anti"))
+          .distinct().transform(graft.core.Lineage.cut)
+        val nTrivial = trivial.count()
+        if (nTrivial == 0) trimmed = false
+        else {
+          result = result.union(trivial.select(col("id"), col("id").as("comp"))).transform(graft.core.Lineage.cut)
+          remainingV = remainingV.join(trivial, Seq("id"), "left_anti").transform(graft.core.Lineage.cut)
+          remainingE = remainingE
+            .join(trivial.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+            .join(trivial.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+            .select("src", "dst").transform(graft.core.Lineage.cut)
+        }
+      }
+      if (remainingV.count() == 0) { /* done */ }
+      else {
+        // --- forward coloring: color(v) = max id that reaches v (incl. v)
+        var colors = remainingV.select(col("id"), col("id").as("color")).transform(graft.core.Lineage.cut)
+        var changed = 1L
+        while (changed > 0) {
+          val msg = remainingE.join(colors, remainingE("src") === colors("id"))
+            .groupBy(col("dst").as("id")).agg(max(col("color")).as("in_color"))
+          val next = colors.join(msg, Seq("id"), "left")
+            .select(col("id"), greatest(col("color"), coalesce(col("in_color"), col("color"))).as("color"))
+            .transform(graft.core.Lineage.cut)
+          changed = next.join(colors.withColumnRenamed("color", "old"), Seq("id"))
+            .where(col("color") =!= col("old")).count()
+          colors = next
+        }
+        // --- backward reach from roots, restricted to same color
+        // root r: color(r) == r. SCC(r) = {v: color(v)==r and v ->* r}.
+        var reached = colors.where(col("color") === col("id"))
+          .select(col("id"), col("color")).transform(graft.core.Lineage.cut)
+        var frontier = reached
+        var grew = 1L
+        while (grew > 0) {
+          // predecessors u of frontier v with same color
+          val pred = remainingE.join(frontier.withColumnRenamed("id", "dst"), Seq("dst"))
+            .select(col("src").as("id"), col("color"))
+            .join(colors.withColumnRenamed("color", "vcolor"), Seq("id"))
+            .where(col("color") === col("vcolor"))
+            .select(col("id"), col("color"))
+            .distinct()
+          val fresh = pred.join(reached.select("id"), Seq("id"), "left_anti").transform(graft.core.Lineage.cut)
+          grew = fresh.count()
+          if (grew > 0) reached = reached.union(fresh).transform(graft.core.Lineage.cut)
+          frontier = fresh
+        }
+        // label SCC by min id within it (stable labels)
+        val sccLabel = reached.groupBy("color").agg(min("id").as("comp"))
+        val found = reached.join(sccLabel, Seq("color")).select(col("id"), col("comp"))
+          .transform(graft.core.Lineage.cut)
+        result = result.union(found).transform(graft.core.Lineage.cut)
+        remainingV = remainingV.join(found.select("id"), Seq("id"), "left_anti").transform(graft.core.Lineage.cut)
+        remainingE = remainingE
+          .join(found.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .transform(graft.core.Lineage.cut)
+      }
+    }
+    result
+  }
+
+  /** Largest component's vertex set (the reference's `giant()`,
+    * `clustering.py:411-428`).
+    */
+  def giant(g: LinkGraph): DataFrame = {
+    val labels = wcc(g)
+    val top = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc, col("comp")).limit(1)
+    labels.join(broadcast(top), Seq("comp")).select("id")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.algos
+
+import graft.core.{CheckpointStore, Iterate, LinkGraph}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Label-propagation community detection (Raghavan-Albert-Kumara, Phys Rev E
+  * 76:036106 — cited by the reference docstring `__init__.py:1313-1317`).
+  *
+  * The reference (`graphobject.c:11620-11666`) updates asynchronously in
+  * random order with random tie-breaks — inherently nondeterministic; its own
+  * tests accept a *set* of outcomes (`test_decomposition.py:279-284`). Our
+  * engine is **synchronous** with a seeded, partition-stable tie-break
+  * (hash(seed, iter, id, label)), so distributed runs are bit-reproducible at
+  * any parallelism — the design answer to igraph's RNG indirection
+  * (`random.c:33-60`). An oscillation guard freezes 2-cycles (known
+  * synchronous-LPA artifact on bipartite-ish structures).
+  *
+  * Contract matched against the reference: `initial` labels (< 0 = unlabeled,
+  * docstring `__init__.py:1286-1322`), `fixed` seed pinning, weighted
+  * dominance = sum of incident edge weights per label; unlabeled neighbors
+  * send no message; still-unlabeled vertices at convergence get their own id
+  * as label. Golden: chain 0-1-2-3, weights [2,1,2], initial [0,-1,-1,1],
+  * fixed -> membership [0,0,1,1] (`test_decomposition.py:274-284`).
+  */
+object LabelProp {
+
+  /** @param initial optional (id, label) with label < 0 meaning unlabeled;
+    *                absent vertices start unlabeled... every vertex starts
+    *                with its own unique label when `initial` is None (the
+    *                standard RAK initialization).
+    * @param fixed   optional (id) set of vertices whose label never changes.
+    * @return (id, label) membership, labels canonical-dense via min-member.
+    */
+  def run(
+      g: LinkGraph,
+      initial: Option[DataFrame] = None,
+      fixed: Option[DataFrame] = None,
+      seed: Long = 42L,
+      maxIter: Int = 50,
+      store: Option[CheckpointStore] = None
+  ): DataFrame = {
+    val adj = g.bidirected.select(col("src"), col("dst"), col("weight"))
+      .where(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .persist()
+    adj.count()
+
+    val fixedDf = fixed.map(_.select(col("id")).withColumn("is_fixed", lit(true)))
+    val start = initial match {
+      case Some(init) =>
+        g.vertices.join(init, Seq("id"), "left")
+          .select(col("id"),
+            when(col("label").isNull || col("label") < 0, lit(null).cast("long"))
+              .otherwise(col("label").cast("long")).as("label"))
+      case None =>
+        g.vertices.select(col("id"), col("id").as("label"))
+    }
+    var labels = (fixedDf match {
+      case Some(f) => start.join(f, Seq("id"), "left")
+        .select(col("id"), col("label"), coalesce(col("is_fixed"), lit(false)).as("is_fixed"))
+      case None => start.withColumn("is_fixed", lit(false))
+    }).transform(graft.core.Lineage.cut)
+
+    var prev: DataFrame = null // for 2-cycle oscillation guard
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val t0 = System.currentTimeMillis()
+      // weighted label mass arriving at each vertex, labeled neighbors only
+      val votes = adj.join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .where(col("label").isNotNull)
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(sum("weight").as("mass"))
+      // deterministic argmax: mass desc, then seeded hash, then label
+      val w = Window.partitionBy(col("id")).orderBy(
+        col("mass").desc,
+        xxhash64(lit(seed), lit(iter), col("id"), col("label")),
+        col("label"))
+      val best = votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("id"), col("label").as("new_label"))
+
+      val next = labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          when(col("is_fixed") || col("new_label").isNull, col("label"))
+            .otherwise(col("new_label")).as("label"),
+          col("is_fixed"))
+      val cut = Iterate.cut(next, iter + 1, store, t0)
+      changed = cut.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .where(!(col("label") <=> col("old"))).count()
+      // oscillation guard: if state equals the state two steps ago, freeze
+      if (changed > 0 && prev != null) {
+        val sameAsPrev = cut.join(prev.select(col("id"), col("label").as("p2")), Seq("id"))
+          .where(!(col("label") <=> col("p2"))).count() == 0
+        if (sameAsPrev) changed = 0
+      }
+      prev = labels
+      labels = cut
+      iter += 1
+    }
+    adj.unpersist()
+    // unlabeled leftovers (isolated, or unlabeled islands) -> own id
+    labels.select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.algos
+
+import graft.core.{GraphOps, LinkGraph}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{count => cnt}
+
+/** Triangle counting and the transitivity (clustering-coefficient) family.
+  *
+  * Reference semantics (`graphobject.c:14051-14111`; goldens
+  * `test_structural.py:67-98`): direction is ignored, multi-edges and loops
+  * are dropped, transitivity = 3*triangles / wedges with
+  * wedges = sum_v d_v (d_v - 1) / 2.
+  *
+  * Scale design: the canonical degree-ordered orientation — orient each
+  * undirected edge from the (degree, id)-smaller endpoint to the larger,
+  * self-join oriented edges on the shared lower endpoint to form wedges,
+  * then semi-join wedge closures against the oriented edge set. Orientation
+  * bounds per-vertex fan-out by O(sqrt(m)) (arboricity), which is what kills
+  * hub skew on power-law web graphs; the two joins shuffle on edge keys and
+  * broadcast nothing, so the pipeline survives 100x scale-up unchanged.
+  */
+object Triangles {
+
+  /** Undirected simple edge view canonicalized to src < dst. */
+  private def simpleEdges(g: LinkGraph): DataFrame =
+    g.edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+
+  /** All triangles as (a, b, c) rows, each triangle exactly once. */
+  def triangleTriples(g: LinkGraph): DataFrame = {
+    val e = simpleEdges(g).transform(graft.core.Lineage.cut)
+    // total degree on the simple graph, for the orientation order
+    val deg = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .groupBy("v").agg(cnt(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "sdeg"), Seq("src"))
+      .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("deg", "ddeg"), Seq("dst"))
+    // orient low (deg, id) -> high (deg, id)
+    val oriented = withDeg.select(
+      when(col("sdeg") < col("ddeg") || (col("sdeg") === col("ddeg") && col("src") < col("dst")), col("src"))
+        .otherwise(col("dst")).as("lo"),
+      when(col("sdeg") < col("ddeg") || (col("sdeg") === col("ddeg") && col("src") < col("dst")), col("dst"))
+        .otherwise(col("src")).as("hi"))
+      .transform(graft.core.Lineage.cut)
+    // wedges at the low-degree pivot a: (a->b, a->c); dedupe by b<c
+    val e1 = oriented.select(col("lo").as("a"), col("hi").as("b"))
+    val e2 = oriented.select(col("lo").as("a"), col("hi").as("c"))
+    val wedges = e1.join(e2, Seq("a")).where(col("b") < col("c"))
+    // closure: (b, c) must be an edge in the undirected simple set
+    wedges.join(e, wedges("b") === e("src") && wedges("c") === e("dst"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Global triangle count (= `cliques(3,3)` size, `graphobject.c:15738`). */
+  def count(g: LinkGraph): Long = triangleTriples(g).count()
+
+  /** Per-vertex triangle count (id, triangles); zero for triangle-free. */
+  def perVertex(g: LinkGraph): DataFrame = {
+    val t = triangleTriples(g)
+    val ends = t.select(col("a").as("id"))
+      .union(t.select(col("b").as("id")))
+      .union(t.select(col("c").as("id")))
+    val counts = ends.groupBy("id").agg(cnt(lit(1)).as("triangles"))
+    g.vertices.join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Global transitivity = 3T / wedges (`graphobject.c:14051-14077`;
+    * goldens 1.0 / 0.0 / 0.75, `test_structural.py:67-70`).
+    */
+  def transitivityGlobal(g: LinkGraph): Double = {
+    val e = simpleEdges(g)
+    val deg = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .groupBy("v").agg(cnt(lit(1)).as("deg"))
+    val wedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2)).head.get(0) match {
+      case null                      => 0.0
+      case d: java.math.BigDecimal   => d.doubleValue()
+      case d: Double                 => d
+      case l: Long                   => l.toDouble
+    }
+    if (wedges == 0.0) Double.NaN else 3.0 * count(g) / wedges
+  }
+
+  /** Per-vertex clustering coefficient t_v / (d_v (d_v - 1) / 2)
+    * (`graphobject.c:14078-14111`; goldens [2/3, 2/3, 1, 1],
+    * `test_structural.py:72-91`). `zeroMode`: degree<2 vertices get 0.0
+    * (mode="zero") or NaN (reference default).
+    */
+  def transitivityLocal(g: LinkGraph, zeroMode: Boolean = false): DataFrame = {
+    val e = simpleEdges(g)
+    val deg = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .groupBy("id").agg(cnt(lit(1)).as("deg"))
+    val undef = if (zeroMode) lit(0.0) else lit(Double.NaN)
+    perVertex(g).join(deg, Seq("id"), "left")
+      .select(col("id"),
+        when(coalesce(col("deg"), lit(0L)) < 2, undef)
+          .otherwise(col("triangles") * 2.0 / (col("deg") * (col("deg") - 1))).as("cc"))
+  }
+
+  /** Mean of defined local coefficients (`graphobject.c:14112`; golden 5/6,
+    * `test_structural.py:93-98`).
+    */
+  def transitivityAvgLocal(g: LinkGraph): Double = {
+    val loc = transitivityLocal(g, zeroMode = false).where(!isnan(col("cc")))
+    if (loc.isEmpty) Double.NaN else loc.agg(avg("cc")).head.getDouble(0)
+  }
+
+  /** Weighted local clustering coefficient, Barrat et al. variant as the
+    * reference implements it (golden 0.25 for Full(4)+pendant-weight-5,
+    * `test_structural.py:82-91`): over ordered neighbor pairs (j,h) closing
+    * a triangle with i, sum (w_ij + w_ih)/2, normalized by s_i (k_i - 1).
+    */
+  def transitivityLocalWeighted(g: LinkGraph): DataFrame = {
+    val und = GraphOps.simplify(g, multiple = true, loops = true, combine = "sum")
+    val e = und.bidirected.select(col("src"), col("dst"), col("weight")) // both directions
+    val strengthK = e.groupBy(col("src").as("id"))
+      .agg(sum("weight").as("s"), cnt(lit(1)).as("k"))
+    // ordered neighbor pairs (i->j, i->h), j != h, closed by edge (j,h)
+    val ij = e.select(col("src").as("i"), col("dst").as("j"), col("weight").as("wij"))
+    val ih = e.select(col("src").as("i"), col("dst").as("h"), col("weight").as("wih"))
+    val closure = e.select(col("src").as("j"), col("dst").as("h"))
+    val tri = ij.join(ih, Seq("i")).where(col("j") =!= col("h"))
+      .join(closure, Seq("j", "h"), "left_semi")
+    val contrib = tri.groupBy(col("i").as("id"))
+      .agg(sum((col("wij") + col("wih")) / 2.0).as("num"))
+    g.vertices.join(contrib, Seq("id"), "left").join(strengthK, Seq("id"), "left")
+      .select(col("id"),
+        when(coalesce(col("k"), lit(0L)) < 2, lit(Double.NaN))
+          .otherwise(coalesce(col("num"), lit(0.0)) / (col("s") * (col("k") - 1))).as("cc"))
+  }
+}

@@ -1,0 +1,311 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Degree mode, mirroring igraph's IN/OUT/ALL (`graphobject.c:12238`). */
+sealed trait Mode
+object Mode {
+  case object In extends Mode
+  case object Out extends Mode
+  case object All extends Mode
+}
+
+/** Structural per-vertex / whole-graph statistics and graph transforms.
+  *
+  * All operators are declarative DataFrame pipelines: one `groupBy` per
+  * degree-like aggregate (map-side partial aggregation is automatic), joins
+  * against the vertex frame to keep zero-degree vertices (the reference
+  * returns 0 for isolated vertices, `test_structural.py:146`).
+  */
+object GraphOps {
+
+  /** Per-vertex degree (id, degree). Reference semantics
+    * (`graphobject.c:12238`; goldens `test_structural.py:142-163`):
+    * a self-loop adds 2 to ALL/undirected degree, 1 to IN and 1 to OUT;
+    * `loops=false` ignores self-loops entirely.
+    */
+  def degrees(g: LinkGraph, mode: Mode = Mode.All, loops: Boolean = true): DataFrame =
+    degreeLike(g, mode, loops, weightedSum = false)
+
+  /** Weighted degree (id, strength) — `graphobject.c:12254`,
+    * goldens `test_structural.py:164-187`.
+    */
+  def strength(g: LinkGraph, mode: Mode = Mode.All, loops: Boolean = true): DataFrame =
+    degreeLike(g, mode, loops, weightedSum = true)
+
+  private def degreeLike(g: LinkGraph, mode: Mode, loops: Boolean, weightedSum: Boolean): DataFrame = {
+    val base = if (loops) g.weighted else g.weighted.where(col("src") =!= col("dst"))
+    val v = if (weightedSum) col("weight") else lit(1.0)
+    // endpoint stream: for undirected or mode=ALL every edge contributes at
+    // both endpoints (loops therefore count twice via the two endpoints).
+    val effMode = if (g.directed) mode else Mode.All
+    val ends = effMode match {
+      case Mode.Out => base.select(col("src").as("id"), v.as("v"))
+      case Mode.In  => base.select(col("dst").as("id"), v.as("v"))
+      case Mode.All =>
+        base.select(col("src").as("id"), v.as("v"))
+          .union(base.select(col("dst").as("id"), v.as("v")))
+    }
+    val agg = ends.groupBy("id").agg(sum("v").as("s"))
+    val out = g.vertices.join(agg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
+    if (weightedSum) out.withColumnRenamed("s", "strength")
+    else out.select(col("id"), col("s").cast("long").as("degree"))
+  }
+
+  /** Max degree over all vertices (`graphobject.c:13702`). */
+  def maxDegree(g: LinkGraph, mode: Mode = Mode.All, loops: Boolean = false): Long = {
+    val d = degrees(g, mode, loops)
+    if (d.isEmpty) 0L else d.agg(max("degree")).head.getLong(0)
+  }
+
+  /** Degree histogram (degree, n_vertices) — `__init__.py:624-634`. */
+  def degreeDistribution(g: LinkGraph, mode: Mode = Mode.All): DataFrame =
+    degrees(g, mode).groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+
+  /** Graph density (`graphobject.c:13317`; goldens `test_structural.py:18-25`):
+    * undirected: 2m/(n(n-1)); with loops: m/(n(n+1)/2);
+    * directed: m/(n(n-1)); with loops: m/n^2. Multi-edges counted as-is.
+    */
+  def density(g: LinkGraph, loops: Boolean = false): Double = {
+    val n = g.vcount().toDouble
+    val m = g.ecount().toDouble
+    if (n <= 0) return Double.NaN
+    val possible =
+      if (g.directed) { if (loops) n * n else n * (n - 1) }
+      else { if (loops) n * (n + 1) / 2.0 else n * (n - 1) / 2.0 }
+    if (possible == 0) Double.NaN else m / possible
+  }
+
+  /** Collapse multi-edges / drop loops (`graphobject.c:5907-5932`).
+    * `combine`: any Spark SQL aggregate over `weight` — "sum", "min", "max",
+    * "avg"/"mean", "first", "count" (the reference's combiner table,
+    * `convert.c:269-291`). Undirected edges are canonicalized to
+    * (min, max) before grouping so (u,v) and (v,u) collapse together.
+    */
+  def simplify(
+      g: LinkGraph,
+      multiple: Boolean = true,
+      loops: Boolean = true,
+      combine: String = "sum"
+  ): LinkGraph = {
+    var e = g.weighted
+    if (loops) e = e.where(col("src") =!= col("dst"))
+    if (multiple) {
+      val canon =
+        if (g.directed) e
+        else e.select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"), col("weight"))
+      val comb = combine.toLowerCase match {
+        case "sum"            => sum(col("weight"))
+        case "min"            => min(col("weight"))
+        case "max"            => max(col("weight"))
+        case "avg" | "mean"   => avg(col("weight"))
+        case "first"          => first(col("weight"))
+        case "count"          => count(lit(1)).cast("double")
+        case "ignore"         => lit(1.0)
+        case other            => throw new IllegalArgumentException(s"unknown combiner: $other")
+      }
+      e = canon.groupBy("src", "dst").agg(comb.as("weight"))
+    }
+    LinkGraph(e, g.directed, g.numVertices)
+  }
+
+  /** True iff no multi-edges and no loops (`graphobject.c:12179`). */
+  def isSimple(g: LinkGraph): Boolean = {
+    val canon =
+      if (g.directed) g.weighted
+      else g.weighted.select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
+    val hasLoop = !g.edges.where(col("src") === col("dst")).isEmpty
+    if (hasLoop) return false
+    canon.groupBy("src", "dst").count().where(col("count") > 1).isEmpty
+  }
+
+  /** to_undirected(mode=collapse|each) — `graphobject.c:14838`. */
+  def toUndirected(g: LinkGraph, collapse: Boolean = true, combine: String = "sum"): LinkGraph = {
+    val und = LinkGraph(g.weighted, directed = false, g.numVertices)
+    if (collapse) simplify(und, multiple = true, loops = false, combine) else und
+  }
+
+  /** to_directed(mutual=true): each undirected edge becomes two arcs
+    * (`graphobject.c:14824`).
+    */
+  def toDirected(g: LinkGraph, mutual: Boolean = true): LinkGraph =
+    if (g.directed) g
+    else if (mutual) LinkGraph(g.bidirected, directed = true, g.numVertices)
+    else LinkGraph(g.weighted, directed = true, g.numVertices)
+
+  /** Vertex-induced subgraph, ids preserved (not re-densified; callers can
+    * relabel with [[Ids.relabel]]) — `graphobject.c:13620-13640`.
+    * Uses semi-joins on both endpoints (broadcast when the set is small).
+    */
+  def inducedSubgraph(g: LinkGraph, vertexSet: DataFrame): LinkGraph = {
+    val s = vertexSet.select(col(vertexSet.columns.head).as("id"))
+    val e = g.weighted
+      .join(s.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(s.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst", "weight")
+    LinkGraph(e, g.directed, None)
+  }
+
+  /** Quotient graph by a membership mapping (id -> label):
+    * `contract_vertices` + `simplify` = the reference's `cluster_graph`
+    * (`graphobject.c:13272-13296`, `clustering.py:308-336`).
+    */
+  def contractVertices(g: LinkGraph, membership: DataFrame): DataFrame = {
+    val m = membership.select(col("id"), col("label"))
+    g.weighted
+      .join(m.withColumnRenamed("id", "src").withColumnRenamed("label", "csrc"), Seq("src"))
+      .join(m.withColumnRenamed("id", "dst").withColumnRenamed("label", "cdst"), Seq("dst"))
+      .groupBy(col("csrc").as("src"), col("cdst").as("dst"))
+      .agg(sum("weight").as("weight"), count(lit(1)).as("n_edges"))
+  }
+
+  /** Fraction of reciprocated arcs among non-loop distinct arcs
+    * (`graphobject.c:13869`). Defined on the simple digraph view.
+    */
+  def reciprocity(g: LinkGraph): Double = {
+    val e = g.weighted.where(col("src") =!= col("dst")).select("src", "dst").distinct()
+    val m = e.count()
+    if (m == 0) return Double.NaN
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val mutual = e.intersect(rev).count()
+    mutual.toDouble / m.toDouble
+  }
+
+  /** Average-neighbor-degree (knn) per vertex and per degree class (knnk) —
+    * `graphobject.c:13660`, goldens `test_structural.py:123-140`.
+    * Simple graphs only (like the reference). Returns (id, degree, knn).
+    */
+  def knn(g: LinkGraph): DataFrame = {
+    val deg = degrees(g, Mode.All, loops = false)
+    val adj = g.bidirected.select(col("src").as("id"), col("dst").as("nbr"))
+    adj.join(deg.withColumnRenamed("id", "nbr").withColumnRenamed("degree", "nbr_deg"), Seq("nbr"))
+      .groupBy("id").agg(avg("nbr_deg").as("knn"))
+      .join(deg, Seq("id"))
+      .select("id", "degree", "knn")
+  }
+
+  /** knnk: average knn per degree class (degree, knnk). */
+  def knnk(g: LinkGraph): DataFrame =
+    knn(g).groupBy("degree").agg(avg("knn").as("knnk"))
+
+  /** Number of common in-neighbors (cocitation, `graphobject.c:14195`) or
+    * out-neighbors (bibcoupling, `14187`) for each vertex pair that shares
+    * at least one. The classic set-similarity self-join: for undirected
+    * graphs both behave identically on the bidirected view.
+    */
+  def cocitation(g: LinkGraph): DataFrame = {
+    // (a,b) co-cited when some u links to both: shared key = the citer (src)
+    val e = (if (g.directed) g.weighted else g.bidirected).select("src", "dst").distinct()
+    pairOverlap(e.select(col("src").as("key"), col("dst").as("v")))
+  }
+
+  def bibcoupling(g: LinkGraph): DataFrame = {
+    // (a,b) coupled when both cite some u: shared key = the cited (dst)
+    val e = (if (g.directed) g.weighted else g.bidirected).select("src", "dst").distinct()
+    pairOverlap(e.select(col("dst").as("key"), col("src").as("v")))
+  }
+
+  /** (key,v) pairs -> for each (v1<v2) sharing a key: overlap count. */
+  private def pairOverlap(kv: DataFrame): DataFrame = {
+    val a = kv.select(col("key"), col("v").as("a"))
+    val b = kv.select(col("key"), col("v").as("b"))
+    a.join(b, Seq("key")).where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+  }
+
+  /** Jaccard similarity of neighbor sets for pairs with >=1 common neighbor
+    * (`graphobject.c:14247`). Neighbor sets on the undirected simple view.
+    */
+  def similarityJaccard(g: LinkGraph): DataFrame = {
+    val e = g.bidirected.where(col("src") =!= col("dst")).select("src", "dst").distinct()
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val common = pairOverlap(e.select(col("dst").as("key"), col("src").as("v")))
+    common
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "dega"), Seq("a"))
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "degb"), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("common") / (col("dega") + col("degb") - col("common"))).as("jaccard"))
+  }
+
+  /** Dice similarity: 2|A∩B| / (|A|+|B|) (`graphobject.c:14203`). */
+  def similarityDice(g: LinkGraph): DataFrame = {
+    val e = g.bidirected.where(col("src") =!= col("dst")).select("src", "dst").distinct()
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val common = pairOverlap(e.select(col("dst").as("key"), col("src").as("v")))
+    common
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "dega"), Seq("a"))
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "degb"), Seq("b"))
+      .select(col("a"), col("b"),
+        (lit(2.0) * col("common") / (col("dega") + col("degb"))).as("dice"))
+  }
+
+  /** k-hop neighborhood size per vertex (vertex itself included, as the
+    * reference does — `graphobject.c:13719-13774`, goldens
+    * `test_structural.py:493-495`). `mindist` excludes vertices closer than
+    * that. Implemented as `order` rounds of frontier self-joins with distinct.
+    */
+  def neighborhoodSize(g: LinkGraph, order: Int, mindist: Int = 0): DataFrame = {
+    val adj = g.bidirected.select(col("src").as("v"), col("dst").as("nbr")).distinct()
+    // reach: (origin, v, dist) minimal distance, BFS by rounds
+    var reach = g.vertices.select(col("id").as("origin"), col("id").as("v"), lit(0).as("dist"))
+    var frontier = reach
+    for (k <- 1 to order) {
+      val next = frontier.join(adj, Seq("v"))
+        .select(col("origin"), col("nbr").as("v"), lit(k).as("dist"))
+        .join(reach.select("origin", "v").withColumn("seen", lit(1)), Seq("origin", "v"), "left_anti")
+        .distinct()
+      reach = reach.union(next).transform(graft.core.Lineage.cut)
+      frontier = next
+    }
+    g.vertices.select(col("id")).join(
+      reach.where(col("dist") >= mindist)
+        .groupBy(col("origin").as("id")).agg(count(lit(1)).as("size")),
+      Seq("id"), "left"
+    ).select(col("id"), coalesce(col("size"), lit(0L)).as("size"))
+  }
+
+  // ---- set operations (operators.py:13-451; `graphobject.c:15513-15521`) --
+
+  /** Edge-set union of two graphs over a shared id space. */
+  def union(a: LinkGraph, b: LinkGraph): LinkGraph =
+    LinkGraph(a.weighted.select("src", "dst").union(b.weighted.select("src", "dst")).distinct(),
+      a.directed, maxN(a, b))
+
+  def intersection(a: LinkGraph, b: LinkGraph): LinkGraph =
+    LinkGraph(a.weighted.select("src", "dst").distinct()
+      .intersect(b.weighted.select("src", "dst").distinct()), a.directed, maxN(a, b))
+
+  def difference(a: LinkGraph, b: LinkGraph): LinkGraph =
+    LinkGraph(a.weighted.select("src", "dst").distinct()
+      .except(b.weighted.select("src", "dst").distinct()), a.directed, a.numVertices)
+
+  /** Disjoint union: b's ids offset by a.n (`operators.py:13-81`). */
+  def disjointUnion(a: LinkGraph, b: LinkGraph): LinkGraph = {
+    val offset = a.vcount()
+    val bShift = b.weighted.select((col("src") + offset).as("src"), (col("dst") + offset).as("dst"), col("weight"))
+    LinkGraph(a.weighted.union(bShift), a.directed, Some(offset + b.vcount()))
+  }
+
+  private def maxN(a: LinkGraph, b: LinkGraph): Option[Long] =
+    (a.numVertices, b.numVertices) match {
+      case (Some(x), Some(y)) => Some(math.max(x, y))
+      case _                  => None
+    }
+
+  /** Dense relabeling of an arbitrary label column to 0..k-1, ordered by the
+    * smallest member vertex id — the canonical reindex used by the
+    * reference's membership comparisons (`test_decomposition.py:175-188`).
+    * Input: (id, label); output: (id, label) with dense labels.
+    */
+  def canonicalizeMembership(membership: DataFrame): DataFrame = {
+    val firstSeen = membership.groupBy("label").agg(min("id").as("first_id"))
+    val w = Window.orderBy(col("first_id"))
+    val relabel = firstSeen.withColumn("new_label", dense_rank().over(w) - 1)
+      .select(col("label"), col("new_label"))
+    membership.join(broadcast(relabel), Seq("label"))
+      .select(col("id"), col("new_label").cast("long").as("label"))
+  }
+}

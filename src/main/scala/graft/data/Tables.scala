@@ -1,0 +1,52 @@
+package graft.data
+
+import graft.core.LinkGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-provided parquet tables (TESTDATA.md) and the two
+  * derived edge tables every verification query runs on. The same
+  * derivations are written as SQL CTEs in [[graft.SparkEntry.oracleSql]] so
+  * DuckDB reproduces them bit-for-bit.
+  */
+object Tables {
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Directed multigraph from `events`: src = user_id,
+    * dst = floor(value) % 97 — deterministic, cyclic, hub-skewed (value is
+    * non-negative), identical in Spark and DuckDB SQL.
+    */
+  def eventsGraph(spark: SparkSession, dir: String): LinkGraph = {
+    val e = read(spark, dir, "events").select(
+      col("user_id").as("src"),
+      (floor(col("value")).cast("long") % 97).as("dst"),
+      lit(1.0).as("weight"))
+    LinkGraph(e, directed = true, None)
+  }
+
+  /** SQL CTE mirroring [[eventsGraph]] (+ its vertex set). */
+  val eventsGraphSql: String =
+    """e AS (SELECT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 97 AS dst, 1.0 AS weight FROM events),
+      |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))""".stripMargin
+
+  /** Undirected simple "co-part" graph from `lineitem`: an edge between two
+    * parts iff they appear in the same order; canonical src < dst.
+    */
+  def copartGraph(spark: SparkSession, dir: String): LinkGraph = {
+    val li = read(spark, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.alias("a").join(li.alias("b"), Seq("ok"))
+      .where(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+    LinkGraph(e, directed = false, None)
+  }
+
+  /** SQL CTE mirroring [[copartGraph]]. */
+  val copartGraphSql: String =
+    """pe AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |        FROM lineitem a JOIN lineitem b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |pv AS (SELECT DISTINCT id FROM (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe))""".stripMargin
+}

@@ -1,0 +1,79 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`embeddings(vec_id,
+  * embedding: array<float>, label)`).
+  *
+  * Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
+  * variant is the 100 TB path (candidates shrink from N to bucket-local).
+  * Dot products are pure `zip_with`/`aggregate` Column expressions — no UDF,
+  * fully codegen'd.
+  */
+object Ann {
+
+  /** cosine(a, b) as a Column over two array<float/double> columns. */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (brute force):
+    * broadcast the (small) query set against the corpus, window-rank per
+    * query. Output: (query_id, neighbor_id, cos, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe").cast("array<double>"), col("ce").cast("array<double>")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucketing: `nBits` seeded pseudo-random
+    * hyperplanes (deterministic hash-derived coefficients), sign pattern ->
+    * bucket id. Same-bucket join gives candidates; exact cosine re-ranks.
+    * Recall grows with number of probe tables (`tables`).
+    */
+  def lshBuckets(vectors: DataFrame, nBits: Int = 12, table: Int = 0): DataFrame = {
+    // hyperplane h, dim d coefficient = centered hash in [-1,1]
+    val dims = vectors.select(size(col("embedding"))).head.getInt(0)
+    val bit = (h: Int) => {
+      val terms = (0 until dims).map { d =>
+        val coef = {
+          val x = graft.ingest.Pages.mix64(table.toLong << 32 | h.toLong << 16 | d.toLong)
+          (x.toDouble / Long.MaxValue.toDouble)
+        }
+        element_at(col("embedding"), d + 1) * lit(coef)
+      }
+      when(terms.reduce(_ + _) >= 0, lit(1L << h)).otherwise(lit(0L))
+    }
+    val bucket = (0 until nBits).map(bit).reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b))
+    vectors.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+  }
+
+  /** ANN top-k via multi-table LSH: union candidates over `tables` hash
+    * tables, exact-cosine re-rank within candidates.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 10, tables: Int = 4): DataFrame = {
+    val cand = (0 until tables).map { t =>
+      val cb = lshBuckets(corpus, nBits, t).select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
+      val qb = lshBuckets(queries, nBits, t).select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      cb.join(qb, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
+    }.reduce(_ union _).distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      cosine(col("qe").cast("array<double>"), col("ce").cast("array<double>")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+}

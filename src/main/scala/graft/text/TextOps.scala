@@ -1,0 +1,186 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over the
+  * `documents(doc_id, text, lang, source, n_chars)` table.
+  *
+  * All hot paths are `org.apache.spark.sql.functions` compositions (whole-
+  * stage-codegen'd); no Scala UDF in any per-row loop. Tokenization is the
+  * simplest deterministic rule (split on single spaces) so the DuckDB oracle
+  * can reproduce it bit-for-bit.
+  */
+object TextOps {
+
+  /** Tokens of a text column (documents are space-separated words). */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** Per-document statistics: token count, distinct-token ratio, mean token
+    * length — the length/stopword/punctuation quality features of a
+    * web-corpus quality scorer.
+    */
+  def docStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("distinct_ratio"),
+      round((length(col("text")) - (size(toks) - 1)).cast("double") / size(toks), 6).as("mean_token_len"))
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** Quality score in [0,1]: blend of stopword ratio, token-length sanity and
+    * repetition (1 - distinct ratio) — the standard cheap heuristics
+    * (C4/Gopher-style rules) expressed as pure Column arithmetic.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopHits = size(array_intersect(array_distinct(toks), array(stopwords.map(lit): _*))).cast("double")
+    val meanLen = (length(col("text")) - (nTok - 1)) / nTok
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    docs.select(col("doc_id"),
+      round(
+        greatest(lit(0.0), least(lit(1.0),
+          lit(0.4) * least(stopHits / lit(stopwords.size.toDouble), lit(1.0))
+            + lit(0.3) * when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.0)
+            + lit(0.3) * distinctRatio)), 6).as("quality"))
+  }
+
+  /** Exact deduplication: md5 content hash; keeps the smallest doc_id per
+    * hash group (one shuffle on the hash — the canonical exact-dedup plan).
+    * Output: (hash, n_dupes, keep_id).
+    */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("hash"))
+      .agg(count(lit(1)).as("n_dupes"), min(col("doc_id")).as("keep_id"))
+
+  /** Word-level n-gram shingles of a document (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // sliding window via transform over index range
+    val idx = sequence(lit(0), size(toks) - n)
+    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs: explode shingles, self-join
+    * on shingle, count common, compute |A∪B| from per-doc counts.
+    * Output (a, b, jaccard) for pairs with jaccard >= threshold.
+    * This is the ground-truth for the MinHash variant; at 100 TB the
+    * MinHash/LSH path below replaces the quadratic-prone exact join.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.alias("x").join(sh.alias("y"), Seq("sh"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("common") / (col("sza") + col("szb") - col("common")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: k independent permutations simulated by seeded
+    * xxhash64 over shingles; signature[i] = min hash under seed i.
+    * Pure Column expressions (aggregate over exploded shingles).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH candidate near-duplicate pairs: band the k signature slots
+    * into `bands` groups, hash each band, bucket-join on (band, bandhash).
+    * Classic banding: collision prob ≈ 1-(1-J^r)^b. Candidates are then
+    * (optionally) verified by exact Jaccard — the scale path for dedup.
+    */
+  def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    val sig = minhashSignatures(docs, n, k)
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bh"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    buckets.alias("x").join(buckets.alias("y"), Seq("band", "bh"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** SimHash fingerprint (64-bit): per token, xxhash64; per bit, sum +1/-1
+    * weighted votes; sign -> bit. Near-dups have small Hamming distance.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitVotes: Seq[Column] = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
+    }
+    val votes = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Hamming-distance near-dup pairs from simhash, blocked by 16-bit chunks
+    * (pigeonhole: distance <= 3 implies at least one of 4 chunks equal).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val fp = simhash(docs).transform(graft.core.Lineage.cut)
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck")))
+    val blocked = fp.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.chunk"), col("b.ck"))
+    val cand = blocked.alias("x").join(blocked.alias("y"), Seq("chunk", "ck"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("fa"), col("y.simhash").as("fb"))
+      .distinct()
+    cand.withColumn("dist", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .where(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+  }
+
+  /** Language-ID by stopword-profile voting: score each candidate language
+    * by hits of its tiny stopword list in the token set; emit argmax.
+    * (n-gram-profile heuristic in the spirit of Cavnar-Trenkle, reduced to
+    * codegen-friendly set intersections.)
+    */
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "y", "es", "los"),
+    "pt" -> Seq("o", "a", "e", "de", "os"),
+    "ru" -> Seq("и", "в", "не", "на", "что"),
+    "zh" -> Seq("的", "是", "了", "在", "我"),
+    "ja" -> Seq("の", "に", "は", "を", "た"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(tokens(col("text")))
+    val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("hits"), lit(lang).as("lang"))
+    }
+    docs.select(col("doc_id"), array_max(array(scores: _*)).getField("lang").as("pred_lang"))
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-style): min xxhash64 over
+    * character 8-gram windows — cheap containment-dup detector.
+    */
+  def fingerprint(docs: DataFrame, window: Int = 8): DataFrame = {
+    val idx = sequence(lit(1), greatest(length(col("text")) - (window - 1), lit(1)))
+    val grams = transform(idx, i => xxhash64(col("text").substr(i, lit(window))))
+    docs.select(col("doc_id"), array_min(grams).as("fingerprint"))
+  }
+}

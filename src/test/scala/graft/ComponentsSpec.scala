@@ -1,0 +1,63 @@
+package graft
+
+import graft.algos.Components
+import graft.core.{GraphOps, LinkGraph}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Component goldens from /root/reference/tests/test_decomposition.py. */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("WCC on Full(4)+Full(4)+Full(3)+Full(2) (test_decomposition.py:213-215)") {
+    val g = Seq(4, 4, 3, 2).map(LinkGraph.full(spark, _)).reduce(GraphOps.disjointUnion)
+    val labels = GraphOps.canonicalizeMembership(Components.wcc(g))
+    val m = TestSession.longVector(labels, "label").toSeq
+    assert(TestSession.reindex(m) == Seq(0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 3, 3))
+  }
+
+  test("WCC ignores direction; isolated vertices are their own components") {
+    val g = LinkGraph(spark, 6, Seq((0L, 1L), (2L, 1L), (3L, 4L)), directed = true)
+    val m = TestSession.longVector(Components.wcc(g), "comp").toSeq
+    assert(TestSession.reindex(m) == Seq(0, 0, 0, 1, 1, 2))
+  }
+
+  test("WCC on a long path converges (pointer-jumping)") {
+    val n = 200
+    val g = LinkGraph(spark, n, (0 until n - 1).map(i => (i.toLong, i + 1L)), directed = false)
+    val m = TestSession.longVector(Components.wcc(g, maxIter = 30), "comp").toSeq
+    assert(m.forall(_ == 0L))
+  }
+
+  test("giant() picks the largest component (clustering.py:411-428)") {
+    val g = GraphOps.disjointUnion(LinkGraph.full(spark, 3), LinkGraph.full(spark, 5))
+    val ids = Components.giant(g).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("SCC: gdir is one strong component") {
+    val gdir = LinkGraph(spark, 4,
+      Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 1L), (0L, 3L), (1L, 3L), (3L, 0L)), directed = true)
+    val m = TestSession.longVector(Components.scc(gdir), "comp").toSeq
+    assert(m == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("SCC: DAG -> all singletons; two cycles + bridge -> two SCCs") {
+    val dag = LinkGraph(spark, 4, Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)), directed = true)
+    assert(TestSession.longVector(Components.scc(dag), "comp").toSeq == Seq(0L, 1L, 2L, 3L))
+    // cycle {0,1,2} -> cycle {3,4,5}
+    val two = LinkGraph(spark, 6,
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L)), directed = true)
+    val m = TestSession.longVector(Components.scc(two), "comp").toSeq
+    assert(m == Seq(0L, 0L, 0L, 3L, 3L, 3L))
+  }
+
+  test("SCC refines WCC (property)") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (4L, 5L), (5L, 4L), (6L, 6L))
+    val g = LinkGraph(spark, 8, edges, directed = true)
+    val wcc = TestSession.longVector(Components.wcc(g), "comp")
+    val scc = TestSession.longVector(Components.scc(g), "comp")
+    // same SCC implies same WCC
+    for (i <- scc.indices; j <- scc.indices if scc(i) == scc(j))
+      assert(wcc(i) == wcc(j))
+  }
+}
