@@ -193,7 +193,7 @@ object SparkEntry {
       sb.append(s""",
 m$i AS (SELECT l.dst AS id, SUM(l.p * r.r) AS msg FROM links l JOIN r${i - 1} r ON l.src = r.id GROUP BY l.dst),
 s$i AS (SELECT COALESCE(SUM(msg), 0) AS t FROM m$i),
-r$i AS (SELECT v.id, ((${1 - d} + $d * GREATEST(1.0 - (SELECT t FROM s$i), 0)) / (SELECT n FROM nn)) + $d * COALESCE(m.msg, 0) AS r FROM $vTable v LEFT JOIN m$i m ON v.id = m.id)""")
+r$i AS (SELECT v.id, ((${1 - d} + $d * GREATEST(1.0 - (SELECT t FROM s$i), 0)) * (1.0 / (SELECT n FROM nn))) + $d * COALESCE(m.msg, 0) AS r FROM $vTable v LEFT JOIN m$i m ON v.id = m.id)""")
     }
     sb.append(s"\nSELECT id, ROUND(r, 6) AS pagerank FROM r$k")
     sb.toString

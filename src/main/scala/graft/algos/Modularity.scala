@@ -73,8 +73,8 @@ object Modularity {
     val expected = sumA2 * sumB2 / nPairs
     val adjRand = (sumC2 - expected) / ((sumA2 + sumB2) / 2.0 - expected)
     // split-join distance (van Dongen): 2n - sum_a max_b |a∩b| - sum_b max_a
-    val sjA = rowSum.keys.map(r => conf.filter(_._1 == r).map(_._3).max).sum
-    val sjB = colSum.keys.map(c => conf.filter(_._2 == c).map(_._3).max).sum
+    val sjA = rowSum.keys.toSeq.map(r => conf.filter(_._1 == r).map(_._3).max).sum
+    val sjB = colSum.keys.toSeq.map(c => conf.filter(_._2 == c).map(_._3).max).sum
     val splitJoin = (2 * n - sjA - sjB).toLong
     Comparison(vi, nmi, rand, adjRand, splitJoin)
   }

@@ -74,10 +74,11 @@ object Lineage {
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val rdd = df.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = spark.createDataFrame(rdd, df.schema)
-    out.count() // materialize eagerly (superstep barrier)
-    out
+    // truncate the RDD lineage too: without this the closure-serialized RDD
+    // DAG grows one level per superstep and eventually overflows the stack
+    rdd.localCheckpoint()
+    rdd.count() // materialize eagerly (superstep barrier)
+    spark.createDataFrame(rdd, df.schema)
   }
 }
 

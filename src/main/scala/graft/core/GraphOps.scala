@@ -301,11 +301,13 @@ object GraphOps {
     * Input: (id, label); output: (id, label) with dense labels.
     */
   def canonicalizeMembership(membership: DataFrame): DataFrame = {
-    val firstSeen = membership.groupBy("label").agg(min("id").as("first_id"))
+    val labelCol = membership.columns.filter(_ != "id").head
+    val m = membership.select(col("id"), col(labelCol).as("label"))
+    val firstSeen = m.groupBy("label").agg(min("id").as("first_id"))
     val w = Window.orderBy(col("first_id"))
     val relabel = firstSeen.withColumn("new_label", dense_rank().over(w) - 1)
       .select(col("label"), col("new_label"))
-    membership.join(broadcast(relabel), Seq("label"))
+    m.join(broadcast(relabel), Seq("label"))
       .select(col("id"), col("new_label").cast("long").as("label"))
   }
 }

@@ -62,8 +62,9 @@ object TextOps {
   /** Word-level n-gram shingles of a document (distinct). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    // sliding window via transform over index range
-    val idx = sequence(lit(0), size(toks) - n)
+    // guard: sequence(0, negative) would produce a DESCENDING range
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
     array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
