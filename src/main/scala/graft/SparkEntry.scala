@@ -122,6 +122,34 @@ object SparkEntry {
       scalar(s, "q", Modularity.modularity(g, membership))
     }),
 
+    // --- distances / order / mixing (events graph) ---
+    "q_eccentricity" -> ((s, dir) => Distances.eccentricity(Tables.eventsGraph(s, dir), Some(Mode.All))
+      .select(col("id"), col("eccentricity"))),
+    "q_path_hist" -> ((s, dir) => Distances.pathLengthHist(Tables.eventsGraph(s, dir))
+      .select(col("dist"), col("n_pairs"))),
+    "q_topo_layers" -> ((s, dir) => {
+      val g = Tables.eventsGraph(s, dir)
+      val dag = LinkGraph(g.weighted.where(col("src") < col("dst"))
+        .select("src", "dst").distinct(), directed = true, None)
+      Distances.topologicalLayers(dag).select(col("id"), col("layer").cast("long").as("layer"))
+    }),
+    "q_dyad_census" -> ((s, dir) => {
+      val (mut, asym, nul) = GraphOps.dyadCensus(Tables.eventsGraph(s, dir))
+      import s.implicits._
+      Seq((mut, asym, nul)).toDF("mut", "asym", "class_null")
+    }),
+    "q_assortativity" -> ((s, dir) => scalar(s, "assortativity",
+      GraphOps.assortativityDegree(Tables.eventsGraph(s, dir)))),
+    "q_es_within" -> ((s, dir) => graft.ops.Select.es(Tables.eventsGraph(s, dir))
+      .within((0L to 20L)).result
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))),
+    "q_evcent" -> ((s, dir) => {
+      val r = Centrality.eigenvector(GraphOps.simplify(Tables.eventsGraph(s, dir)), tol = 1e-10)
+      r.scores.select(col("id"), round(col("centrality"), 6).as("centrality"))
+    }),
+    "q_hits" -> ((s, dir) => Centrality.hits(GraphOps.simplify(Tables.eventsGraph(s, dir)), tol = 1e-10)
+      .select(col("id"), round(col("hub"), 6).as("hub"), round(col("authority"), 6).as("authority"))),
+
     // --- text / dedup (documents) ---
     "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.read(s, dir, "documents"))
       .select(col("hash"), col("n_dupes"), col("keep_id"))),
@@ -183,17 +211,17 @@ object SparkEntry {
                           damping: Double = 0.85): String = {
     val sb = new StringBuilder
     sb.append(s"WITH $withCte,\n")
-    sb.append(s"outd AS (SELECT src, SUM(weight) AS ow FROM $eTable GROUP BY src),\n")
+    sb.append(s"outd AS MATERIALIZED (SELECT src, SUM(weight) AS ow FROM $eTable GROUP BY src),\n")
     sb.append(s"le AS (SELECT src, dst, SUM(weight) AS w FROM $eTable GROUP BY src, dst),\n")
-    sb.append("links AS (SELECT le.src, le.dst, le.w / o.ow AS p FROM le JOIN outd o ON le.src = o.src),\n")
+    sb.append("links AS MATERIALIZED (SELECT le.src, le.dst, le.w / o.ow AS p FROM le JOIN outd o ON le.src = o.src),\n")
     sb.append(s"nn AS (SELECT COUNT(*) AS n FROM $vTable),\n")
-    sb.append(s"r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM $vTable)")
+    sb.append(s"r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM $vTable)")
     val d = damping
     for (i <- 1 to k) {
       sb.append(s""",
-m$i AS (SELECT l.dst AS id, SUM(l.p * r.r) AS msg FROM links l JOIN r${i - 1} r ON l.src = r.id GROUP BY l.dst),
+m$i AS MATERIALIZED (SELECT l.dst AS id, SUM(l.p * r.r) AS msg FROM links l JOIN r${i - 1} r ON l.src = r.id GROUP BY l.dst),
 s$i AS (SELECT COALESCE(SUM(msg), 0) AS t FROM m$i),
-r$i AS (SELECT v.id, ((${1 - d} + $d * GREATEST(1.0 - (SELECT t FROM s$i), 0)) * (1.0 / (SELECT n FROM nn))) + $d * COALESCE(m.msg, 0) AS r FROM $vTable v LEFT JOIN m$i m ON v.id = m.id)""")
+r$i AS MATERIALIZED (SELECT v.id, ((${1 - d} + $d * GREATEST(1.0 - (SELECT t FROM s$i), 0)) * (1.0 / (SELECT n FROM nn))) + $d * COALESCE(m.msg, 0) AS r FROM $vTable v LEFT JOIN m$i m ON v.id = m.id)""")
     }
     sb.append(s"\nSELECT id, ROUND(r, 6) AS pagerank FROM r$k")
     sb.toString
@@ -338,6 +366,51 @@ r$i AS (SELECT v.id, ((${1 - d} + $d * GREATEST(1.0 - (SELECT t FROM s$i), 0)) *
          |SELECT ROUND(SUM(COALESCE(i.w_in, 0) / (SELECT m FROM tot)
          |  - POWER(d.deg / (2 * (SELECT m FROM tot)), 2)), 6) AS q
          |FROM degs d LEFT JOIN insw i ON d.label = i.label""".stripMargin,
+    "q_eccentricity" ->
+      s"""WITH RECURSIVE $E,
+         |ue AS (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         |r AS (SELECT id AS a, id AS b, CAST(0 AS BIGINT) AS d FROM v
+         |  UNION SELECT r.a, ue.b, r.d + 1 FROM r JOIN ue ON ue.a = r.b WHERE r.d < 40),
+         |md AS (SELECT a, b, MIN(d) AS d FROM r GROUP BY a, b)
+         |SELECT a AS id, MAX(d) AS eccentricity FROM md GROUP BY a""".stripMargin,
+    "q_path_hist" ->
+      s"""WITH RECURSIVE $E,
+         |de AS (SELECT DISTINCT src, dst FROM e),
+         |r AS (SELECT id AS a, id AS b, CAST(0 AS BIGINT) AS d FROM v
+         |  UNION SELECT r.a, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.b WHERE r.d < 40),
+         |md AS (SELECT a, b, MIN(d) AS d FROM r GROUP BY a, b)
+         |SELECT d AS dist, COUNT(*) AS n_pairs FROM md WHERE d > 0 GROUP BY d""".stripMargin,
+    "q_topo_layers" ->
+      s"""WITH RECURSIVE $E,
+         |dag AS (SELECT DISTINCT src, dst FROM e WHERE src < dst),
+         |dv AS (SELECT DISTINCT id FROM (SELECT src AS id FROM dag UNION ALL SELECT dst FROM dag)),
+         |seeds AS (SELECT id FROM dv WHERE id NOT IN (SELECT dst FROM dag)),
+         |lp AS (SELECT id, CAST(0 AS BIGINT) AS d FROM seeds
+         |  UNION SELECT dag.dst, lp.d + 1 FROM lp JOIN dag ON dag.src = lp.id)
+         |SELECT id, MAX(d) AS layer FROM lp GROUP BY id""".stripMargin,
+    "q_dyad_census" ->
+      s"""WITH $E,
+         |de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+         |p AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, COUNT(*) AS dirs FROM de GROUP BY 1, 2),
+         |nn AS (SELECT COUNT(*) AS n FROM v)
+         |SELECT (SELECT COUNT(*) FROM p WHERE dirs = 2) AS mut,
+         |  (SELECT COUNT(*) FROM p WHERE dirs = 1) AS asym,
+         |  (SELECT n * (n - 1) // 2 FROM nn)
+         |    - (SELECT COUNT(*) FROM p) AS class_null""".stripMargin,
+    "q_assortativity" ->
+      s"""WITH $E,
+         |ue AS (SELECT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         |degs AS (SELECT id, COUNT(*) AS deg FROM (SELECT a AS id FROM ue) GROUP BY id)
+         |SELECT ROUND(CORR((da.deg - 1)::DOUBLE, (db.deg - 1)::DOUBLE), 6) AS assortativity
+         |FROM ue JOIN degs da ON da.id = ue.a JOIN degs db ON db.id = ue.b""".stripMargin,
+    "q_es_within" ->
+      s"""WITH $E
+         |SELECT src, dst, COUNT(*) AS n FROM e
+         |WHERE src BETWEEN 0 AND 20 AND dst BETWEEN 0 AND 20 GROUP BY src, dst""".stripMargin,
     "q_dedup_exact" ->
       "SELECT MD5(text) AS hash, COUNT(*) AS n_dupes, MIN(doc_id) AS keep_id FROM documents GROUP BY MD5(text)",
     "q_doc_stats" ->

@@ -1,0 +1,152 @@
+package graft.algos
+
+import graft.core.{Lineage, LinkGraph, Mode}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distance-based whole-graph statistics via simultaneous multi-source BFS.
+  *
+  * Reference: `eccentricity` (`graphobject.c:13396`), `radius` (13853),
+  * `diameter`/`farthest_points` (13328-13356), `average_path_length`
+  * (13092); goldens `test_structural.py:27-65, 741-756`.
+  *
+  * All sources propagate together: state is (origin, v, dist) pairs — one
+  * frontier-join per BFS level, every level lineage-cut. Exact all-pairs is
+  * O(n·reach) state: right for the golden graphs and for bounded vertex
+  * subsets; at web scale the documented substitute is HyperBall-style
+  * `approx_count_distinct` neighborhood functions ([[neighborhoodFunction]]).
+  */
+object Distances {
+
+  /** All-pairs (origin, v, dist) reachability table from every vertex in
+    * `sources` (defaults to all vertices). Undirected uses mode=All.
+    */
+  def multiBfs(g: LinkGraph, mode: Mode = Mode.All, sources: Option[DataFrame] = None): DataFrame = {
+    val adj = (mode match {
+      case Mode.Out => g.weighted
+      case Mode.In  => g.weighted.select(col("dst").as("src"), col("src").as("dst"))
+      case Mode.All => g.bidirected
+    }).select(col("src").as("v"), col("dst").as("nbr")).distinct()
+      .repartition(col("v")).persist()
+    adj.count()
+    val src = sources.getOrElse(g.vertices).select(col("id").as("origin"))
+    var reach = src.select(col("origin"), col("origin").as("v"), lit(0L).as("dist"))
+      .transform(Lineage.cut)
+    var frontier = reach
+    var d = 0L
+    var growing = true
+    while (growing) {
+      d += 1
+      val next = frontier.join(adj, Seq("v"))
+        .select(col("origin"), col("nbr").as("v")).distinct()
+        .join(reach.select("origin", "v"), Seq("origin", "v"), "left_anti")
+        .select(col("origin"), col("v"), lit(d).as("dist"))
+        .transform(Lineage.cut)
+      if (next.isEmpty) growing = false
+      else { reach = reach.union(next).transform(Lineage.cut); frontier = next }
+    }
+    adj.unpersist()
+    reach
+  }
+
+  /** Per-vertex eccentricity: max distance to any reachable vertex (within
+    * the component). Directed graphs follow edge direction by default —
+    * pinned by the reference golden gdir -> [1,2,3,2]
+    * (`test_structural.py:49-57`).
+    */
+  def eccentricity(g: LinkGraph, modeOpt: Option[Mode] = None): DataFrame = {
+    val mode = modeOpt.getOrElse(if (g.directed) Mode.Out else Mode.All)
+    multiBfs(g, mode).groupBy(col("origin").as("id")).agg(max("dist").as("eccentricity"))
+  }
+
+  /** Unweighted diameter: max finite distance (mode Out on directed graphs,
+    * like the reference's `diameter(directed=True)`).
+    */
+  def diameter(g: LinkGraph): Long = {
+    val mode = if (g.directed) Mode.Out else Mode.All
+    val r = multiBfs(g, mode).agg(max("dist")).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  def radius(g: LinkGraph): Long = {
+    val ecc = eccentricity(g)
+    val r = ecc.agg(min("eccentricity")).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Mean finite pairwise distance (`average_path_length`). */
+  def averagePathLength(g: LinkGraph): Double = {
+    val mode = if (g.directed) Mode.Out else Mode.All
+    val r = multiBfs(g, mode).where(col("dist") > 0)
+    if (r.isEmpty) Double.NaN else r.agg(avg("dist")).head.getDouble(0)
+  }
+
+  /** Histogram of finite pairwise distances (`path_length_hist`). */
+  def pathLengthHist(g: LinkGraph): DataFrame = {
+    val mode = if (g.directed) Mode.Out else Mode.All
+    multiBfs(g, mode).where(col("dist") > 0)
+      .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** HyperBall-style approximate neighborhood function: |B(v, t)| per vertex
+    * per radius t, using `approx_count_distinct` over the t-hop frontier —
+    * the 10^12-scale substitute for exact BFS (Boldi-Vigna HyperBall;
+    * Palmer et al. ANF). Approximation error is the HLL standard error
+    * (~1.6% at rsd=0.01s default).
+    */
+  def neighborhoodFunction(g: LinkGraph, maxT: Int): DataFrame = {
+    val adj = g.bidirected.select(col("src").as("v"), col("dst").as("nbr")).distinct()
+      .repartition(col("v")).persist()
+    var ball = g.vertices.select(col("id").as("origin"), col("id").as("v"))
+      .transform(Lineage.cut)
+    val spark = g.spark
+    var out = ball.groupBy("origin").agg(approx_count_distinct("v").as("size"))
+      .select(col("origin").as("id"), lit(0).as("t"), col("size"))
+      .transform(Lineage.cut)
+    for (t <- 1 to maxT) {
+      val grown = ball.join(adj, Seq("v")).select(col("origin"), col("nbr").as("v"))
+        .union(ball).distinct().transform(Lineage.cut)
+      ball = grown
+      out = out.union(
+        ball.groupBy("origin").agg(approx_count_distinct("v").as("size"))
+          .select(col("origin").as("id"), lit(t).as("t"), col("size")))
+        .transform(Lineage.cut)
+    }
+    adj.unpersist()
+    out
+  }
+
+  /** Topological order (Kahn peel by rounds): (id, ord) where `ord` sorts a
+    * valid topological order; within a round, ties by id. Errors on cycles
+    * like the reference (`graphobject.c:14030`; golden
+    * `test_structural.py:511-516` accepts any valid order).
+    */
+  def topologicalLayers(g: LinkGraph): DataFrame = {
+    require(g.directed, "topological sort needs a directed graph")
+    val spark = g.spark
+    var edges = g.weighted.select("src", "dst").distinct().transform(Lineage.cut)
+    var remaining = g.vertices.transform(Lineage.cut)
+    var out = spark.range(0).select(col("id"), lit(0).as("layer")).limit(0)
+    var layer = 0
+    var n = remaining.count()
+    while (n > 0) {
+      val hasIn = edges.select(col("dst").as("id")).distinct()
+      val zeroIn = remaining.join(hasIn, Seq("id"), "left_anti").transform(Lineage.cut)
+      val k = zeroIn.count()
+      require(k > 0, "graph has a cycle — not a DAG")
+      out = out.union(zeroIn.select(col("id"), lit(layer).as("layer"))).transform(Lineage.cut)
+      remaining = remaining.join(zeroIn, Seq("id"), "left_anti").transform(Lineage.cut)
+      edges = edges.join(zeroIn.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .transform(Lineage.cut)
+      n -= k
+      layer += 1
+    }
+    out
+  }
+
+  /** is_dag (`graphobject.c:12162`): true iff the zero-in-degree peel
+    * consumes every vertex.
+    */
+  def isDag(g: LinkGraph): Boolean =
+    try { topologicalLayers(g); true } catch { case _: IllegalArgumentException => false }
+}

@@ -1,6 +1,6 @@
 package graft.algos
 
-import graft.core.{CheckpointStore, Iterate, LinkGraph}
+import graft.core.{CheckpointStore, Csr, Iterate, LinkGraph}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -18,19 +18,36 @@ import org.apache.spark.sql.functions._
   *     and personalized 0.3333/0.5166/0.0166 at damping 0.5
   *     (`test_structural.py:395-404`).
   *
-  * Scale design (north_star): the row-normalized link table is computed once
-  * and hash-partitioned by `src`, so the per-iteration `ranks ⋈ links` join
-  * co-locates without reshuffling the (huge) link table; only the (small)
-  * rank vector shuffles. The message aggregation `groupBy(dst).sum` gets
-  * map-side partial aggregation for free (hub skew is absorbed by partials +
-  * AQE skew handling). The dangling term costs no extra join: a non-dangling
-  * row-normalized vertex emits exactly its rank, so
-  * danglingMass = 1 - sum(messages). Every iteration cuts lineage
-  * (localCheckpoint, or a durable parquet snapshot via
-  * [[graft.core.CheckpointStore]]) so the plan stays O(1) per iteration and
-  * runs resume mid-computation.
+  * Three physical strategies behind one driver loop (north_star):
+  *
+  *  - **EdgeJoin** (default): the row-normalized link table is computed once
+  *    and hash-partitioned by `src`, so the per-superstep `ranks ⋈ links`
+  *    join co-locates without reshuffling the (huge) link table; only the
+  *    (small) rank vector shuffles. `groupBy(dst).sum` gets map-side partial
+  *    aggregation — for an algebraic aggregate the partial/final split IS
+  *    the skew treatment (each hot dst receives at most one partial row per
+  *    map task); AQE handles residual join skew.
+  *  - **CsrBlocks**: partition-local CSR arrays inside DataFrame columns
+  *    ([[graft.core.Csr]]); messages come from a per-partition zip kernel
+  *    instead of a join.
+  *  - **HubBroadcast(k)**: explicit high-degree-vertex handling — the top-k
+  *    out-degree sources' links are split off, their rank slice (tiny) is
+  *    broadcast every superstep, and only the long-tail links go through the
+  *    shuffled join. Kills both the shuffle volume and the join skew the
+  *    Zipfian web graph would otherwise put on hub partitions.
+  *
+  * The dangling term costs no extra join: a non-dangling row-normalized
+  * vertex emits exactly its rank, so danglingMass = 1 - sum(messages).
+  * Every superstep cuts lineage ([[graft.core.Lineage]] or a durable parquet
+  * snapshot via [[graft.core.CheckpointStore]]) so the plan stays O(1) per
+  * iteration and runs resume mid-computation.
   */
 object PageRank {
+
+  sealed trait Strategy
+  case object EdgeJoin extends Strategy
+  final case class CsrBlocks(partitions: Int = 64) extends Strategy
+  final case class HubBroadcast(k: Int = 10000) extends Strategy
 
   final case class Result(ranks: DataFrame, iterations: Int, delta: Double)
 
@@ -47,9 +64,10 @@ object PageRank {
       maxIter: Int = 100,
       reset: Option[DataFrame] = None,
       fixedIters: Option[Int] = None,
-      store: Option[CheckpointStore] = None
+      store: Option[CheckpointStore] = None,
+      strategy: Strategy = EdgeJoin
   ): Result =
-    runFrom(g, initial = None, startIter = 0, damping, tol, maxIter, reset, fixedIters, store)
+    runFrom(g, initial = None, startIter = 0, damping, tol, maxIter, reset, fixedIters, store, strategy)
 
   /** Resume a durable run from its latest snapshot: identical loop, starting
     * state read back from the store (north_rule resumability).
@@ -60,11 +78,12 @@ object PageRank {
       damping: Double = 0.85,
       tol: Double = 1e-6,
       maxIter: Int = 100,
-      reset: Option[DataFrame] = None
+      reset: Option[DataFrame] = None,
+      strategy: Strategy = EdgeJoin
   ): Result =
     store.latestIter(g.spark) match {
-      case None    => run(g, damping, tol, maxIter, reset, None, Some(store))
-      case Some(k) => runFrom(g, Some(store.load(g.spark, k)), k, damping, tol, maxIter, reset, None, Some(store))
+      case None    => run(g, damping, tol, maxIter, reset, None, Some(store), strategy)
+      case Some(k) => runFrom(g, Some(store.load(g.spark, k)), k, damping, tol, maxIter, reset, None, Some(store), strategy)
     }
 
   private def runFrom(
@@ -76,22 +95,56 @@ object PageRank {
       maxIter: Int,
       reset: Option[DataFrame],
       fixedIters: Option[Int],
-      store: Option[CheckpointStore]
+      store: Option[CheckpointStore],
+      strategy: Strategy
   ): Result = {
-    val vertices = g.vertices.transform(graft.core.Lineage.cut)
+    val vertices = g.vertices.localCheckpoint(true)
     val n = vertices.count()
     require(n > 0, "empty graph")
-
-    // Static side of the loop: row-normalized links, partitioned by src.
     val e = g.outView
-    val outw = e.groupBy("src").agg(sum("weight").as("outw"))
-    val links = e.join(outw, "src")
-      .select(col("src"), col("dst"), (col("weight") / col("outw")).as("p"))
-      .repartition(col("src"))
-      .persist()
-    links.count()
 
-    // Normalized reset distribution (id, reset); uniform when absent.
+    // ---- strategy-specific static state + message kernel -----------------
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Dataset[_]]
+    val messages: DataFrame => DataFrame = strategy match {
+      case EdgeJoin =>
+        val outw = e.groupBy("src").agg(sum("weight").as("outw"))
+        val links = e.join(outw, "src")
+          .select(col("src"), col("dst"), (col("weight") / col("outw")).as("p"))
+          .repartition(col("src")).persist()
+        links.count(); persisted += links
+        ranks =>
+          links.join(ranks, links("src") === ranks("id"))
+            .groupBy(col("dst").as("id")).agg(sum(col("p") * col("rank")).as("msg"))
+
+      case CsrBlocks(p) =>
+        val blocks = Csr.build(e, p).persist()
+        blocks.count(); persisted += blocks
+        ranks => Csr.messages(blocks, ranks, p)
+          .groupBy("id").agg(sum("msg").as("msg"))
+
+      case HubBroadcast(k) =>
+        val outw = e.groupBy("src").agg(sum("weight").as("outw"))
+        val links = e.join(outw, "src")
+          .select(col("src"), col("dst"), (col("weight") / col("outw")).as("p"))
+        val hubs = outw.orderBy(col("outw").desc, col("src")).limit(k)
+          .select(col("src")).localCheckpoint(true)
+        val hubLinks = links.join(hubs, Seq("src"), "left_semi")
+          .repartition(col("src")).persist()
+        val tailLinks = links.join(hubs, Seq("src"), "left_anti")
+          .repartition(col("src")).persist()
+        hubLinks.count(); tailLinks.count()
+        persisted += hubLinks; persisted += tailLinks
+        ranks => {
+          val hubRanks = ranks.join(hubs.withColumnRenamed("src", "id"), Seq("id"), "left_semi")
+          val hubMsgs = hubLinks.join(broadcast(hubRanks), hubLinks("src") === hubRanks("id"))
+            .select(col("dst").as("id"), (col("p") * col("rank")).as("m"))
+          val tailMsgs = tailLinks.join(ranks, tailLinks("src") === ranks("id"))
+            .select(col("dst").as("id"), (col("p") * col("rank")).as("m"))
+          tailMsgs.union(hubMsgs).groupBy("id").agg(sum("m").as("msg"))
+        }
+    }
+
+    // ---- normalized reset distribution ------------------------------------
     val resetDf = (reset match {
       case Some(r) =>
         val tot = r.agg(sum("reset")).head.getDouble(0)
@@ -100,7 +153,7 @@ object PageRank {
           .select(col("id"), (coalesce(col("reset"), lit(0.0)) / tot).as("reset"))
       case None =>
         vertices.select(col("id"), lit(1.0 / n).as("reset"))
-    }).transform(graft.core.Lineage.cut)
+    }).localCheckpoint(true)
 
     var ranks = initial
       .getOrElse(resetDf.select(col("id"), lit(1.0 / n).as("rank")))
@@ -112,9 +165,7 @@ object PageRank {
 
     while (iter < maxI && delta > tol) {
       val t0 = System.currentTimeMillis()
-      val msgs = links.join(ranks, links("src") === ranks("id"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("p") * col("rank")).as("msg"))
+      val msgs = messages(ranks)
       // one scalar action; see scaladoc for why this equals dangling mass
       val msgTotal = msgs.agg(sum("msg")).head.get(0) match {
         case null      => 0.0
@@ -135,7 +186,7 @@ object PageRank {
       ranks = cut
       iter += 1
     }
-    links.unpersist()
+    persisted.foreach(_.unpersist())
     Result(ranks, iter, delta)
   }
 }

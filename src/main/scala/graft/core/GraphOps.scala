@@ -267,6 +267,35 @@ object GraphOps {
     ).select(col("id"), coalesce(col("size"), lit(0L)).as("size"))
   }
 
+  /** Dyad census (mutual, asymmetric, null) — `graphobject.c:14342`.
+    * Over distinct non-loop arcs of a directed graph.
+    */
+  def dyadCensus(g: LinkGraph): (Long, Long, Long) = {
+    require(g.directed, "dyad census needs a directed graph")
+    val e = g.weighted.where(col("src") =!= col("dst")).select("src", "dst").distinct()
+    val pairs = e.select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("dirs"))
+    val mut = pairs.where(col("dirs") === 2).count()
+    val asym = pairs.where(col("dirs") === 1).count()
+    val n = g.vcount()
+    val nul = n * (n - 1) / 2 - mut - asym
+    (mut, asym, nul)
+  }
+
+  /** Degree assortativity (`graphobject.c:13027-13091`, `assortativity_degree`
+    * with the default degree-minus-one convention): Pearson correlation of
+    * (deg(src)-1, deg(dst)-1) over the bidirected edge view — one `corr`
+    * aggregate after two degree joins.
+    */
+  def assortativityDegree(g: LinkGraph): Double = {
+    val deg = degrees(g, Mode.All, loops = false)
+    val e = g.bidirected.where(col("src") =!= col("dst")).select("src", "dst")
+    val joined = e
+      .join(deg.select(col("id").as("src"), (col("degree") - 1).as("ds")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), (col("degree") - 1).as("dd")), Seq("dst"))
+    joined.agg(corr(col("ds").cast("double"), col("dd").cast("double"))).head.getDouble(0)
+  }
+
   // ---- set operations (operators.py:13-451; `graphobject.c:15513-15521`) --
 
   /** Edge-set union of two graphs over a shared id space. */

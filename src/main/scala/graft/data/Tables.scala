@@ -28,7 +28,7 @@ object Tables {
 
   /** SQL CTE mirroring [[eventsGraph]] (+ its vertex set). */
   val eventsGraphSql: String =
-    """e AS (SELECT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 97 AS dst, 1.0 AS weight FROM events),
+    """e AS MATERIALIZED (SELECT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 97 AS dst, 1.0 AS weight FROM events),
       |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))""".stripMargin
 
   /** Undirected simple "co-part" graph from `lineitem`: an edge between two
@@ -45,7 +45,7 @@ object Tables {
 
   /** SQL CTE mirroring [[copartGraph]]. */
   val copartGraphSql: String =
-    """pe AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    """pe AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |        FROM lineitem a JOIN lineitem b
       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
       |pv AS (SELECT DISTINCT id FROM (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe))""".stripMargin

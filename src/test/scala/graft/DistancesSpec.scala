@@ -1,0 +1,86 @@
+package graft
+
+import graft.algos.{Centrality, Distances}
+import graft.core.LinkGraph
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distance/centrality goldens from /root/reference/tests/test_structural.py. */
+class DistancesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  def g5 = LinkGraph(spark, 4, Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (1L, 3L)), directed = false)
+  def gdir = LinkGraph(spark, 4,
+    Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 1L), (0L, 3L), (1L, 3L), (3L, 0L)), directed = true)
+  def tree14 = LinkGraph.tree(spark, 14, 3)
+
+  test("diameter goldens: Full=1, g5=2, gdir(directed)=3, tree=5 (test_structural.py:27-47)") {
+    assert(Distances.diameter(LinkGraph.full(spark, 10)) == 1)
+    assert(Distances.diameter(g5) == 2)
+    assert(Distances.diameter(gdir) == 3)
+    assert(Distances.diameter(tree14) == 5)
+  }
+
+  test("eccentricity goldens (test_structural.py:49-57)") {
+    assert(TestSession.longVector(Distances.eccentricity(LinkGraph.full(spark, 10)), "eccentricity").toSeq
+      == Seq.fill(10)(1L))
+    assert(TestSession.longVector(Distances.eccentricity(g5), "eccentricity").toSeq == Seq(1L, 1L, 2L, 2L))
+    assert(TestSession.longVector(Distances.eccentricity(gdir), "eccentricity").toSeq == Seq(1L, 2L, 3L, 2L))
+    assert(TestSession.longVector(Distances.eccentricity(tree14), "eccentricity").toSeq
+      == Seq(3L, 3L, 4L, 4L, 4L, 4L, 4L, 5L, 5L, 5L, 5L, 5L, 5L, 5L))
+  }
+
+  test("radius goldens: full=1, g5=1, gdir=1, tree=3 (test_structural.py:59-65)") {
+    assert(Distances.radius(LinkGraph.full(spark, 10)) == 1)
+    assert(Distances.radius(g5) == 1)
+    assert(Distances.radius(tree14) == 3)
+  }
+
+  test("topological sort: layers give a valid order; cycle -> not a DAG (test_structural.py:511-519)") {
+    val dag = LinkGraph(spark, 5,
+      Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)), directed = true)
+    val layers = Distances.topologicalLayers(dag).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every edge goes from a strictly earlier layer
+    Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)).foreach { case (s, d) =>
+      assert(layers(s) < layers(d))
+    }
+    assert(Distances.isDag(dag))
+    val cyc = LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L), (2L, 0L)), directed = true)
+    assert(!Distances.isDag(cyc))
+  }
+
+  test("eigenvector centrality: Star(11) max at hub, ratio 0.3162, eigenvalue 3.162 (test_structural.py:406-417)") {
+    val r = Centrality.eigenvector(LinkGraph.star(spark, 11), tol = 1e-12, maxIter = 500)
+    val v = TestSession.vector(r.scores, "centrality")
+    assert(v.indexOf(v.max) == 0)
+    assert(math.abs(v.max - 1.0) < 1e-9)
+    assert(math.abs(v(1) / v(0) - 0.3162) < 1e-3)
+    assert(math.abs(r.eigenvalue - 3.162) < 1e-2)
+  }
+
+  test("HITS: in-star tree has max authority 1.0 (test_structural.py:419-433 smoke)") {
+    // directed star pointing at the hub: hub is the authority, leaves are hubs
+    val g = LinkGraph(spark, 5, Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)), directed = true)
+    val h = Centrality.hits(g, tol = 1e-10)
+    val auth = TestSession.vector(h, "authority")
+    val hub = TestSession.vector(h, "hub")
+    assert(math.abs(auth(0) - 1.0) < 1e-9)
+    assert(math.abs(hub(1) - 1.0) < 1e-9 && math.abs(hub(0)) < 1e-9)
+  }
+
+  test("average path length + histogram on Ring(5) (test_structural.py:741-756 analog)") {
+    // ring of 5: each pair at distance 1 or 2; avg = (5*1 + 5*2)*2/(20) = 1.5
+    val g = LinkGraph.ring(spark, 5)
+    assert(math.abs(Distances.averagePathLength(g) - 1.5) < 1e-9)
+    val hist = Distances.pathLengthHist(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1L -> 10L, 2L -> 10L)) // ordered pairs
+  }
+
+  test("neighborhood function approximates ball sizes on Ring(10)") {
+    val g = LinkGraph.ring(spark, 10, circular = false)
+    val nf = Distances.neighborhoodFunction(g, 1).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // exact would be 2 or 3; HLL at this cardinality is exact
+    assert(nf(0L) == 2L && nf(5L) == 3L)
+  }
+}
