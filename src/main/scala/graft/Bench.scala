@@ -43,26 +43,35 @@ object Bench {
     s
   }
 
-  /** PageRank seconds/iteration at a given parallelism (fresh session). */
+  /** PageRank seconds/iteration at a given parallelism (fresh session).
+    * Setup (graph generation, link normalization, JIT warmup) is cancelled
+    * by differencing a short and a long run: perIter = (t_long - t_short)
+    * / (iters_long - iters_short).
+    */
   private def prSecPerIter(cpus: Int, n: Long, avgDeg: Int, iters: Int): (Double, Long) = {
     val spark = session(cpus)
     try {
-      val edges = synthEdges(spark, n, avgDeg, partitions = math.max(cpus * 2, 16))
+      val edges = synthEdges(spark, n, avgDeg, partitions = math.max(cpus * 2, 16)).persist()
       val g = LinkGraph(edges, directed = true, Some(n))
-      val m = g.ecount()
-      // warmup iteration excluded from timing (JIT + codegen + scan caches)
-      PageRank.run(g, fixedIters = Some(1))
+      val m = g.ecount() // also materializes the edge cache
+      PageRank.run(g, fixedIters = Some(1)) // JIT/codegen warmup
+      val shortIters = 2
       val t0 = System.nanoTime()
-      PageRank.run(g, fixedIters = Some(iters))
-      ((System.nanoTime() - t0) / 1e9 / iters, m)
+      PageRank.run(g, fixedIters = Some(shortIters))
+      val tShort = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      PageRank.run(g, fixedIters = Some(shortIters + iters))
+      val tLong = (System.nanoTime() - t1) / 1e9
+      edges.unpersist()
+      (math.max(tLong - tShort, 1e-9) / iters, m)
     } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "300000").toLong
-    val benchIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "8").toInt
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2000000").toLong
+    val benchIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "6").toInt
 
     // --- section 1: representative operator timings on the sf tables ------
     val headline = Seq("q_pagerank", "q_wcc", "q_triangles", "q_local_cc",

@@ -163,10 +163,15 @@ object PageRank {
     val maxI = fixedIters.map(_ + startIter).getOrElse(maxIter)
     val checkConvergence = fixedIters.isEmpty
 
+    // msgs is soft-persisted WITHIN an iteration (the dangling scalar and
+    // the rank update both read the cache — one heavy job, not two); ranks
+    // is hard-cut EVERY iteration so plan depth stays constant. (Chaining
+    // soft cuts across iterations nests InMemoryRelations, whose plan
+    // *description* — built for every SQL-execution event — expands shared
+    // subtrees and grows exponentially: observed as an explainString OOM.)
     while (iter < maxI && delta > tol) {
       val t0 = System.currentTimeMillis()
-      val msgs = messages(ranks)
-      // one scalar action; see scaladoc for why this equals dangling mass
+      val msgs = graft.core.Lineage.soft(messages(ranks))
       val msgTotal = msgs.agg(sum("msg")).head.get(0) match {
         case null      => 0.0
         case d: Double => d
@@ -183,6 +188,7 @@ object PageRank {
         delta = cut.join(ranks.withColumnRenamed("rank", "old"), Seq("id"))
           .agg(max(abs(col("rank") - col("old")))).head.getDouble(0)
       }
+      msgs.unpersist()
       ranks = cut
       iter += 1
     }

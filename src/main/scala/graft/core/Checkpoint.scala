@@ -80,6 +80,18 @@ object Lineage {
     rdd.count() // materialize eagerly (superstep barrier)
     spark.createDataFrame(rdd, df.schema)
   }
+
+  /** Cheap materialization without plan truncation: persist + count. The
+    * cached InMemoryRelation carries REAL size stats (no estimate
+    * compounding) and downstream iterations reuse the cache, so a loop can
+    * soft-cut most supersteps and hard-[[cut]] every ~8th to bound logical
+    * plan depth — saving the Row<->InternalRow round-trip of the hard cut.
+    */
+  def soft(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
 }
 
 /** Driver-side loop helper: lineage truncation for in-memory iteration

@@ -43,27 +43,32 @@ object Ann {
     * bucket id. Same-bucket join gives candidates; exact cosine re-ranks.
     * Recall grows with number of probe tables (`tables`).
     */
-  def lshBuckets(vectors: DataFrame, nBits: Int = 12, table: Int = 0): DataFrame = {
-    // hyperplane h, dim d coefficient = centered hash in [-1,1]
+  def lshBuckets(vectors: DataFrame, nBits: Int = 6, table: Int = 0): DataFrame = {
+    // hyperplane h, dim d coefficient = centered hash in [-1,1]; shipped as
+    // ONE 2-D array literal folded at runtime — an unrolled per-dim
+    // expression tree (nBits x dims terms) bloats codegen and the task
+    // binary instead.
     val dims = vectors.select(size(col("embedding"))).head.getInt(0)
-    val bit = (h: Int) => {
-      val terms = (0 until dims).map { d =>
-        val coef = {
-          val x = graft.ingest.Pages.mix64(table.toLong << 32 | h.toLong << 16 | d.toLong)
-          (x.toDouble / Long.MaxValue.toDouble)
-        }
-        element_at(col("embedding"), d + 1) * lit(coef)
+    val coefs: Seq[Seq[Double]] = (0 until nBits).map { h =>
+      (0 until dims).map { d =>
+        val x = graft.ingest.Pages.mix64(table.toLong << 32 | h.toLong << 16 | d.toLong)
+        x.toDouble / Long.MaxValue.toDouble
       }
-      when(terms.reduce(_ + _) >= 0, lit(1L << h)).otherwise(lit(0L))
     }
-    val bucket = (0 until nBits).map(bit).reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b))
+    val emb = col("embedding").cast("array<double>")
+    val bits = transform(typedLit(coefs), cvec =>
+      when(aggregate(zip_with(emb, cvec, (x, c) => x * c), lit(0.0d), (a, v) => a + v) >= 0, 1L)
+        .otherwise(0L))
+    val bucket = aggregate(
+      zip_with(bits, sequence(lit(0), lit(nBits - 1)), (b, h) => b * pow(lit(2.0), h).cast("long")),
+      lit(0L), (acc, v) => acc + v)
     vectors.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
   }
 
   /** ANN top-k via multi-table LSH: union candidates over `tables` hash
     * tables, exact-cosine re-rank within candidates.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 10, tables: Int = 4): DataFrame = {
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 5, tables: Int = 8): DataFrame = {
     val cand = (0 until tables).map { t =>
       val cb = lshBuckets(corpus, nBits, t).select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
       val qb = lshBuckets(queries, nBits, t).select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
