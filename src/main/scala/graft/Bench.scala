@@ -35,7 +35,10 @@ object Bench {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", math.max(cpus, 8).toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // the iterative joins hit a pre-partitioned cached side: hash join
+      // avoids re-sorting the big cached relation every superstep
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -43,10 +46,9 @@ object Bench {
     s
   }
 
-  /** PageRank seconds/iteration at a given parallelism (fresh session).
-    * Setup (graph generation, link normalization, JIT warmup) is cancelled
-    * by differencing a short and a long run: perIter = (t_long - t_short)
-    * / (iters_long - iters_short).
+  /** PageRank steady-state seconds/iteration at a given parallelism (fresh
+    * session): per-iteration wall times come from the loop itself; the first
+    * two iterations (JIT/codegen/cache warmup) are dropped.
     */
   private def prSecPerIter(cpus: Int, n: Long, avgDeg: Int, iters: Int): (Double, Long) = {
     val spark = session(cpus)
@@ -54,28 +56,26 @@ object Bench {
       val edges = synthEdges(spark, n, avgDeg, partitions = math.max(cpus * 2, 16)).persist()
       val g = LinkGraph(edges, directed = true, Some(n))
       val m = g.ecount() // also materializes the edge cache
-      PageRank.run(g, fixedIters = Some(1)) // JIT/codegen warmup
-      val shortIters = 2
-      val t0 = System.nanoTime()
-      PageRank.run(g, fixedIters = Some(shortIters))
-      val tShort = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      PageRank.run(g, fixedIters = Some(shortIters + iters))
-      val tLong = (System.nanoTime() - t1) / 1e9
+      // per-iteration timing from the loop itself; drop the first two
+      // (JIT/codegen/cache warmup), average the steady-state tail
+      val r = PageRank.run(g, fixedIters = Some(iters + 2))
       edges.unpersist()
-      (math.max(tLong - tShort, 1e-9) / iters, m)
+      val steady = r.perIterSec.drop(2)
+      (steady.sum / steady.size, m)
     } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2000000").toLong
-    val benchIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "6").toInt
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "16000000").toLong
+    val benchIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt
 
     // --- section 1: representative operator timings on the sf tables ------
-    val headline = Seq("q_pagerank", "q_wcc", "q_triangles", "q_local_cc",
-      "q_lpa", "q_dedup_exact", "q_minhash_cand", "q_simhash", "q_ann_brute", "q_ann_lsh")
+    val headline =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")) Seq.empty[String]
+      else Seq("q_pagerank", "q_wcc", "q_triangles", "q_local_cc",
+        "q_lpa", "q_dedup_exact", "q_minhash_cand", "q_simhash", "q_ann_brute", "q_ann_lsh")
     val spark = session(cpus)
     val results = headline.map { name =>
       val t0 = System.nanoTime()
@@ -92,8 +92,6 @@ object Bench {
     val eps32 = m / sec32
     val efficiency = (eps32 / eps8) / 4.0
 
-    val qs = results.map { case (k, v) => "\"" + k + f""""\":$v%.3f""".stripPrefix("\"") }
-      .map(s => s) // keep order
     val qJson = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(

@@ -49,7 +49,8 @@ object PageRank {
   final case class CsrBlocks(partitions: Int = 64) extends Strategy
   final case class HubBroadcast(k: Int = 10000) extends Strategy
 
-  final case class Result(ranks: DataFrame, iterations: Int, delta: Double)
+  final case class Result(ranks: DataFrame, iterations: Int, delta: Double,
+      perIterSec: Seq[Double] = Nil)
 
   /** @param reset optional personalization DataFrame (id, reset); normalized
     *              internally. All-zero reset is an error like the reference
@@ -163,36 +164,53 @@ object PageRank {
     val maxI = fixedIters.map(_ + startIter).getOrElse(maxIter)
     val checkConvergence = fixedIters.isEmpty
 
-    // msgs is soft-persisted WITHIN an iteration (the dangling scalar and
-    // the rank update both read the cache — one heavy job, not two); ranks
-    // is hard-cut EVERY iteration so plan depth stays constant. (Chaining
-    // soft cuts across iterations nests InMemoryRelations, whose plan
-    // *description* — built for every SQL-execution event — expands shared
-    // subtrees and grows exponentially: observed as an explainString OOM.)
+    // Static property: does any vertex lack out-edges? If none do, dangling
+    // mass is identically zero and the per-superstep scalar job (plus the
+    // message materialization it needs) disappears — the whole superstep is
+    // ONE pipelined job. Web graphs DO have dangling pages; that general
+    // path soft-persists msgs within the iteration so the dangling scalar
+    // and the rank update share one heavy job instead of two.
+    val hasDangling = !vertices
+      .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti").isEmpty
+
+    // ranks is hard-cut EVERY superstep so plan depth stays constant.
+    // (Chaining soft cuts across iterations nests InMemoryRelations, whose
+    // plan *description* — built for every SQL-execution event — expands
+    // shared subtrees and grows exponentially: observed as explainString OOM.)
+    val iterTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     while (iter < maxI && delta > tol) {
       val t0 = System.currentTimeMillis()
-      val msgs = graft.core.Lineage.soft(messages(ranks))
-      val msgTotal = msgs.agg(sum("msg")).head.get(0) match {
-        case null      => 0.0
-        case d: Double => d
-      }
-      val danglingMass = math.max(0.0, 1.0 - msgTotal)
-
-      val newRanks = resetDf.join(msgs, Seq("id"), "left")
-        .select(col("id"),
-          ((lit(1.0 - damping) + lit(damping * danglingMass)) * col("reset")
-            + lit(damping) * coalesce(col("msg"), lit(0.0))).as("rank"))
-
-      val cut = Iterate.cut(newRanks, iter + 1, store, t0)
+      val cut =
+        if (!hasDangling) {
+          val newRanks = resetDf.join(messages(ranks), Seq("id"), "left")
+            .select(col("id"),
+              (lit(1.0 - damping) * col("reset")
+                + lit(damping) * coalesce(col("msg"), lit(0.0))).as("rank"))
+          Iterate.cut(newRanks, iter + 1, store, t0)
+        } else {
+          val msgs = graft.core.Lineage.soft(messages(ranks))
+          val msgTotal = msgs.agg(sum("msg")).head.get(0) match {
+            case null      => 0.0
+            case d: Double => d
+          }
+          val danglingMass = math.max(0.0, 1.0 - msgTotal)
+          val newRanks = resetDf.join(msgs, Seq("id"), "left")
+            .select(col("id"),
+              ((lit(1.0 - damping) + lit(damping * danglingMass)) * col("reset")
+                + lit(damping) * coalesce(col("msg"), lit(0.0))).as("rank"))
+          val c = Iterate.cut(newRanks, iter + 1, store, t0)
+          msgs.unpersist()
+          c
+        }
       if (checkConvergence) {
         delta = cut.join(ranks.withColumnRenamed("rank", "old"), Seq("id"))
           .agg(max(abs(col("rank") - col("old")))).head.getDouble(0)
       }
-      msgs.unpersist()
       ranks = cut
       iter += 1
+      iterTimes += (System.currentTimeMillis() - t0) / 1000.0
     }
     persisted.foreach(_.unpersist())
-    Result(ranks, iter, delta)
+    Result(ranks, iter, delta, iterTimes.toSeq)
   }
 }
