@@ -143,6 +143,17 @@ object SparkEntry {
     "q_es_within" -> ((s, dir) => graft.ops.Select.es(Tables.eventsGraph(s, dir))
       .within((0L to 20L)).result
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))),
+    "q_linegraph" -> ((s, dir) => {
+      val g = LinkGraph(Tables.eventsGraph(s, dir).weighted
+        .select("src", "dst").distinct(), directed = true, None)
+      graft.ops.Extras.lineGraph(g).edges.select(col("src"), col("dst"))
+    }),
+    "q_powerlaw" -> ((s, dir) => scalar(s, "alpha",
+      graft.ops.Extras.powerLawFit(Tables.copartGraph(s, dir), xmin = 2.0).alpha)),
+    "q_adjacency" -> ((s, dir) => graft.ops.Extras.adjacencyCoo(Tables.eventsGraph(s, dir))
+      .select(col("row"), col("col"), col("value"))),
+    "q_laplacian" -> ((s, dir) => graft.ops.Extras.laplacianCoo(Tables.eventsGraph(s, dir))
+      .select(col("row"), col("col"), col("value"))),
     "q_evcent" -> ((s, dir) => {
       val r = Centrality.eigenvector(GraphOps.simplify(Tables.eventsGraph(s, dir)), tol = 1e-10)
       r.scores.select(col("id"), round(col("centrality"), 6).as("centrality"))
@@ -411,6 +422,31 @@ r$i AS MATERIALIZED (SELECT v.id, ((${1 - d} + $d * GREATEST(1.0 - (SELECT t FRO
       s"""WITH $E
          |SELECT src, dst, COUNT(*) AS n FROM e
          |WHERE src BETWEEN 0 AND 20 AND dst BETWEEN 0 AND 20 GROUP BY src, dst""".stripMargin,
+    "q_linegraph" ->
+      s"""WITH $E,
+         |de AS (SELECT DISTINCT src, dst FROM e),
+         |eid AS (SELECT src, dst, ROW_NUMBER() OVER (ORDER BY src, dst) - 1 AS eid FROM de),
+         |ends AS (SELECT DISTINCT eid, v FROM (
+         |  SELECT eid, src AS v FROM eid UNION ALL SELECT eid, dst AS v FROM eid))
+         |SELECT DISTINCT x.eid AS src, y.eid AS dst FROM ends x
+         |JOIN ends y ON x.v = y.v AND x.eid < y.eid""".stripMargin,
+    "q_powerlaw" ->
+      s"""WITH $P,
+         |degp AS (SELECT id, COUNT(*) AS deg FROM
+         |  (SELECT src AS id FROM pe UNION ALL SELECT dst FROM pe) GROUP BY id),
+         |f AS (SELECT deg AS x, COUNT(*) AS c FROM degp WHERE deg >= 2 GROUP BY deg)
+         |SELECT ROUND(1.0 + (SELECT SUM(c) FROM f) * 1.0
+         |  / (SELECT SUM(c * LN(x / 1.5)) FROM f), 6) AS alpha""".stripMargin,
+    "q_adjacency" ->
+      s"""WITH $E
+         |SELECT src AS row, dst AS col, SUM(weight) AS value FROM e GROUP BY src, dst""".stripMargin,
+    "q_laplacian" ->
+      s"""WITH $E,
+         |bi AS (SELECT src AS r, dst AS c, weight AS w FROM e
+         |  UNION ALL SELECT dst, src, weight FROM e)
+         |SELECT r AS row, r AS col, SUM(w) AS value FROM bi WHERE r <> c GROUP BY r
+         |UNION ALL
+         |SELECT r AS row, c AS col, -SUM(w) AS value FROM bi WHERE r <> c GROUP BY r, c""".stripMargin,
     "q_dedup_exact" ->
       "SELECT MD5(text) AS hash, COUNT(*) AS n_dupes, MIN(doc_id) AS keep_id FROM documents GROUP BY MD5(text)",
     "q_doc_stats" ->

@@ -28,7 +28,7 @@ object Tables {
 
   /** SQL CTE mirroring [[eventsGraph]] (+ its vertex set). */
   val eventsGraphSql: String =
-    """e AS MATERIALIZED (SELECT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 97 AS dst, 1.0 AS weight FROM events),
+    """e AS MATERIALIZED (SELECT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 97 AS dst, CAST(1.0 AS DOUBLE) AS weight FROM events),
       |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))""".stripMargin
 
   /** Undirected simple "co-part" graph from `lineitem`: an edge between two
