@@ -56,9 +56,14 @@ object Bench {
       val edges = synthEdges(spark, n, avgDeg, partitions = math.max(cpus * 2, 16)).persist()
       val g = LinkGraph(edges, directed = true, Some(n))
       val m = g.ecount() // also materializes the edge cache
+      val strategy = sys.env.getOrElse("SPARK_GRAFT_STRATEGY", "edge") match {
+        case "csr"  => PageRank.CsrBlocks(math.max(cpus * 2, 16))
+        case "hub"  => PageRank.HubBroadcast(10000)
+        case _      => PageRank.EdgeJoin
+      }
       // per-iteration timing from the loop itself; drop the first two
       // (JIT/codegen/cache warmup), average the steady-state tail
-      val r = PageRank.run(g, fixedIters = Some(iters + 2))
+      val r = PageRank.run(g, fixedIters = Some(iters + 2), strategy = strategy)
       edges.unpersist()
       val steady = r.perIterSec.drop(2)
       (steady.sum / steady.size, m)
