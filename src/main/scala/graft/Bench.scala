@@ -99,7 +99,10 @@ object Bench {
 
     val qJson = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.0f".format(eps32)},"unit":"edges/sec/iter","queries":$qJson,"sf":"$sfDir","total_query_sec":${"%.2f".format(total)},"scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,"sec_per_iter_local8":${"%.3f".format(sec8)},"sec_per_iter_local32":${"%.3f".format(sec32)},"eps_local8":${"%.0f".format(eps8)},"eps_local32":${"%.0f".format(eps32)},"efficiency_8_to_32":${"%.3f".format(efficiency)}}}""")
+    val json =
+      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.0f".format(eps32)},"unit":"edges/sec/iter","queries":$qJson,"sf":"$sfDir","total_query_sec":${"%.2f".format(total)},"scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,"sec_per_iter_local8":${"%.3f".format(sec8)},"sec_per_iter_local32":${"%.3f".format(sec32)},"eps_local8":${"%.0f".format(eps8)},"eps_local32":${"%.0f".format(eps32)},"efficiency_8_to_32":${"%.3f".format(efficiency)}}}"""
+    println(json)
+    // belt-and-braces for the driver's parser: also drop the line in a file
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
   }
 }

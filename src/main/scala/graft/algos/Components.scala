@@ -50,6 +50,8 @@ object Components {
       iter += 1
     }
     adj.unpersist()
+    // silent truncation would be a wrong answer, not a slow one (ADVICE r01)
+    require(changed == 0, s"wcc did not converge in $maxIter rounds")
     labels
   }
 
@@ -142,6 +144,9 @@ object Components {
           .transform(graft.core.Lineage.cut)
       }
     }
+    // deep SCC chains can exhaust the round budget (one peel per layer);
+    // returning a membership that's missing vertices would be silently wrong
+    require(remainingV.count() == 0, s"scc did not converge in $maxRounds rounds")
     result
   }
 

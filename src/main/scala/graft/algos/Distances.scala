@@ -116,6 +116,34 @@ object Distances {
     out
   }
 
+  /** Web-scale eccentricity estimate from the HyperBall neighborhood
+    * function: ecc(v) = the smallest radius t at which |B(v,t)| stops
+    * growing (equals the final ball size). This is the documented scale
+    * substitute for [[eccentricity]]'s exact all-pairs BFS — O(n·maxT) HLL
+    * sketch state instead of O(n·reach) rows. Exact on graphs small enough
+    * for the HLL sparse (exact) mode; ±HLL standard error beyond.
+    */
+  def eccentricityApprox(g: LinkGraph, maxT: Int): DataFrame = {
+    val nf = neighborhoodFunction(g, maxT).transform(Lineage.cut)
+    val fin = nf.where(col("t") === maxT).select(col("id"), col("size").as("final_size"))
+    nf.join(fin, Seq("id"))
+      .where(col("size") === col("final_size"))
+      .groupBy("id").agg(min("t").cast("long").as("eccentricity"))
+  }
+
+  /** Approximate path-length histogram from the neighborhood function:
+    * n_pairs(t) = Σ_v (|B(v,t)| − |B(v,t−1)|) — the HyperBall/ANF estimate
+    * of the exact [[pathLengthHist]] (undirected view).
+    */
+  def pathLengthHistApprox(g: LinkGraph, maxT: Int): DataFrame = {
+    val nf = neighborhoodFunction(g, maxT)
+    val prev = nf.select(col("id"), (col("t") + 1).as("t"), col("size").as("prev_size"))
+    nf.join(prev, Seq("id", "t"))
+      .select(col("t").cast("long").as("dist"), (col("size") - col("prev_size")).as("delta"))
+      .where(col("delta") > 0)
+      .groupBy("dist").agg(sum("delta").as("n_pairs"))
+  }
+
   /** Topological order (Kahn peel by rounds): (id, ord) where `ord` sorts a
     * valid topological order; within a round, ties by id. Errors on cycles
     * like the reference (`graphobject.c:14030`; golden

@@ -33,6 +33,13 @@ object ShortestPaths {
     }).select(col("src"), col("dst"), col("weight"))
       .repartition(col("src")).persist()
     adj.count()
+    // documented contract (and the reference's): negative weights rejected —
+    // a negative cycle would spin the relax loop to the round cap and return
+    // meaningless distances
+    if (!adj.isEmpty) {
+      val minW = adj.agg(min("weight")).head.getDouble(0)
+      require(minW >= 0.0, s"negative edge weights not supported (min = $minW)")
+    }
 
     var dist = sources.toDF("origin")
       .select(col("origin"), col("origin").as("id"), lit(0.0).as("dist"), lit(-1L).as("parent"))

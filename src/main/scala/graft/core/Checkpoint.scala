@@ -47,8 +47,13 @@ final class CheckpointStore(val root: String, val runId: String) {
     val p = new org.apache.hadoop.fs.Path(s"$root/state")
     if (!fs.exists(p)) None
     else {
+      // only fully committed snapshots are resume candidates: a crash during
+      // a state write leaves a partial iter=K dir with no _SUCCESS marker;
+      // resuming from it would silently misattribute missing vertices' mass
       val iters = fs.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("iter=")).map(_.stripPrefix("iter=").toInt)
+        .filter(_.startsWith("iter="))
+        .filter(name => fs.exists(new org.apache.hadoop.fs.Path(s"$root/state/$name/_SUCCESS")))
+        .map(_.stripPrefix("iter=").toInt)
       if (iters.isEmpty) None else Some(iters.max)
     }
   }

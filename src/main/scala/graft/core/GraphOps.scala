@@ -1,7 +1,6 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Degree mode, mirroring igraph's IN/OUT/ALL (`graphobject.c:12238`). */
@@ -332,11 +331,12 @@ object GraphOps {
   def canonicalizeMembership(membership: DataFrame): DataFrame = {
     val labelCol = membership.columns.filter(_ != "id").head
     val m = membership.select(col("id"), col(labelCol).as("label"))
+    // distinct labels can be O(n) (e.g. WCC on a web graph): dense-rank them
+    // with the range-partitioned assigner, never a single-partition Window
     val firstSeen = m.groupBy("label").agg(min("id").as("first_id"))
-    val w = Window.orderBy(col("first_id"))
-    val relabel = firstSeen.withColumn("new_label", dense_rank().over(w) - 1)
-      .select(col("label"), col("new_label"))
-    m.join(broadcast(relabel), Seq("label"))
+    val relabel = Ids.assignDense(firstSeen.select(col("first_id")), "first_id")
+      .select(col("first_id"), col("id").as("new_label"))
+    m.join(firstSeen, Seq("label")).join(relabel, Seq("first_id"))
       .select(col("id"), col("new_label").cast("long").as("label"))
   }
 }

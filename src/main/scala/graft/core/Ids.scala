@@ -25,9 +25,13 @@ object Ids {
     */
   def assignDense(df: DataFrame, keyCol: String, partitions: Int = 32): DataFrame = {
     val spark = df.sparkSession
+    // persist the distinct+range-partition+sort result: the counts pass and
+    // the row-emit pass below would otherwise each recompute it (2x the
+    // dictionary-build cost on the ingest critical path)
     val keys = df.select(col(keyCol)).distinct()
       .repartitionByRange(partitions, col(keyCol))
       .sortWithinPartitions(keyCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = keys.schema
     // per-partition counts -> cumulative offsets (tiny, driver-side)
     val counts = keys.rdd.mapPartitionsWithIndex { (pi, it) =>
@@ -44,7 +48,11 @@ object Ids {
     }
     val outSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("id", LongType, nullable = false) +: schema.fields)
-    spark.createDataFrame(rows, outSchema)
+    // materialize off the cache before unpersisting (the emit pass reads the
+    // cached sorted partitions exactly once; the result is then independent)
+    val out = Lineage.cut(spark.createDataFrame(rows, outSchema))
+    keys.unpersist()
+    out
   }
 
   /** Relabel a graph's vertex ids to dense 0..n-1 (used after subgraphing;

@@ -130,7 +130,7 @@ object Pages {
     val urls = pages.select(col("url"))
       .union(ue.select(col("dst_url").as("url")))
       .distinct()
-    val dict = graft.core.Ids.assignDense(urls, "url", partitions).localCheckpoint(true)
+    val dict = graft.core.Ids.assignDense(urls, "url", partitions) // already materialized (Lineage.cut inside)
     val e = ue
       .join(dict.select(col("url").as("src_url"), col("id").as("src")), Seq("src_url"))
       .join(dict.select(col("url").as("dst_url"), col("id").as("dst")), Seq("dst_url"))

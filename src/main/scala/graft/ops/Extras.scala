@@ -3,7 +3,6 @@ package graft.ops
 import graft.algos.Components
 import graft.core.{GraphOps, LinkGraph}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Assorted P2 operators: line graph, matrix views, power-law fit, random
@@ -17,9 +16,12 @@ object Extras {
     * Classic self-join on the shared endpoint.
     */
   def lineGraph(g: LinkGraph): LinkGraph = {
-    val eid = g.weighted.select("src", "dst").distinct()
-      .withColumn("eid", row_number().over(Window.orderBy("src", "dst")).cast("long") - 1)
-      .localCheckpoint(true)
+    // dense edge ids in (src, dst) order via the range-partitioned assigner
+    // (Ids.assignDense): a row_number over a global Window would collapse the
+    // whole edge table into one partition — guaranteed OOM at web scale
+    val eid = graft.core.Ids.assignDense(
+      g.weighted.select(struct(col("src"), col("dst")).as("sd")), "sd")
+      .select(col("id").as("eid"), col("sd.src").as("src"), col("sd.dst").as("dst"))
     // undirected semantics: two edges adjacent iff they share any endpoint
     val ends = eid.select(col("eid"), explode(array(col("src"), col("dst"))).as("v")).distinct()
     val adj = ends.alias("x").join(ends.alias("y"), Seq("v"))
@@ -52,27 +54,65 @@ object Extras {
     deg.union(adj)
   }
 
-  /** Continuous power-law MLE over the degree distribution (Clauset-Shalizi-
-    * Newman alpha-hat = 1 + n / sum ln(x_i / xmin)), computed from the
-    * (small) degree histogram collected to the driver — the reference's
-    * `power_law_fit` (`statistics.py:21-106`).
+  /** Discrete-data power-law MLE over the degree distribution: the
+    * Clauset-Shalizi-Newman discrete approximation
+    * alpha-hat = 1 + n / sum ln(x_i / (xmin - 0.5)) — the right estimator for
+    * integer degrees and the reference's discrete plfit path (`continuous`
+    * switches to the continuous-data formula ln(x_i / xmin), the reference's
+    * `force_continuous`). Computed from the (small) degree histogram
+    * collected to the driver — `power_law_fit` (`statistics.py:21-106`).
     */
   final case class PowerLawFit(alpha: Double, xmin: Double, n: Long)
 
-  def powerLawFit(g: LinkGraph, xmin: Double = 1.0): PowerLawFit = {
+  def powerLawFit(g: LinkGraph, xmin: Double = 1.0, continuous: Boolean = false): PowerLawFit = {
     val hist = GraphOps.degreeDistribution(g).collect()
       .map(r => (r.getLong(0).toDouble, r.getLong(1)))
       .filter(_._1 >= xmin)
     val n = hist.map(_._2).sum
-    val s = hist.map { case (x, c) => c * math.log(x / (xmin - 0.5)) }.sum
+    val x0 = if (continuous) xmin else xmin - 0.5
+    val s = hist.map { case (x, c) => c * math.log(x / x0) }.sum
     PowerLawFit(1.0 + n / s, xmin, n)
+  }
+
+  /** Batched multi-walk sampling: N seeded walks advance together, ONE
+    * adjacency join per step for ALL walkers (node2vec-style corpus
+    * sampling) — the per-step job count is independent of the number of
+    * walkers. State is (walk_id, cur, path); adjacency is pre-grouped into
+    * sorted neighbor arrays (one row per source — the CSR-row analog), so
+    * each step is a single equi-join + codegen'd `element_at` pick.
+    * Stuck walkers (no out-neighbors) halt in place, like the reference's
+    * `stuck="return"` (`graphobject.c:16176-16190`).
+    *
+    * @param starts (walk_id: Long, start: Long)
+    * @return (walk_id, path: array<long>) — path[0] is the start vertex;
+    *         length <= steps+1 (shorter iff the walker got stuck).
+    */
+  def randomWalks(g: LinkGraph, starts: DataFrame, steps: Int, seed: Long = 42L): DataFrame = {
+    val adjList = g.outView.select("src", "dst")
+      .groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .persist()
+    var state = starts.select(col("walk_id").cast("long").as("walk_id"),
+      col("start").cast("long").as("cur"), array(col("start").cast("long")).as("path"))
+      .transform(graft.core.Lineage.cut)
+    for (k <- 0 until steps) {
+      // partition-stable seeded pick: hash(seed, step, walker) % out-degree
+      val pick = (pmod(xxhash64(lit(seed), lit(k), col("walk_id")), size(col("nbrs")).cast("long")) + 1).cast("int")
+      state = state.join(adjList, state("cur") === adjList("src"), "left")
+        .select(col("walk_id"),
+          when(col("nbrs").isNull, col("cur")).otherwise(element_at(col("nbrs"), pick)).as("cur"),
+          when(col("nbrs").isNull, col("path"))
+            .otherwise(concat(col("path"), array(element_at(col("nbrs"), pick)))).as("path"))
+        .transform(graft.core.Lineage.cut)
+    }
+    adjList.unpersist()
+    state.select("walk_id", "path")
   }
 
   /** Seeded random walk from `start`: deterministic pure-hash choice among
     * out-neighbors per step (`graphobject.c:16176-16190` — the reference
     * routes RNG through Python; we route it through splitmix64(seed, step)).
-    * Driver-side loop over point lookups: a walk is inherently sequential;
-    * each hop is a pushed-down point filter on the bucketed edge table.
+    * Driver-side loop over point lookups — the igraph-parity single-walk
+    * API; the pipeline operator for walk corpora is [[randomWalks]].
     */
   def randomWalk(g: LinkGraph, start: Long, steps: Int, seed: Long = 42L): Seq[Long] = {
     val adj = g.outView.select("src", "dst").persist()
@@ -97,38 +137,93 @@ object Extras {
 
   /** Bridges: edges whose removal increases the component count
     * (`graphobject.c:13169`; goldens `test_structural.py:499-505`).
-    * Distributed rule: an edge (u,v) is a bridge iff u and v fall in
-    * different components of the graph with all *cycle* edges... simplest
-    * exact formulation at moderate scale: edge (u,v) is NOT a bridge iff it
-    * lies on a cycle — tested by checking u~v connectivity in G minus that
-    * edge, batched: remove each candidate once via component labels of
-    * G \ {e}. For scale, candidates are first limited to edges not inside
-    * any triangle (triangle edges are never bridges).
+    *
+    * Fully distributed, zero driver-side edge collection:
+    *  1. BFS spanning forest from each component's min-id root (one frontier
+    *     join per level — levels = graph eccentricity, small on web graphs).
+    *  2. Every NON-tree edge copy gets a deterministic 64-bit tag
+    *     `xxhash64(u, v, copy)`; each endpoint XOR-accumulates the tags of
+    *     its incident non-tree copies.
+    *  3. One upward sweep per tree level folds child subtree-XORs into
+    *     parents (`bit_xor` aggregate).
+    *  4. A tree edge (parent, c) is a bridge iff subtree-XOR(c) == 0: a
+    *     non-tree edge crossing the cut contributes its tag once (nonzero);
+    *     one with both endpoints inside contributes twice (cancels). The
+    *     only error mode is a 2^-64 tag collision — deterministic given the
+    *     seed, negligible, and the standard cut-sampling trick.
+    *
+    * Parallel edges are handled naturally: the surplus copies of a tree edge
+    * are non-tree copies covering exactly that edge, so a multi-edge is
+    * never reported as a bridge (matching the reference's multigraph
+    * semantics — ADVICE r01). Self-loops are dropped (never bridges).
     */
   def bridges(g: LinkGraph): DataFrame = {
+    import graft.core.Lineage
     val spark = g.spark
-    import spark.implicits._
-    val simple = GraphOps.simplify(g, multiple = true, loops = true, combine = "first")
-    val e = simple.edges.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
-    // triangle edges can't be bridges: prune
-    val triEdges = graft.algos.Triangles.triangleTriples(simple)
-      .select(explode(array(
-        struct(col("a").as("x"), col("b").as("y")),
-        struct(col("a").as("x"), col("c").as("y")),
-        struct(col("b").as("x"), col("c").as("y")))).as("p"))
-      .select(col("p.x"), col("p.y")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val candidates = e.filter { case (u, v) =>
-      val k = (math.min(u, v), math.max(u, v)); !triEdges.contains(k)
+    // canonical undirected non-loop copies with multiplicity
+    val mult = g.weighted.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("mult"))
+      .transform(Lineage.cut)
+    if (mult.isEmpty)
+      return spark.range(0).select(col("id").as("src"), col("id").as("dst")).limit(0)
+    val adj = mult.select(col("u").as("a"), col("v").as("b"))
+      .union(mult.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("a")).persist()
+    adj.count()
+
+    // --- 1. BFS forest from per-component min-id roots -----------------
+    val und = LinkGraph(mult.select(col("u").as("src"), col("v").as("dst")), directed = false, g.numVertices)
+    val comp = Components.wcc(und) // (id, comp) with comp = min member id
+    var visited = comp.where(col("id") === col("comp"))
+      .select(col("id").as("v"), lit(-1L).as("parent"), lit(0).as("depth"))
+      .transform(Lineage.cut)
+    var frontier = visited
+    var d = 0
+    var growing = true
+    while (growing) {
+      d += 1
+      val next = frontier.select(col("v").as("a"))
+        .join(adj, Seq("a"))
+        .groupBy(col("b").as("v")).agg(min(col("a")).as("parent"))
+        .join(visited.select("v"), Seq("v"), "left_anti")
+        .select(col("v"), col("parent"), lit(d).as("depth"))
+        .transform(Lineage.cut)
+      if (next.isEmpty) growing = false
+      else { visited = visited.union(next).transform(Lineage.cut); frontier = next }
     }
-    val found = candidates.filter { case (u, v) =>
-      val rest = simple.edges.where(!(col("src") === u && col("dst") === v) &&
-        !(col("src") === v && col("dst") === u))
-      val comp = Components.wcc(LinkGraph(rest, directed = false, g.numVertices))
-      val cu = comp.where(col("id") === u).head.getLong(1)
-      val cv = comp.where(col("id") === v).head.getLong(1)
-      cu != cv
+    adj.unpersist()
+    val maxDepth = d - 1
+
+    // --- 2. tag non-tree copies, XOR per endpoint ----------------------
+    val treeCanon = visited.where(col("parent") =!= -1L)
+      .select(least(col("v"), col("parent")).as("u"), greatest(col("v"), col("parent")).as("v"),
+        lit(1L).as("tree"))
+    val withTree = mult.join(treeCanon, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), (col("mult") - coalesce(col("tree"), lit(0L))).as("copies"))
+      .where(col("copies") > 0)
+    val tagged = withTree
+      .select(col("u"), col("v"), explode(sequence(lit(1L), col("copies"))).as("k"))
+      .select(col("u"), col("v"), xxhash64(col("u"), col("v"), col("k")).as("tag"))
+    val xPerVertex = tagged.select(col("u").as("v"), col("tag"))
+      .union(tagged.select(col("v"), col("tag")))
+      .groupBy("v").agg(expr("bit_xor(tag)").as("x"))
+
+    // --- 3. upward subtree-XOR sweep, deepest level first --------------
+    var sub = visited.join(xPerVertex, Seq("v"), "left")
+      .select(col("v"), col("parent"), col("depth"), coalesce(col("x"), lit(0L)).as("acc"))
+      .transform(Lineage.cut)
+    for (dd <- maxDepth to 1 by -1) {
+      val up = sub.where(col("depth") === dd)
+        .groupBy(col("parent").as("v")).agg(expr("bit_xor(acc)").as("inc"))
+      sub = sub.join(up, Seq("v"), "left")
+        .select(col("v"), col("parent"), col("depth"),
+          col("acc").bitwiseXOR(coalesce(col("inc"), lit(0L))).as("acc"))
+        .transform(Lineage.cut)
     }
-    found.toSeq.toDF("src", "dst")
+
+    // --- 4. uncovered tree edges are the bridges ------------------------
+    sub.where(col("parent") =!= -1L && col("acc") === 0L)
+      .select(least(col("v"), col("parent")).as("src"), greatest(col("v"), col("parent")).as("dst"))
   }
 }

@@ -83,4 +83,18 @@ class DistancesSpec extends AnyFunSuite {
     // exact would be 2 or 3; HLL at this cardinality is exact
     assert(nf(0L) == 2L && nf(5L) == 3L)
   }
+
+  test("HyperBall eccentricity/path-hist match exact BFS on small graphs (scale substitute)") {
+    val g = LinkGraph.ring(spark, 8) // ecc = 4 everywhere, dists 1..4
+    val exactEcc = Distances.eccentricity(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val apxEcc = Distances.eccentricityApprox(g, maxT = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(apxEcc == exactEcc)
+    val exactHist = Distances.pathLengthHist(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val apxHist = Distances.pathLengthHistApprox(g, maxT = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(apxHist == exactHist)
+  }
 }

@@ -53,4 +53,30 @@ class ExtrasSpec extends AnyFunSuite {
     assert(w1 == w2)
     w1.sliding(2).foreach { case Seq(a, b) => assert(adj.contains((a, b))) }
   }
+
+  test("bridges: a parallel edge is never a bridge (multigraph semantics)") {
+    val g = LinkGraph(spark, 4, Seq((0L, 1L), (0L, 1L), (1L, 2L), (2L, 3L)), directed = false)
+    val pairs = Extras.bridges(g).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs == Seq((1L, 2L), (2L, 3L)))
+  }
+
+  test("batched random walks: 1000 walkers, every hop is an edge, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val g = LinkGraph(spark, 6,
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 2L), (4L, 5L)), directed = true)
+    val adj = g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val starts = spark.range(1000).select(col("id").as("walk_id"), (col("id") % 6).as("start"))
+    val walks = Extras.randomWalks(g, starts, steps = 8, seed = 11L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(walks.size == 1000)
+    walks.values.foreach { p =>
+      p.sliding(2).foreach { case Seq(a, b) => assert(adj.contains((a, b))); case _ => }
+    }
+    // walker 5 starts at vertex 5 (a sink): must halt in place, path length 1
+    assert(walks(5L) == Seq(5L))
+    val again = Extras.randomWalks(g, starts, steps = 8, seed = 11L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == walks)
+  }
 }
