@@ -154,6 +154,12 @@ object SparkEntry {
       .select(col("row"), col("col"), col("value"))),
     "q_laplacian" -> ((s, dir) => graft.ops.Extras.laplacianCoo(Tables.eventsGraph(s, dir))
       .select(col("row"), col("col"), col("value"))),
+    "q_betweenness" -> ((s, dir) => Betweenness.vertexBetweenness(Tables.eventsGraph(s, dir))
+      .select(col("id"), round(col("betweenness"), 4).as("betweenness"))),
+    "q_edge_betweenness" -> ((s, dir) => Betweenness.edgeBetweenness(Tables.eventsGraph(s, dir))
+      .select(col("src"), col("dst"), round(col("betweenness"), 4).as("betweenness"))),
+    "q_closeness" -> ((s, dir) => Betweenness.closeness(Tables.eventsGraph(s, dir), mode = Mode.All)
+      .select(col("id"), round(col("closeness"), 6).as("closeness"))),
     "q_evcent" -> ((s, dir) => {
       val r = Centrality.eigenvector(GraphOps.simplify(Tables.eventsGraph(s, dir)), tol = 1e-10)
       r.scores.select(col("id"), round(col("centrality"), 6).as("centrality"))
@@ -238,7 +244,71 @@ r$i AS MATERIALIZED (SELECT v.id, ((${1 - d} + $d * GREATEST(1.0 - (SELECT t FRO
     sb.toString
   }
 
+  /** Shared unrolled-Brandes CTE prefix over the directed events graph:
+    * BFS distances (recursive CTE), predecessor DAG, σ by ascending level,
+    * δ by descending level — `maxL` levels unrolled (events-graph diameter
+    * is ~2-3 at the verify scales; empty levels are no-ops).
+    * Leaves CTEs: `de`, `md(o,vx,d)`, `dag(o,u,w)`, `sig(o,vx,s)`,
+    * `dla(o,vx,dl)`.
+    */
+  private def brandesCtes(maxL: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH RECURSIVE $E,
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+r AS (SELECT id AS o, id AS vx, 0 AS d FROM v
+  UNION SELECT r.o, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.vx WHERE r.d < $maxL),
+md AS MATERIALIZED (SELECT o, vx, MIN(d) AS d FROM r GROUP BY o, vx),
+dag AS MATERIALIZED (SELECT mu.o, mu.vx AS u, de.dst AS w FROM md mu
+  JOIN de ON de.src = mu.vx
+  JOIN md mv ON mv.o = mu.o AND mv.vx = de.dst AND mv.d = mu.d + 1),
+s0 AS (SELECT o, vx, CAST(1.0 AS DOUBLE) AS s FROM md WHERE d = 0)""")
+    for (k <- 1 to maxL)
+      sb.append(s""",
+s$k AS MATERIALIZED (SELECT dag.o, dag.w AS vx, SUM(p.s) AS s FROM dag
+  JOIN s${k - 1} p ON p.o = dag.o AND p.vx = dag.u GROUP BY dag.o, dag.w)""")
+    sb.append((0 to maxL).map(k => s"SELECT * FROM s$k").mkString(",\nsig AS MATERIALIZED (", " UNION ALL ", ")"))
+    sb.append(s""",
+dl$maxL AS (SELECT o, vx, CAST(0.0 AS DOUBLE) AS dl FROM md WHERE 1 = 0)""")
+    for (k <- (maxL - 1) to 0 by -1)
+      sb.append(s""",
+dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
+  SUM(su.s / sw.s * (1 + COALESCE(dn.dl, 0))) AS dl FROM dag
+  JOIN md mu ON mu.o = dag.o AND mu.vx = dag.u AND mu.d = $k
+  JOIN sig su ON su.o = dag.o AND su.vx = dag.u
+  JOIN sig sw ON sw.o = dag.o AND sw.vx = dag.w
+  LEFT JOIN dl${k + 1} dn ON dn.o = dag.o AND dn.vx = dag.w
+  GROUP BY dag.o, dag.u)""")
+    sb.append(((maxL - 1) to 0 by -1).map(k => s"SELECT * FROM dl$k")
+      .mkString(",\ndla AS MATERIALIZED (", " UNION ALL ", ")"))
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_betweenness" ->
+      s"""${brandesCtes(6)}
+         |SELECT vv.id, ROUND(COALESCE(b.s, 0), 4) AS betweenness FROM v vv
+         |LEFT JOIN (SELECT vx AS id, SUM(dl) AS s FROM dla WHERE o <> vx GROUP BY vx) b
+         |ON b.id = vv.id""".stripMargin,
+    "q_edge_betweenness" ->
+      s"""${brandesCtes(6)}
+         |SELECT de.src, de.dst, ROUND(COALESCE(ebagg.c, 0), 4) AS betweenness FROM de
+         |LEFT JOIN (SELECT dag.u AS src, dag.w AS dst,
+         |    SUM(su.s / sw.s * (1 + COALESCE(dd.dl, 0))) AS c FROM dag
+         |  JOIN sig su ON su.o = dag.o AND su.vx = dag.u
+         |  JOIN sig sw ON sw.o = dag.o AND sw.vx = dag.w
+         |  LEFT JOIN dla dd ON dd.o = dag.o AND dd.vx = dag.w
+         |  GROUP BY dag.u, dag.w) ebagg
+         |ON ebagg.src = de.src AND ebagg.dst = de.dst""".stripMargin,
+    "q_closeness" ->
+      s"""WITH RECURSIVE $E,
+         |ue AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         |r AS (SELECT id AS o, id AS vx, 0 AS d FROM v
+         |  UNION SELECT r.o, ue.b, r.d + 1 FROM r JOIN ue ON ue.a = r.vx WHERE r.d < 30),
+         |md AS (SELECT o, vx, MIN(d) AS d FROM r GROUP BY o, vx)
+         |SELECT o AS id, ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(d), 6) AS closeness
+         |FROM md WHERE d > 0 GROUP BY o""".stripMargin,
     "q_degree_out" ->
       s"""WITH $E, od AS (SELECT src AS id, COUNT(*) AS degree FROM e GROUP BY src)
          |SELECT v.id, COALESCE(od.degree, 0) AS degree FROM v LEFT JOIN od ON od.id = v.id""".stripMargin,

@@ -1,0 +1,200 @@
+package graft.algos
+
+import graft.core.{Lineage, LinkGraph, Mode}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Betweenness / edge-betweenness / closeness centrality — distributed
+  * Brandes over the frontier-join shortest-path machinery.
+  *
+  * Reference: `betweenness` (`graphobject.c:3846`, registration 13124),
+  * `edge_betweenness` (4681 / 13413), `closeness` (4198 / 13178); goldens
+  * `tests/test_structural.py:239-266` (incl. cutoff and weighted variants).
+  *
+  * Algorithm (Brandes 2001, "A faster algorithm for betweenness
+  * centrality", J. Math. Sociol. 25 — public):
+  *  1. multi-source shortest-path relax loop → (origin, v, dist) state,
+  *     all sources advance together, one join + min-aggregate per round;
+  *  2. the shortest-path predecessor DAG is ONE three-way join:
+  *     dag(origin, u, v) where dist(u) + w(u,v) = dist(v);
+  *  3. path counts σ sweep the DAG by ascending distance level, one
+  *     join+sum per level;
+  *  4. dependencies δ sweep descending: δ(v) = Σ_succ σ(v)/σ(w)·(1+δ(w));
+  *  5. B(v) = Σ_origins δ(origin, v), eb(u,v) = Σ σ(u)/σ(w)·(1+δ(w)) —
+  *     halved on undirected graphs (each unordered pair counted from both
+  *     endpoints).
+  *
+  * Scale: exact all-sources is O(n·m) work spread over level-synchronized
+  * joins — right for bounded graphs / vertex subsets; at web scale pass a
+  * sampled `sources` frame (the standard Brandes-sampling estimator:
+  * results scale by n/|sources|). Rounds per sweep = #distinct distance
+  * values (diameter for unweighted). Weighted mode requires strictly
+  * positive weights (a 0-weight edge breaks the level ordering).
+  */
+object Betweenness {
+
+  final case class BrandesTables(dist: DataFrame, sigma: DataFrame, delta: DataFrame, dag: DataFrame)
+
+  /** Core Brandes sweep; returns the per-origin tables for the wrappers.
+    * dist: (origin, v, dist) — double; sigma: (origin, v, sigma);
+    * delta: (origin, v, delta); dag: (origin, u, v).
+    */
+  def brandesTables(
+      g: LinkGraph,
+      weighted: Boolean = false,
+      cutoff: Option[Double] = None,
+      sources: Option[DataFrame] = None
+  ): BrandesTables = {
+    val adjRaw = (if (g.directed) g.weighted else g.bidirected)
+      .where(col("src") =!= col("dst"))
+    val adj = (if (weighted) adjRaw.groupBy("src", "dst").agg(min("weight").as("w"))
+               else adjRaw.select(col("src"), col("dst")).distinct().withColumn("w", lit(1.0)))
+      .repartition(col("src")).persist()
+    adj.count()
+    if (weighted) {
+      val minW = adj.agg(min("w")).head.getDouble(0)
+      require(minW > 0.0, s"weighted betweenness needs strictly positive weights (min = $minW)")
+    }
+
+    // --- 1. multi-source relax loop -------------------------------------
+    val srcDf = sources.getOrElse(g.vertices).select(col("id").as("origin"))
+    var dist = srcDf.select(col("origin"), col("origin").as("v"), lit(0.0).as("dist"))
+      .transform(Lineage.cut)
+    var frontier = dist
+    var active = true
+    while (active) {
+      var cand = frontier.join(adj, frontier("v") === adj("src"))
+        .select(col("origin"), col("dst").as("v"), (col("dist") + col("w")).as("nd"))
+        .groupBy("origin", "v").agg(min("nd").as("nd"))
+      cutoff.foreach(c => cand = cand.where(col("nd") <= c))
+      val improved = cand.join(dist.select(col("origin"), col("v"), col("dist").as("cur")),
+        Seq("origin", "v"), "left")
+        .where(col("cur").isNull || col("nd") < col("cur"))
+        .select(col("origin"), col("v"), col("nd").as("dist"))
+        .transform(Lineage.cut)
+      if (improved.isEmpty) active = false
+      else {
+        dist = dist.join(improved.select("origin", "v"), Seq("origin", "v"), "left_anti")
+          .union(improved).transform(Lineage.cut)
+        frontier = improved
+      }
+    }
+
+    // --- 2. predecessor DAG ----------------------------------------------
+    val du = dist.select(col("origin"), col("v").as("u"), col("dist").as("d_u"))
+    val dv = dist.select(col("origin"), col("v"), col("dist").as("d_v"))
+    val dag = du.join(adj, du("u") === adj("src"))
+      .select(col("origin"), col("u"), col("dst").as("v"), (col("d_u") + col("w")).as("via"))
+      .join(dv, Seq("origin", "v"))
+      .where(abs(col("via") - col("d_v")) < 1e-9)
+      .select("origin", "u", "v")
+      .transform(Lineage.cut)
+    adj.unpersist()
+
+    // distance levels, ascending (small: diameter for unweighted)
+    val levels = dist.select("dist").distinct().collect().map(_.getDouble(0)).sorted
+
+    // --- 3. σ by ascending level ------------------------------------------
+    var sigma = dist.where(col("dist") === 0.0)
+      .select(col("origin"), col("v"), lit(1.0).as("sigma"))
+      .transform(Lineage.cut)
+    for (l <- levels.drop(1)) {
+      val atL = dist.where(col("dist") === l).select("origin", "v")
+      val s = dag.join(atL, Seq("origin", "v"), "left_semi")
+        .join(sigma.select(col("origin"), col("v").as("u"), col("sigma").as("s_u")), Seq("origin", "u"))
+        .groupBy("origin", "v").agg(sum("s_u").as("sigma"))
+      sigma = sigma.union(s.select("origin", "v", "sigma")).transform(Lineage.cut)
+    }
+
+    // --- 4. δ by descending level -----------------------------------------
+    var delta = dist.limit(0).select(col("origin"), col("v"), col("dist").as("delta"))
+    for (l <- levels.reverse.dropRight(1)) { // level 0 vertices get δ but send nothing
+      val wAtL = dist.where(col("dist") === l).select("origin", "v")
+      val wDelta = wAtL.join(delta, Seq("origin", "v"), "left")
+        .select(col("origin"), col("v"), coalesce(col("delta"), lit(0.0)).as("d_w"))
+      val contrib = dag.join(wDelta, Seq("origin", "v"))
+        .join(sigma.select(col("origin"), col("v").as("u"), col("sigma").as("s_u")), Seq("origin", "u"))
+        .join(sigma.select(col("origin"), col("v"), col("sigma").as("s_w")), Seq("origin", "v"))
+        .select(col("origin"), col("u").as("v"), (col("s_u") / col("s_w") * (lit(1.0) + col("d_w"))).as("c"))
+        .groupBy("origin", "v").agg(sum("c").as("inc"))
+      delta = delta.join(contrib, Seq("origin", "v"), "full")
+        .select(col("origin"), col("v"),
+          (coalesce(col("delta"), lit(0.0)) + coalesce(col("inc"), lit(0.0))).as("delta"))
+        .transform(Lineage.cut)
+    }
+
+    BrandesTables(dist, sigma, delta, dag)
+  }
+
+  /** Per-vertex betweenness (id, betweenness). Exact when `sources` is None. */
+  def vertexBetweenness(
+      g: LinkGraph,
+      weighted: Boolean = false,
+      cutoff: Option[Double] = None,
+      sources: Option[DataFrame] = None
+  ): DataFrame = {
+    val t = brandesTables(g, weighted, cutoff, sources)
+    val raw = t.delta.where(col("origin") =!= col("v"))
+      .groupBy(col("v").as("id")).agg(sum("delta").as("b"))
+    val scale = if (g.directed) 1.0 else 0.5
+    g.vertices.join(raw, Seq("id"), "left")
+      .select(col("id"), (coalesce(col("b"), lit(0.0)) * scale).as("betweenness"))
+  }
+
+  /** Per-edge betweenness. Undirected output is canonical (src < dst);
+    * directed output follows edge direction. Edges on no shortest path
+    * (never in any predecessor DAG) get 0 via the left join to the edge set.
+    */
+  def edgeBetweenness(
+      g: LinkGraph,
+      weighted: Boolean = false,
+      cutoff: Option[Double] = None,
+      sources: Option[DataFrame] = None
+  ): DataFrame = {
+    val t = brandesTables(g, weighted, cutoff, sources)
+    val wDelta = t.dag
+      .join(t.delta, Seq("origin", "v"), "left")
+      .select(col("origin"), col("u"), col("v"), coalesce(col("delta"), lit(0.0)).as("d_w"))
+    val contrib = wDelta
+      .join(t.sigma.select(col("origin"), col("v").as("u"), col("sigma").as("s_u")), Seq("origin", "u"))
+      .join(t.sigma.select(col("origin"), col("v"), col("sigma").as("s_w")), Seq("origin", "v"))
+      .select(col("origin"), col("u"), col("v"), (col("s_u") / col("s_w") * (lit(1.0) + col("d_w"))).as("c"))
+    val (canon, scale) =
+      if (g.directed) (contrib.select(col("u").as("src"), col("v").as("dst"), col("c")), 1.0)
+      else (contrib.select(least(col("u"), col("v")).as("src"), greatest(col("u"), col("v")).as("dst"), col("c")), 0.5)
+    val agg = canon.groupBy("src", "dst").agg((sum("c") * scale).as("betweenness"))
+    val edgeSet =
+      if (g.directed) g.weighted.select("src", "dst").where(col("src") =!= col("dst")).distinct()
+      else g.weighted.where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst")).distinct()
+    edgeSet.join(agg, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("betweenness"), lit(0.0)).as("betweenness"))
+  }
+
+  /** Closeness centrality (id, closeness): reachable/Σdist over vertices at
+    * finite (≤ cutoff) distance — igraph's disconnected-graph convention
+    * (per-vertex underestimate, `graphobject.c:13177-13208`). Vertices that
+    * reach nothing get NaN (igraph returns NaN there too).
+    */
+  def closeness(
+      g: LinkGraph,
+      weighted: Boolean = false,
+      cutoff: Option[Double] = None,
+      mode: Mode = Mode.All
+  ): DataFrame = {
+    // mode governs distance direction: Out = distances from v along edges
+    val view = mode match {
+      case Mode.Out => g
+      case Mode.In  => LinkGraph(g.weighted.select(col("dst").as("src"), col("src").as("dst"), col("weight")), g.directed, g.numVertices)
+      case Mode.All => LinkGraph(g.bidirected, directed = false, g.numVertices)
+    }
+    val t = brandesTables(view, weighted, cutoff, None)
+    val agg = t.dist.where(col("dist") > 0)
+      .groupBy(col("origin").as("id"))
+      .agg(count(lit(1)).cast("double").as("reached"), sum("dist").as("sumd"))
+    g.vertices.join(agg, Seq("id"), "left")
+      .select(col("id"),
+        when(col("reached").isNull, lit(Double.NaN))
+          .otherwise(col("reached") / col("sumd")).as("closeness"))
+  }
+}

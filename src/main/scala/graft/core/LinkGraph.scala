@@ -130,4 +130,29 @@ object LinkGraph {
     val df = if (circular) path.union(spark.range(1).select(lit(n - 1L).as("src"), lit(0L).as("dst"))) else path
     LinkGraph(df, directed = false, Some(n.toLong))
   }
+
+  /** Lattice(dims, circular): d-dimensional grid, row-major vertex ids
+    * (`graphobject.c:12761`; betweenness golden `test_structural.py:245-247`
+    * uses Lattice([3,3])). Closed-form: one edge expression per dimension —
+    * vertex v connects to v + stride(d) unless at the boundary; circular
+    * adds the wrap edge for dims of size > 2.
+    */
+  def lattice(spark: SparkSession, dims: Seq[Int], circular: Boolean = false): LinkGraph = {
+    val n = dims.product.toLong
+    val v = spark.range(n)
+    // stride of dimension d (row-major): product of sizes after d
+    val strides = dims.indices.map(d => dims.drop(d + 1).product.toLong)
+    val parts = dims.indices.map { d =>
+      val size = dims(d).toLong
+      val stride = strides(d)
+      val coord = (col("id") / stride) % size // coordinate along dimension d
+      val inner = v.where(coord < size - 1)
+        .select(col("id").as("src"), (col("id") + stride).as("dst"))
+      if (circular && size > 2)
+        inner.union(v.where(coord === size - 1)
+          .select(col("id").as("src"), (col("id") - (size - 1) * stride).as("dst")))
+      else inner
+    }
+    LinkGraph(parts.reduce(_ union _), directed = false, Some(n))
+  }
 }
