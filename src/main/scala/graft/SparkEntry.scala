@@ -73,10 +73,14 @@ object SparkEntry {
     "q_scc" -> ((s, dir) => Components.scc(Tables.eventsGraph(s, dir)).select(col("id"), col("comp"))),
     "q_bfs" -> ((s, dir) => Paths.bfs(Tables.eventsGraph(s, dir), 0L, Mode.Out)
       .select(col("id"), col("dist"))),
-    "q_lpa" -> ((s, dir) => LabelProp.run(GraphOps.simplify(Tables.eventsGraph(s, dir)))
+    "q_lpa" -> ((s, dir) => LabelProp.run(GraphOps.simplify(Tables.eventsGraph(s, dir)),
+      fixedIters = Some(5), minTieBreak = true)
       .select(col("id"), col("label"))),
-    "q_kcore" -> ((s, dir) => KCore.coreness(Tables.copartGraph(s, dir))
-      .select(col("id"), col("coreness"))),
+    "q_kcore" -> ((s, dir) => KCore.kCoreVertices(Tables.copartGraph(s, dir), 3)
+      .select(col("id"))),
+    "q_louvain" -> ((s, dir) => GraphOps.canonicalizeMembership(
+      Louvain.localMove(Tables.copartGraph(s, dir), fixedSweeps = Some(4)))
+      .select(col("id"), col("label"))),
 
     // --- join-shaped structural queries ---
     "q_cocitation" -> ((s, dir) => GraphOps.cocitation(Tables.eventsGraph(s, dir))
@@ -140,6 +144,15 @@ object SparkEntry {
     }),
     "q_assortativity" -> ((s, dir) => scalar(s, "assortativity",
       GraphOps.assortativityDegree(Tables.eventsGraph(s, dir)))),
+    "q_triad_census" -> ((s, dir) => {
+      val c = Triads.triadCensus(Tables.eventsGraph(s, dir))
+      val schema = org.apache.spark.sql.types.StructType(Triads.classNames.map(n =>
+        org.apache.spark.sql.types.StructField("t" + n, org.apache.spark.sql.types.LongType, nullable = false)))
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(c)), schema)
+    }),
+    "q_ilw_sim" -> ((s, dir) => GraphOps.similarityInverseLogWeighted(Tables.eventsGraph(s, dir))
+      .select(col("a"), col("b"), round(col("ilw"), 6).as("ilw"))),
     "q_es_within" -> ((s, dir) => graft.ops.Select.es(Tables.eventsGraph(s, dir))
       .within((0L to 20L)).result
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))),
@@ -161,10 +174,10 @@ object SparkEntry {
     "q_closeness" -> ((s, dir) => Betweenness.closeness(Tables.eventsGraph(s, dir), mode = Mode.All)
       .select(col("id"), round(col("closeness"), 6).as("closeness"))),
     "q_evcent" -> ((s, dir) => {
-      val r = Centrality.eigenvector(GraphOps.simplify(Tables.eventsGraph(s, dir)), tol = 1e-10)
+      val r = Centrality.eigenvector(GraphOps.simplify(Tables.eventsGraph(s, dir)), fixedIters = Some(20))
       r.scores.select(col("id"), round(col("centrality"), 6).as("centrality"))
     }),
-    "q_hits" -> ((s, dir) => Centrality.hits(GraphOps.simplify(Tables.eventsGraph(s, dir)), tol = 1e-10)
+    "q_hits" -> ((s, dir) => Centrality.hits(GraphOps.simplify(Tables.eventsGraph(s, dir)), fixedIters = Some(20))
       .select(col("id"), round(col("hub"), 6).as("hub"), round(col("authority"), 6).as("authority"))),
 
     // --- text / dedup (documents) ---
@@ -186,8 +199,8 @@ object SparkEntry {
     }),
     "q_jaccard_dupes" -> ((s, dir) => TextOps.jaccardPairs(Tables.read(s, dir, "documents"), n = 3, threshold = 0.5)
       .select(col("a"), col("b"), col("jaccard"))),
-    "q_minhash_cand" -> ((s, dir) => TextOps.minhashCandidates(Tables.read(s, dir, "documents"))
-      .select(col("a"), col("b"))),
+    "q_minhash_cand" -> ((s, dir) => TextOps.minhashCandidates(Tables.read(s, dir, "documents"),
+      md5Mode = true).select(col("a"), col("b"))),
     "q_simhash" -> ((s, dir) => TextOps.simhashPairs(Tables.read(s, dir, "documents"), maxDist = 6)
       .select(col("a"), col("b"), col("dist"))),
     "q_langid" -> ((s, dir) => TextOps.langId(Tables.read(s, dir, "documents"))
@@ -208,8 +221,12 @@ object SparkEntry {
     }),
 
     // --- ingest pipeline (synthetic pages; deterministic, dir-independent) ---
+    // arithmetic-link corpus: the full html -> extract -> link-parse ->
+    // dictionary -> PageRank pipeline, with an edge set DuckDB re-derives
+    // from integer arithmetic (urls are zero-padded so dictionary order ==
+    // page number)
     "q_pages_pagerank" -> ((s, dir) => {
-      val pages = Pages.generate(s, n = 1000, avgDeg = 8, partitions = 8)
+      val pages = Pages.generateArithmetic(s, n = 1000, outDeg = 8, partitions = 8)
       val (_, g) = Pages.toGraph(pages)
       PageRank.run(g, fixedIters = Some(10)).ranks
         .select(col("id"), round(col("rank"), 6).as("pagerank"))
@@ -241,6 +258,120 @@ s$i AS (SELECT COALESCE(SUM(msg), 0) AS t FROM m$i),
 r$i AS MATERIALIZED (SELECT v.id, ((${1 - d} + $d * GREATEST(1.0 - (SELECT t FROM s$i), 0)) * (1.0 / (SELECT n FROM nn))) + $d * COALESCE(m.msg, 0) AS r FROM $vTable v LEFT JOIN m$i m ON v.id = m.id)""")
     }
     sb.append(s"\nSELECT id, ROUND(r, 6) AS pagerank FROM r$k")
+    sb.toString
+  }
+
+  /** Unrolled synchronous LPA over the simplified events digraph
+    * (bidirected messaging, mass = summed edge weight, tie-break = min
+    * label) — mirrors `LabelProp.run(fixedIters=k, minTieBreak=true)`.
+    */
+  private def lpaSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH $E,
+se AS MATERIALIZED (SELECT src, dst, SUM(weight) AS w FROM e WHERE src <> dst GROUP BY src, dst),
+ad AS MATERIALIZED (SELECT src AS a, dst AS b, w FROM se UNION ALL SELECT dst, src, w FROM se),
+l0 AS (SELECT id, id AS lab FROM v)""")
+    for (i <- 1 to k) sb.append(s""",
+vt$i AS (SELECT ad.b AS id, l.lab, SUM(ad.w) AS mass FROM ad JOIN l${i - 1} l ON l.id = ad.a GROUP BY ad.b, l.lab),
+bs$i AS (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER (PARTITION BY id ORDER BY mass DESC, lab) AS rn FROM vt$i) WHERE rn = 1),
+l$i AS MATERIALIZED (SELECT l.id, COALESCE(b.lab, l.lab) AS lab FROM l${i - 1} l LEFT JOIN bs$i b ON b.id = l.id)""")
+    sb.append(s"\nSELECT id, lab AS label FROM l$k")
+    sb.toString
+  }
+
+  /** Unrolled (A+I)-shifted power iteration with per-step L2 normalization
+    * over the bidirected simplified events graph — mirrors
+    * `Centrality.eigenvector(fixedIters=k)` incl. the final max-abs scaling.
+    */
+  private def evcentSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH $E,
+se AS MATERIALIZED (SELECT src, dst, SUM(weight) AS w FROM e WHERE src <> dst GROUP BY src, dst),
+ad AS MATERIALIZED (SELECT src AS a, dst AS b, w FROM se UNION ALL SELECT dst, src, w FROM se),
+nn AS (SELECT COUNT(*) AS n FROM v),
+x0 AS MATERIALIZED (SELECT id, 1.0 / SQRT((SELECT n FROM nn)) AS xv FROM v)""")
+    for (i <- 1 to k) sb.append(s""",
+ym$i AS (SELECT ad.b AS id, SUM(ad.w * x.xv) AS s FROM ad JOIN x${i - 1} x ON x.id = ad.a GROUP BY ad.b),
+yy$i AS MATERIALIZED (SELECT v.id, COALESCE(m.s, 0) + x.xv AS y FROM v JOIN x${i - 1} x ON x.id = v.id LEFT JOIN ym$i m ON m.id = v.id),
+x$i AS MATERIALIZED (SELECT id, y / (SELECT SQRT(SUM(y * y)) FROM yy$i) AS xv FROM yy$i)""")
+    sb.append(s"\nSELECT id, ROUND(ABS(xv) / (SELECT MAX(ABS(xv)) FROM x$k), 6) AS centrality FROM x$k")
+    sb.toString
+  }
+
+  /** Unrolled HITS (alternating L2-normalized power iteration) on the
+    * simplified events digraph — mirrors `Centrality.hits(fixedIters=k)`.
+    */
+  private def hitsSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH $E,
+se AS MATERIALIZED (SELECT src, dst, SUM(weight) AS w FROM e WHERE src <> dst GROUP BY src, dst),
+nn AS (SELECT COUNT(*) AS n FROM v),
+h0 AS MATERIALIZED (SELECT id, 1.0 / SQRT((SELECT n FROM nn)) AS hv FROM v)""")
+    for (i <- 1 to k) sb.append(s""",
+am$i AS (SELECT se.dst AS id, SUM(se.w * h.hv) AS s FROM se JOIN h${i - 1} h ON h.id = se.src GROUP BY se.dst),
+ar$i AS MATERIALIZED (SELECT v.id, COALESCE(m.s, 0) AS x FROM v LEFT JOIN am$i m ON m.id = v.id),
+a$i AS MATERIALIZED (SELECT id, x / (SELECT SQRT(SUM(x * x)) FROM ar$i) AS av FROM ar$i),
+hm$i AS (SELECT se.src AS id, SUM(se.w * a.av) AS s FROM se JOIN a$i a ON a.id = se.dst GROUP BY se.src),
+hr$i AS MATERIALIZED (SELECT v.id, COALESCE(m.s, 0) AS x FROM v LEFT JOIN hm$i m ON m.id = v.id),
+h$i AS MATERIALIZED (SELECT id, x / (SELECT SQRT(SUM(x * x)) FROM hr$i) AS hv FROM hr$i)""")
+    sb.append(s"""
+SELECT h.id, ROUND(h.hv / (SELECT MAX(hv) FROM h$k), 6) AS hub,
+  ROUND(a.av / (SELECT MAX(av) FROM a$k), 6) AS authority
+FROM h$k h JOIN a$k a ON a.id = h.id""")
+    sb.toString
+  }
+
+  /** Unrolled fixed-sweep Louvain local-move phase on the co-part graph
+    * (id-parity scheduling, min-label ties, canonical dense relabel) —
+    * mirrors `Louvain.localMove(fixedSweeps=k)` + `canonicalizeMembership`.
+    */
+  private def louvainSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH $P,
+nb AS MATERIALIZED (SELECT src AS v, dst AS nbr, CAST(1.0 AS DOUBLE) AS w FROM pe
+  UNION ALL SELECT dst, src, CAST(1.0 AS DOUBLE) FROM pe),
+kv AS MATERIALIZED (SELECT v AS id, SUM(w) AS k FROM nb GROUP BY v),
+mm AS (SELECT SUM(w) AS m2 FROM nb),
+c0 AS (SELECT id, id AS lab FROM pv)""")
+    for (i <- 0 until k) sb.append(s""",
+ct$i AS MATERIALIZED (SELECT c.lab, SUM(kv.k) AS tot FROM c$i c JOIN kv ON kv.id = c.id GROUP BY c.lab),
+kc$i AS MATERIALIZED (SELECT nb.v AS id, cl.lab AS clabel, SUM(nb.w) AS kvc FROM nb
+  JOIN c$i cl ON cl.id = nb.nbr GROUP BY nb.v, cl.lab),
+st$i AS (SELECT c.id, c.lab,
+    COALESCE(ko.kvc, 0) - (ct.tot - kv.k) * kv.k / (SELECT m2 FROM mm) AS stay
+  FROM c$i c JOIN kv ON kv.id = c.id JOIN ct$i ct ON ct.lab = c.lab
+  LEFT JOIN kc$i ko ON ko.id = c.id AND ko.clabel = c.lab),
+bt$i AS (SELECT id, clabel, gain FROM (
+  SELECT kc.id, kc.clabel, kc.kvc - ct.tot * kv.k / (SELECT m2 FROM mm) AS gain,
+    ROW_NUMBER() OVER (PARTITION BY kc.id
+      ORDER BY (kc.kvc - ct.tot * kv.k / (SELECT m2 FROM mm)) DESC, kc.clabel) AS rn
+  FROM kc$i kc JOIN c$i c ON c.id = kc.id AND kc.clabel <> c.lab
+  JOIN ct$i ct ON ct.lab = kc.clabel JOIN kv ON kv.id = kc.id) WHERE rn = 1),
+c${i + 1} AS MATERIALIZED (SELECT s.id,
+  CASE WHEN s.id % 2 = ${i % 2} AND b.gain IS NOT NULL AND b.gain > s.stay + 1e-12
+    THEN b.clabel ELSE s.lab END AS lab
+  FROM st$i s LEFT JOIN bt$i b ON b.id = s.id)""")
+    sb.append(s""",
+fs AS (SELECT lab, MIN(id) AS first_id FROM c$k GROUP BY lab),
+rel AS (SELECT lab, DENSE_RANK() OVER (ORDER BY first_id) - 1 AS new_lab FROM fs)
+SELECT c.id, CAST(r.new_lab AS BIGINT) AS label FROM c$k c JOIN rel r ON r.lab = c.lab""")
+    sb.toString
+  }
+
+  /** Unrolled k-core peel (keep vertices with >= kk surviving neighbors,
+    * repeat `rounds` times — idempotent once converged) on the co-part
+    * graph — mirrors `KCore.kCoreVertices(g, kk)`.
+    */
+  private def kcoreSql(kk: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH $P,
+ad AS MATERIALIZED (SELECT src AS a, dst AS b FROM pe UNION ALL SELECT dst, src FROM pe),
+p0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM ad)""")
+    for (i <- 1 to rounds) sb.append(s""",
+p$i AS MATERIALIZED (SELECT ad.a AS id FROM ad
+  JOIN p${i - 1} x ON ad.a = x.id JOIN p${i - 1} y ON ad.b = y.id
+  GROUP BY ad.a HAVING COUNT(*) >= $kk)""")
+    sb.append(s"\nSELECT id FROM p$rounds")
     sb.toString
   }
 
@@ -340,6 +471,88 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |SELECT ROUND((SELECT COUNT(*) FROM de x JOIN de y ON x.src = y.dst AND x.dst = y.src) * 1.0
          |  / (SELECT COUNT(*) FROM de), 6) AS reciprocity""".stripMargin,
     "q_pagerank" -> pagerankSql(15, E, "e", "v"),
+    "q_lpa" -> lpaSql(5),
+    "q_evcent" -> evcentSql(20),
+    "q_hits" -> hitsSql(20),
+    "q_kcore" -> kcoreSql(3, 15),
+    "q_louvain" -> louvainSql(4),
+    "q_pages_pagerank" -> pagerankSql(10,
+      """pg AS (SELECT UNNEST(RANGE(0, 1000)) AS i),
+        |e AS MATERIALIZED (SELECT i AS src, (i * 31 + 7 * jj.j + 1) % 1000 AS dst,
+        |  CAST(1.0 AS DOUBLE) AS weight FROM pg CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS j) jj),
+        |v AS (SELECT i AS id FROM pg)""".stripMargin, "e", "v"),
+    "q_langid" -> {
+      val cands = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"SELECT doc_id, '$lang' AS lang, LEN(LIST_INTERSECT(toks, $lst)) AS hits FROM t"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks FROM documents),
+         |c AS ($cands)
+         |SELECT doc_id, lang AS pred_lang FROM (
+         |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn FROM c)
+         |WHERE rn = 1""".stripMargin
+    },
+    "q_fingerprint" ->
+      """SELECT doc_id, MIN(MD5(SUBSTR(text, CAST(i AS INTEGER), 8))) AS fingerprint
+        |FROM (SELECT doc_id, text, UNNEST(RANGE(1, GREATEST(LENGTH(text) - 7, 1) + 1)) AS i FROM documents)
+        |GROUP BY doc_id""".stripMargin,
+    "q_minhash_cand" ->
+      """WITH tk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |sh AS MATERIALIZED (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        |    RANGE(1, LEN(toks) - 1), i -> ARRAY_TO_STRING(toks[i:i+2], ' ')))) AS sh FROM tk),
+        |sg AS MATERIALIZED (SELECT doc_id, sd.seed, MIN(MD5(sd.seed::VARCHAR || '|' || sh)) AS h
+        |  FROM sh CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS seed) sd GROUP BY doc_id, sd.seed),
+        |bd AS MATERIALIZED (SELECT doc_id, seed // 2 AS band, MD5(STRING_AGG(h, '|' ORDER BY seed)) AS bh
+        |  FROM sg GROUP BY doc_id, seed // 2)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bd x JOIN bd y
+        |ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id""".stripMargin,
+    "q_simhash" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+        |th AS MATERIALIZED (SELECT doc_id, MD5(t) AS h FROM tok),
+        |bv AS MATERIALIZED (SELECT doc_id, bb.b,
+        |    SUM(CASE WHEN ((STRPOS('0123456789abcdef', SUBSTR(h, CAST(16 - bb.b // 4 AS INTEGER), 1)) - 1)
+        |      >> CAST(bb.b % 4 AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS b) bb GROUP BY doc_id, bb.b),
+        |fp AS MATERIALIZED (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 AND b < 16 THEN (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN s > 0 AND b >= 16 AND b < 32 THEN (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN s > 0 AND b >= 32 AND b < 48 THEN (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN s > 0 AND b >= 48 THEN (1 << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS c3
+        |  FROM bv GROUP BY doc_id),
+        |bl AS (SELECT doc_id, c0, c1, c2, c3, ck.chunk,
+        |    CASE ck.chunk WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS ckv
+        |  FROM fp CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS chunk) ck)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(BIT_COUNT(XOR(x.c0, y.c0)) + BIT_COUNT(XOR(x.c1, y.c1))
+        |     + BIT_COUNT(XOR(x.c2, y.c2)) + BIT_COUNT(XOR(x.c3, y.c3)) AS BIGINT) AS dist
+        |FROM bl x JOIN bl y ON x.chunk = y.chunk AND x.ckv = y.ckv AND x.doc_id < y.doc_id
+        |WHERE BIT_COUNT(XOR(x.c0, y.c0)) + BIT_COUNT(XOR(x.c1, y.c1))
+        |    + BIT_COUNT(XOR(x.c2, y.c2)) + BIT_COUNT(XOR(x.c3, y.c3)) <= 6""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH coef AS MATERIALIZED (SELECT tt.t, hh.h, dd.d,
+        |    CASE WHEN (STRPOS('0123456789abcdef',
+        |      SUBSTR(MD5(tt.t::VARCHAR || '_' || hh.h::VARCHAR || '_' || dd.d::VARCHAR), 16, 1)) - 1) % 2 = 1
+        |    THEN 1.0 ELSE -1.0 END AS c
+        |  FROM (SELECT UNNEST(RANGE(0, 8)) AS t) tt
+        |  CROSS JOIN (SELECT UNNEST(RANGE(0, 5)) AS h) hh
+        |  CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS d) dd),
+        |ex AS MATERIALIZED (SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+        |  GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS d FROM embeddings),
+        |bits AS MATERIALIZED (SELECT vec_id, t, h, CASE WHEN SUM(x * c) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM ex JOIN coef USING (d) GROUP BY vec_id, t, h),
+        |buck AS MATERIALIZED (SELECT vec_id, t, SUM(bit * (1 << CAST(h AS INTEGER))) AS bucket
+        |  FROM bits GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id FROM buck q
+        |  JOIN buck c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |norms AS MATERIALIZED (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id),
+        |dots AS (SELECT cand.query_id, cand.neighbor_id, SUM(q.x * c.x) AS dot FROM cand
+        |  JOIN ex q ON q.vec_id = cand.query_id JOIN ex c ON c.vec_id = cand.neighbor_id AND c.d = q.d
+        |  GROUP BY cand.query_id, cand.neighbor_id),
+        |scored AS (SELECT d.query_id, d.neighbor_id, d.dot / (nq.nrm * nc.nrm) AS cos FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.query_id JOIN norms nc ON nc.vec_id = d.neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "q_wcc" ->
       s"""WITH RECURSIVE $E,
          |ue AS (SELECT DISTINCT a, b FROM (
@@ -492,6 +705,52 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
       s"""WITH $E
          |SELECT src, dst, COUNT(*) AS n FROM e
          |WHERE src BETWEEN 0 AND 20 AND dst BETWEEN 0 AND 20 GROUP BY src, dst""".stripMargin,
+    "q_ilw_sim" ->
+      s"""WITH $E,
+         |ue AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         |degu AS (SELECT a AS u, COUNT(*) AS deg FROM ue GROUP BY a)
+         |SELECT x.a AS a, y.a AS b, ROUND(SUM(1.0 / LN(d.deg)), 6) AS ilw
+         |FROM ue x JOIN ue y ON x.b = y.b AND x.a < y.a JOIN degu d ON d.u = x.b
+         |GROUP BY x.a, y.a""".stripMargin,
+    "q_triad_census" -> {
+      val lutRows = Triads.codeClass.toSeq.sortBy(t => (t._1._1, t._1._2, t._1._3))
+        .map { case ((x, y, z), c) => s"($x,$y,$z,$c)" }.mkString(",")
+      val clCols = (3 to 15).map(cl => "t" + Triads.classNames(cl))
+      s"""WITH $E,
+         |de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+         |pp AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         |  SUM(DISTINCT CASE WHEN src < dst THEN 1 ELSE 2 END) AS code FROM de GROUP BY 1, 2),
+         |cs AS MATERIALIZED (SELECT a AS x, b AS y FROM pp UNION ALL SELECT b, a FROM pp),
+         |nn AS (SELECT COUNT(*) AS n FROM v),
+         |tri AS MATERIALIZED (SELECT DISTINCT LEAST(c1.x, c1.y, c2.y) AS i,
+         |    c1.x + c1.y + c2.y - LEAST(c1.x, c1.y, c2.y) - GREATEST(c1.x, c1.y, c2.y) AS j,
+         |    GREATEST(c1.x, c1.y, c2.y) AS k
+         |  FROM cs c1 JOIN cs c2 ON c1.y = c2.x AND c1.x < c2.y),
+         |tc AS (SELECT COALESCE(p1.code, 0) AS cij, COALESCE(p2.code, 0) AS cik, COALESCE(p3.code, 0) AS cjk
+         |  FROM tri t LEFT JOIN pp p1 ON p1.a = t.i AND p1.b = t.j
+         |  LEFT JOIN pp p2 ON p2.a = t.i AND p2.b = t.k
+         |  LEFT JOIN pp p3 ON p3.a = t.j AND p3.b = t.k),
+         |lut(cij, cik, cjk, cl) AS (VALUES $lutRows),
+         |cc AS (SELECT l.cl, COUNT(*) AS cnt FROM tc JOIN lut l USING (cij, cik, cjk) GROUP BY l.cl),
+         |degc AS (SELECT x AS id, COUNT(*) AS deg FROM cs GROUP BY x),
+         |com AS (SELECT x1.y AS a, x2.y AS b, COUNT(*) AS cm FROM cs x1
+         |  JOIN cs x2 ON x1.x = x2.x AND x1.y < x2.y GROUP BY 1, 2),
+         |ones AS (SELECT pp.code, SUM((SELECT n FROM nn) - 2 - (da.deg - 1) - (db.deg - 1)
+         |    + COALESCE(cm.cm, 0)) AS cnt
+         |  FROM pp JOIN degc da ON da.id = pp.a JOIN degc db ON db.id = pp.b
+         |  LEFT JOIN com cm ON cm.a = pp.a AND cm.b = pp.b GROUP BY pp.code),
+         |base AS (SELECT
+         |  COALESCE((SELECT SUM(cnt) FROM ones WHERE code IN (1, 2)), 0) AS t012,
+         |  COALESCE((SELECT cnt FROM ones WHERE code = 3), 0) AS t102,
+         |  ${(3 to 15).map(cl => s"COALESCE((SELECT cnt FROM cc WHERE cl = $cl), 0) AS t${Triads.classNames(cl)}").mkString(",\n  ")})
+         |SELECT CAST((SELECT n * (n - 1) * (n - 2) // 6 FROM nn)
+         |    - (t012 + t102 + ${clCols.mkString(" + ")}) AS BIGINT) AS t003,
+         |  CAST(t012 AS BIGINT) AS t012, CAST(t102 AS BIGINT) AS t102,
+         |  ${clCols.map(c => s"CAST($c AS BIGINT) AS $c").mkString(", ")}
+         |FROM base""".stripMargin
+    },
     "q_linegraph" ->
       s"""WITH $E,
          |de AS (SELECT DISTINCT src, dst FROM e),

@@ -25,7 +25,11 @@ object Centrality {
     * +I shift preserves eigenvectors and separates |λ1 + 1| > |−λ1 + 1|.
     * Reported eigenvalue = ||(A+I)x|| − 1.
     */
-  def eigenvector(g: LinkGraph, tol: Double = 1e-9, maxIter: Int = 200): Spectral = {
+  /** @param fixedIters run exactly this many iterations and skip the
+    *                    convergence delta (the oracle-mirrored mode).
+    */
+  def eigenvector(g: LinkGraph, tol: Double = 1e-9, maxIter: Int = 200,
+                  fixedIters: Option[Int] = None): Spectral = {
     val shift = 1.0
     val adj = g.bidirected.select(col("src"), col("dst"), col("weight"))
       .repartition(col("src")).persist()
@@ -37,19 +41,21 @@ object Centrality {
     var lambda = 0.0
     var iter = 0
     var delta = Double.MaxValue
-    while (iter < maxIter && delta > tol) {
+    val cap = fixedIters.getOrElse(maxIter)
+    while (iter < cap && (fixedIters.isDefined || delta > tol)) {
       val y = adj.join(x, adj("src") === x("id"))
         .groupBy(col("dst").as("id")).agg(sum(col("weight") * col("v")).as("y"))
       val yAll = vertices.join(y, Seq("id"), "left").join(x, Seq("id"))
         .select(col("id"), (coalesce(col("y"), lit(0.0)) + lit(shift) * col("v")).as("y"))
         .transform(Lineage.cut)
       val norm = math.sqrt(yAll.agg(sum(col("y") * col("y"))).head.getDouble(0))
-      if (norm == 0.0) { iter = maxIter; delta = 0.0 } // zero vector: no edges
+      if (norm == 0.0) { iter = cap; delta = 0.0 } // zero vector: no edges
       else {
         lambda = norm - shift // ||(A+I)x|| with ||x||=1 -> λ1 + shift
         val xNew = yAll.select(col("id"), (col("y") / norm).as("v")).transform(Lineage.cut)
-        delta = xNew.join(x.withColumnRenamed("v", "old"), Seq("id"))
-          .agg(max(abs(col("v") - col("old")))).head.getDouble(0)
+        if (fixedIters.isEmpty)
+          delta = xNew.join(x.withColumnRenamed("v", "old"), Seq("id"))
+            .agg(max(abs(col("v") - col("old")))).head.getDouble(0)
         x = xNew
         iter += 1
       }
@@ -65,7 +71,8 @@ object Centrality {
   /** HITS hubs & authorities (alternating power iteration), both scaled to
     * max = 1. Returns (id, hub, authority).
     */
-  def hits(g: LinkGraph, tol: Double = 1e-9, maxIter: Int = 100): DataFrame = {
+  def hits(g: LinkGraph, tol: Double = 1e-9, maxIter: Int = 100,
+           fixedIters: Option[Int] = None): DataFrame = {
     val e = (if (g.directed) g.weighted else g.bidirected)
       .select(col("src"), col("dst"), col("weight")).repartition(col("src")).persist()
     e.count()
@@ -76,7 +83,8 @@ object Centrality {
     var auth = hub.withColumnRenamed("h", "a")
     var iter = 0
     var delta = Double.MaxValue
-    while (iter < maxIter && delta > tol) {
+    val cap = fixedIters.getOrElse(maxIter)
+    while (iter < cap && (fixedIters.isDefined || delta > tol)) {
       // authority = sum of hub scores of in-neighbors
       val aRaw = e.join(hub, e("src") === hub("id"))
         .groupBy(col("dst").as("id")).agg(sum(col("weight") * col("h")).as("x"))
@@ -86,8 +94,9 @@ object Centrality {
       val hRaw = e.join(a2, e("dst") === a2("aid"))
         .groupBy(e("src").as("id")).agg(sum(col("weight") * col("a2")).as("x"))
       val hNorm = normalize(vertices, hRaw)
-      delta = hNorm.join(hub.withColumnRenamed("h", "old"), Seq("id"))
-        .agg(max(abs(col("v") - col("old")))).head.getDouble(0)
+      if (fixedIters.isEmpty)
+        delta = hNorm.join(hub.withColumnRenamed("h", "old"), Seq("id"))
+          .agg(max(abs(col("v") - col("old")))).head.getDouble(0)
       hub = hNorm.withColumnRenamed("v", "h")
       auth = aNorm.withColumnRenamed("v", "a")
       iter += 1

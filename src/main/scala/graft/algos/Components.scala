@@ -150,6 +150,23 @@ object Components {
     result
   }
 
+  /** `decompose(mode, maxcompno, minelements)` (`graphobject.c:13258-13271`):
+    * component subgraphs, largest first, capped at `maxCompNo`, components
+    * below `minElements` dropped. The returned handles are lazy views onto
+    * the shared labeled edge table — only the label/size aggregate runs here.
+    */
+  def decompose(g: LinkGraph, strong: Boolean = false,
+                maxCompNo: Int = Int.MaxValue, minElements: Int = 1): Seq[LinkGraph] = {
+    val labels = if (strong) scc(g) else wcc(g)
+    val picked = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
+      .where(col("sz") >= minElements)
+      .orderBy(col("sz").desc, col("comp")).limit(maxCompNo)
+      .select("comp").collect().map(_.getLong(0))
+    picked.toSeq.map { cid =>
+      graft.core.GraphOps.inducedSubgraph(g, labels.where(col("comp") === cid).select("id"))
+    }
+  }
+
   /** Largest component's vertex set (the reference's `giant()`,
     * `clustering.py:411-428`).
     */

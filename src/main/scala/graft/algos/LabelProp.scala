@@ -31,6 +31,13 @@ object LabelProp {
     *                with its own unique label when `initial` is None (the
     *                standard RAK initialization).
     * @param fixed   optional (id) set of vertices whose label never changes.
+    * @param fixedIters run EXACTLY this many synchronous sweeps (no
+    *                convergence/oscillation checks — also skips the per-iter
+    *                changed-count job): the deterministic mode mirrored by
+    *                the DuckDB oracle's unrolled SQL.
+    * @param minTieBreak break mass ties by smallest label instead of the
+    *                seeded hash — SQL-expressible (oracle mode); the default
+    *                hash tie-break avoids the systematic small-id bias.
     * @return (id, label) membership, labels canonical-dense via min-member.
     */
   def run(
@@ -39,7 +46,9 @@ object LabelProp {
       fixed: Option[DataFrame] = None,
       seed: Long = 42L,
       maxIter: Int = 50,
-      store: Option[CheckpointStore] = None
+      store: Option[CheckpointStore] = None,
+      fixedIters: Option[Int] = None,
+      minTieBreak: Boolean = false
   ): DataFrame = {
     val adj = g.bidirected.select(col("src"), col("dst"), col("weight"))
       .where(col("src") =!= col("dst"))
@@ -66,18 +75,21 @@ object LabelProp {
     var prev: DataFrame = null // for 2-cycle oscillation guard
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    val iterCap = fixedIters.getOrElse(maxIter)
+    while ((fixedIters.isDefined || changed > 0) && iter < iterCap) {
       val t0 = System.currentTimeMillis()
       // weighted label mass arriving at each vertex, labeled neighbors only
       val votes = adj.join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .where(col("label").isNotNull)
         .groupBy(col("dst").as("id"), col("label"))
         .agg(sum("weight").as("mass"))
-      // deterministic argmax: mass desc, then seeded hash, then label
-      val w = Window.partitionBy(col("id")).orderBy(
-        col("mass").desc,
-        xxhash64(lit(seed), lit(iter), col("id"), col("label")),
-        col("label"))
+      // deterministic argmax: mass desc, then seeded hash (or min), then label
+      val w =
+        if (minTieBreak) Window.partitionBy(col("id")).orderBy(col("mass").desc, col("label"))
+        else Window.partitionBy(col("id")).orderBy(
+          col("mass").desc,
+          xxhash64(lit(seed), lit(iter), col("id"), col("label")),
+          col("label"))
       val best = votes.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1).select(col("id"), col("label").as("new_label"))
 
@@ -87,13 +99,15 @@ object LabelProp {
             .otherwise(col("new_label")).as("label"),
           col("is_fixed"))
       val cut = Iterate.cut(next, iter + 1, store, t0)
-      changed = cut.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .where(!(col("label") <=> col("old"))).count()
-      // oscillation guard: if state equals the state two steps ago, freeze
-      if (changed > 0 && prev != null) {
-        val sameAsPrev = cut.join(prev.select(col("id"), col("label").as("p2")), Seq("id"))
-          .where(!(col("label") <=> col("p2"))).count() == 0
-        if (sameAsPrev) changed = 0
+      if (fixedIters.isEmpty) {
+        changed = cut.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+          .where(!(col("label") <=> col("old"))).count()
+        // oscillation guard: if state equals the state two steps ago, freeze
+        if (changed > 0 && prev != null) {
+          val sameAsPrev = cut.join(prev.select(col("id"), col("label").as("p2")), Seq("id"))
+            .where(!(col("label") <=> col("p2"))).count() == 0
+          if (sameAsPrev) changed = 0
+        }
       }
       prev = labels
       labels = cut

@@ -1,0 +1,214 @@
+package graft.algos
+
+import graft.core.{GraphOps, Lineage, LinkGraph}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Louvain community detection (`community_multilevel`, Blondel et al.
+  * 2008 J. Stat. Mech. P10008 — cited by the reference docstring
+  * `__init__.py:1324`; goldens `tests/test_decomposition.py:286-328`).
+  *
+  * Distributed shape: the local-move phase is a synchronous sweep — every
+  * vertex evaluates the standard modularity gain of joining each neighbor
+  * community in ONE join+window round (vs the reference's sequential
+  * vertex-by-vertex scan); moves apply when they strictly beat staying,
+  * ties to the smallest community label. Contraction between levels is
+  * `contract_vertices` + weight-summing simplify (self-loops carry the
+  * intra-community weight). Each level's membership is composed back onto
+  * the ORIGINAL vertex ids and scored with [[Modularity.modularity]].
+  *
+  * Scale: each sweep is two aggregates + three joins on (id, label) keys;
+  * levels shrink geometrically, so the whole run is a handful of passes
+  * over the edge table — the natural Spark expression of Louvain.
+  */
+object Louvain {
+
+  /** One level's result: membership over the original vertex ids (dense
+    * labels, canonical min-member order) and its modularity on the input.
+    */
+  final case class Level(membership: DataFrame, q: Double)
+
+  /** Local-move phase: (id, label) after synchronous gain sweeps.
+    * Gain of v joining community c (Blondel eq. 2, constant terms dropped):
+    * k_{v,c} − Σtot(c∖v)·k_v / 2m, compared against staying put.
+    */
+  /** @param fixedSweeps run EXACTLY this many sweeps with plain id-parity
+    *        scheduling (SQL-expressible; the q_louvain DuckDB oracle unrolls
+    *        it) instead of seeded-parity-until-converged.
+    */
+  def localMove(g: LinkGraph, sweepCap: Int = 20, minGain: Double = 1e-12,
+                fixedSweeps: Option[Int] = None): DataFrame = {
+    val e = g.weighted.persist()
+    val totalW = e.agg(sum("weight")).head.getDouble(0)
+    if (totalW == 0.0) { e.unpersist(); return g.vertices.select(col("id"), col("id").as("label")) }
+    val m2 = 2.0 * totalW
+    // strength incl. self-loops counted twice (both endpoints)
+    val kv = e.select(col("src").as("id"), col("weight"))
+      .union(e.select(col("dst").as("id"), col("weight")))
+      .groupBy("id").agg(sum("weight").as("k"))
+    val kvAll = g.vertices.join(kv, Seq("id"), "left")
+      .select(col("id"), coalesce(col("k"), lit(0.0)).as("k"))
+      .transform(Lineage.cut)
+    val nb = e.where(col("src") =!= col("dst"))
+      .select(col("src").as("v"), col("dst").as("nbr"), col("weight").as("w"))
+      .union(e.where(col("src") =!= col("dst"))
+        .select(col("dst").as("v"), col("src").as("nbr"), col("weight").as("w")))
+      .repartition(col("v")).persist()
+    nb.count()
+
+    var memb = g.vertices.select(col("id"), col("id").as("label")).transform(Lineage.cut)
+    var lastMoves = 1L
+    var moves = 1L
+    var sweep = 0
+    // alternating-parity scheduling: only half the vertices may move per
+    // sweep. A fully synchronous sweep lets adjacent singletons SWAP labels
+    // (u adopts v's community while v adopts u's) and never merge — the
+    // known distributed-Louvain pathology; parity breaks the symmetry.
+    // Converged when a full even+odd cycle produces no move.
+    val cap = fixedSweeps.getOrElse(sweepCap)
+    while ((fixedSweeps.isDefined || moves + lastMoves > 0) && sweep < cap) {
+      val ctot = memb.join(kvAll, Seq("id")).groupBy("label").agg(sum("k").as("tot"))
+      val kvc = nb.join(memb.select(col("id").as("nbr"), col("label").as("clabel")), Seq("nbr"))
+        .groupBy(col("v").as("id"), col("clabel")).agg(sum("w").as("kvc"))
+      val stayKvc = kvc.select(col("id").as("sid"), col("clabel").as("slabel"), col("kvc").as("kvc_own"))
+      val base = memb.join(kvAll, Seq("id"))
+        .join(ctot.select(col("label"), col("tot").as("tot_own")), Seq("label"))
+        .join(stayKvc, col("id") === col("sid") && col("slabel") === col("label"), "left")
+        .select(col("id"), col("label"), col("k"),
+          (coalesce(col("kvc_own"), lit(0.0))
+            - (col("tot_own") - col("k")) * col("k") / m2).as("stay_gain"))
+      val cand = kvc.join(memb, Seq("id"))
+        .where(col("clabel") =!= col("label"))
+        .join(ctot.select(col("label").as("clabel"), col("tot")), Seq("clabel"))
+        .join(kvAll, Seq("id"))
+        .select(col("id"), col("clabel"),
+          (col("kvc") - col("tot") * col("k") / m2).as("gain"))
+      val w = Window.partitionBy("id").orderBy(col("gain").desc, col("clabel"))
+      val best = cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("id"), col("clabel"), col("gain"))
+      // seeded parity (not plain id parity): a 2-cycle between two same-
+      // parity neighbors (e.g. both odd) would otherwise swap labels forever.
+      // Fixed-sweep oracle mode uses plain id parity (deterministic + SQL).
+      val mayMove =
+        if (fixedSweeps.isDefined) pmod(col("id"), lit(2L)) === lit((sweep % 2).toLong)
+        else pmod(xxhash64(lit(42L), lit(sweep), col("id")), lit(2L)) === 0L
+      val next = base.join(best, Seq("id"), "left")
+        .select(col("id"),
+          when(mayMove && col("gain").isNotNull && col("gain") > col("stay_gain") + minGain,
+            col("clabel")).otherwise(col("label")).as("label"))
+        .transform(Lineage.cut)
+      lastMoves = moves
+      if (fixedSweeps.isEmpty)
+        moves = next.join(memb.select(col("id"), col("label").as("old")), Seq("id"))
+          .where(col("label") =!= col("old")).count()
+      memb = next
+      sweep += 1
+    }
+    nb.unpersist()
+    e.unpersist()
+    memb
+  }
+
+  /** Sequential local-move kernel (reference parity): visit vertices in id
+    * order with immediate updates, exactly the scan order the reference's
+    * sequential implementation uses — this is what pins the
+    * `test_decomposition.py:286-328` golden memberships. Driver-side over
+    * collected arrays; used automatically below `seqThreshold` vertices
+    * (the contracted levels of even a huge run shrink into this regime —
+    * the distributed sweeps are the level-0 scale path).
+    */
+  def localMoveSequential(g: LinkGraph, maxPasses: Int = 50): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val edges = g.weighted.select("src", "dst", "weight").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = g.vertices.select("id").collect().map(_.getLong(0)).sorted
+    val m = edges.map(_._3).sum
+    if (m == 0.0) return ids.toSeq.map(i => (i, i)).toDF("id", "label")
+    val m2 = 2.0 * m
+    val k = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+    edges.foreach { case (u, v, w) =>
+      k(u) += w; k(v) += w
+      if (u != v) {
+        adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += ((v, w))
+        adj.getOrElseUpdate(v, scala.collection.mutable.ArrayBuffer.empty) += ((u, w))
+      }
+    }
+    val comm = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    val tot = scala.collection.mutable.Map(ids.map(i => i -> k(i)): _*).withDefaultValue(0.0)
+    var moved = true
+    var pass = 0
+    while (moved && pass < maxPasses) {
+      moved = false
+      for (v <- ids) {
+        val own = comm(v)
+        val kvc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        adj.getOrElse(v, Nil).foreach { case (u, w) => kvc(comm(u)) += w }
+        tot(own) -= k(v) // evaluate with v removed
+        var bestC = own
+        var bestGain = kvc(own) - tot(own) * k(v) / m2
+        for ((c, w) <- kvc.toSeq.sortBy(_._1) if c != own) {
+          val gain = w - tot(c) * k(v) / m2
+          if (gain > bestGain + 1e-12) { bestGain = gain; bestC = c }
+        }
+        tot(bestC) += k(v)
+        if (bestC != own) { comm(v) = bestC; moved = true }
+      }
+      pass += 1
+    }
+    ids.toSeq.map(i => (i, comm(i))).toDF("id", "label")
+  }
+
+  /** Below this vertex count the sequential reference-parity kernel runs;
+    * above it, the distributed parity sweeps.
+    */
+  val seqThreshold = 4096L
+
+  /** Full multilevel run. Returns one [[Level]] per level (memberships over
+    * original ids, modularity strictly increasing), like the reference's
+    * `community_multilevel(return_levels=True)`.
+    */
+  def run(g: LinkGraph, maxLevels: Int = 10, sweepCap: Int = 20): Seq[Level] = {
+    val und = LinkGraph(g.weighted, directed = false, g.numVertices)
+    var cur = und
+    var mapping = und.vertices.select(col("id").as("orig"), col("id")).transform(Lineage.cut)
+    val levels = scala.collection.mutable.ArrayBuffer.empty[Level]
+    var lastQ = Double.NegativeInfinity
+    var done = false
+    var level = 0
+    while (!done && level < maxLevels) {
+      level += 1
+      val memb =
+        if (cur.vcount() <= seqThreshold) localMoveSequential(cur)
+        else localMove(cur, sweepCap)
+      val dense = GraphOps.canonicalizeMembership(memb).transform(Lineage.cut)
+      val origMemb = mapping.join(dense, Seq("id"))
+        .select(col("orig").as("id"), col("label")).transform(Lineage.cut)
+      val q = Modularity.modularity(und, origMemb)
+      val nComm = dense.select("label").distinct().count()
+      val nVert = dense.count()
+      if (levels.nonEmpty && q <= lastQ + 1e-9) done = true
+      else {
+        levels += Level(origMemb, q)
+        lastQ = q
+        if (nComm == nVert) done = true // nothing merged: fixpoint
+        else {
+          val ec = GraphOps.contractVertices(cur, dense)
+            .select(least(col("src"), col("dst")).as("src"),
+              greatest(col("src"), col("dst")).as("dst"), col("weight"))
+            .groupBy("src", "dst").agg(sum("weight").as("weight"))
+          cur = LinkGraph(ec.transform(Lineage.cut), directed = false, Some(nComm))
+          mapping = mapping.join(dense, Seq("id"))
+            .select(col("orig"), col("label").as("id")).transform(Lineage.cut)
+        }
+      }
+    }
+    levels.toSeq
+  }
+
+  /** Final (highest-modularity) membership — `community_multilevel` default. */
+  def communityMultilevel(g: LinkGraph, maxLevels: Int = 10): DataFrame =
+    run(g, maxLevels).last.membership
+}

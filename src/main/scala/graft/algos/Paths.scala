@@ -53,4 +53,28 @@ object Paths {
     */
   def subcomponent(g: LinkGraph, v: Long, mode: Mode = Mode.All): DataFrame =
     bfs(g, v, mode).select("id")
+
+  /** `dfsiter(vid, mode)` (`dfsiter.c:1-294`): preorder DFS sequence with
+    * smallest-neighbor-first tie-break. DFS is inherently sequential —
+    * driver-side over a collected adjacency (small/ego-graph utility; the
+    * distributed traversal primitive is [[bfs]]).
+    */
+  def dfsIter(g: LinkGraph, source: Long, mode: Mode = Mode.Out): Seq[Long] = {
+    val adjDf = (mode match {
+      case Mode.Out => g.weighted
+      case Mode.In  => g.weighted.select(col("dst").as("src"), col("src").as("dst"))
+      case Mode.All => g.bidirected
+    }).select("src", "dst").distinct()
+    val adj = adjDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+    def visit(v: Long): Unit = {
+      if (!seen.contains(v)) {
+        seen += v
+        adj.getOrElse(v, Nil).foreach(visit)
+      }
+    }
+    visit(source)
+    seen.toSeq
+  }
 }

@@ -111,6 +111,133 @@ object GraphOps {
     LinkGraph(e, g.directed, g.numVertices)
   }
 
+  /** Collapse multi-edges with a CALLER-SUPPLIED aggregate over `weight` —
+    * the reference's callable combiner hook (`convert.c:269-291`
+    * COMBINE_FUNCTION). Pass any Column aggregate, including a custom
+    * `Aggregator` registered via `functions.udaf` (see GraphApiSpec).
+    */
+  def simplifyWith(g: LinkGraph, combine: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                   loops: Boolean = true): LinkGraph = {
+    var e = g.weighted
+    if (loops) e = e.where(col("src") =!= col("dst"))
+    val canon =
+      if (g.directed) e
+      else e.select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"), col("weight"))
+    LinkGraph(canon.groupBy("src", "dst").agg(combine(col("weight")).as("weight")),
+      g.directed, g.numVertices)
+  }
+
+  // ---- adjacency lookups (`graphobject.c:12336-12401, 13008`) -----------
+
+  /** `neighbors(v, mode)`: adjacent vertex ids — a pushed-down point filter
+    * on the (bucketed-at-rest) edge table.
+    */
+  def neighbors(g: LinkGraph, v: Long, mode: Mode = Mode.All): DataFrame = {
+    val e = g.weighted
+    val out = e.where(col("src") === v).select(col("dst").as("id"))
+    val in = e.where(col("dst") === v).select(col("src").as("id"))
+    val effMode = if (g.directed) mode else Mode.All
+    effMode match {
+      case Mode.Out => out
+      case Mode.In  => in
+      case Mode.All => out.union(in)
+    }
+  }
+
+  def successors(g: LinkGraph, v: Long): DataFrame = neighbors(g, v, Mode.Out)
+  def predecessors(g: LinkGraph, v: Long): DataFrame = neighbors(g, v, Mode.In)
+
+  /** `incident(v, mode)`: the incident edge rows themselves. */
+  def incident(g: LinkGraph, v: Long, mode: Mode = Mode.All): DataFrame = {
+    val e = g.weighted
+    val effMode = if (g.directed) mode else Mode.All
+    effMode match {
+      case Mode.Out => e.where(col("src") === v)
+      case Mode.In  => e.where(col("dst") === v)
+      case Mode.All => e.where(col("src") === v || col("dst") === v)
+    }
+  }
+
+  /** `are_connected(u, v)` (`graphobject.c:13008`): direct edge exists. */
+  def areConnected(g: LinkGraph, u: Long, v: Long): Boolean = {
+    val e = g.weighted
+    val fwd = !e.where(col("src") === u && col("dst") === v).isEmpty
+    if (g.directed) fwd
+    else fwd || !e.where(col("src") === v && col("dst") === u).isEmpty
+  }
+
+  /** `get_eid(u, v)`: dense edge id in canonical (src, dst) order, mirroring
+    * [[graft.ops.Extras.lineGraph]]'s edge numbering; -1 when absent.
+    */
+  def getEid(g: LinkGraph, u: Long, v: Long): Long = {
+    val eid = Ids.assignDense(g.weighted.select(struct(col("src"), col("dst")).as("sd")), "sd")
+      .select(col("id").as("eid"), col("sd.src").as("src"), col("sd.dst").as("dst"))
+    val hit = eid.where(
+      if (g.directed) col("src") === u && col("dst") === v
+      else (col("src") === u && col("dst") === v) || (col("src") === v && col("dst") === u))
+      .select("eid").limit(1).collect()
+    if (hit.isEmpty) -1L else hit.head.getLong(0)
+  }
+
+  // ---- predicates (`graphobject.c:12162-13679`) --------------------------
+
+  /** `is_connected(mode)`: one component (weak by default, like the
+    * reference's default on undirected graphs).
+    */
+  def isConnected(g: LinkGraph, strong: Boolean = false): Boolean = {
+    val comp = if (strong) graft.algos.Components.scc(g) else graft.algos.Components.wcc(g)
+    comp.select("comp").distinct().count() <= 1
+  }
+
+  /** `is_tree`: connected with exactly n-1 edges (`graphobject.c:12187`). */
+  def isTree(g: LinkGraph): Boolean =
+    g.ecount() == g.vcount() - 1 && isConnected(g)
+
+  /** `is_mutual`: every arc is reciprocated (`graphobject.c:12308`). */
+  def isMutual(g: LinkGraph): Boolean = {
+    val e = g.weighted.select("src", "dst").where(col("src") =!= col("dst")).distinct()
+    e.except(e.select(col("dst").as("src"), col("src").as("dst"))).isEmpty
+  }
+
+  /** `is_bipartite` (`graphobject.c:13641`): BFS-layer 2-coloring from each
+    * component's min-id root; bipartite iff no edge joins same-parity
+    * layers. One multi-source BFS + one join — no per-component work.
+    */
+  def isBipartite(g: LinkGraph): Boolean = {
+    val und = LinkGraph(g.bidirected, directed = false, g.numVertices)
+    if (!g.weighted.where(col("src") === col("dst")).isEmpty) return false // loop
+    val comp = graft.algos.Components.wcc(und)
+    val roots = comp.where(col("id") === col("comp")).select(col("id"))
+    val dist = graft.algos.Distances.multiBfs(und, Mode.All, Some(roots))
+      .select(col("v").as("id"), (col("dist") % 2).as("side"))
+    val e = und.weighted.where(col("src") =!= col("dst")).select("src", "dst")
+    e.join(dist.select(col("id").as("src"), col("side").as("s1")), Seq("src"))
+      .join(dist.select(col("id").as("dst"), col("side").as("s2")), Seq("dst"))
+      .where(col("s1") === col("s2")).isEmpty
+  }
+
+  /** Nominal (categorical) assortativity — Newman 2003 eq. 2:
+    * r = (Σ e_ii − Σ a_i b_i) / (1 − Σ a_i b_i) over the mixing matrix of
+    * edge-endpoint types (`assortativity_nominal`, `graphobject.c:13027`).
+    * `types`: (id, type). Undirected edges counted in both directions.
+    */
+  def assortativityNominal(g: LinkGraph, types: DataFrame): DataFrame = {
+    val e = (if (g.directed) g.weighted else g.bidirected).select("src", "dst")
+    val typed = e
+      .join(types.select(col("id").as("src"), col("type").as("ts")), Seq("src"))
+      .join(types.select(col("id").as("dst"), col("type").as("td")), Seq("dst"))
+    val m = typed.count().toDouble
+    val eii = typed.where(col("ts") === col("td")).count().toDouble / m
+    val marg = typed.groupBy("ts").agg(count(lit(1)).as("na"))
+      .join(typed.groupBy(col("td").as("ts")).agg(count(lit(1)).as("nb")), Seq("ts"), "full")
+      .select((coalesce(col("na"), lit(0L)) / m * coalesce(col("nb"), lit(0L)) / m).as("ab"))
+      .agg(sum("ab")).head.getDouble(0)
+    val r = if (marg == 1.0) Double.NaN else (eii - marg) / (1.0 - marg)
+    val spark = g.spark
+    import spark.implicits._
+    Seq(r).toDF("assortativity")
+  }
+
   /** True iff no multi-edges and no loops (`graphobject.c:12179`). */
   def isSimple(g: LinkGraph): Boolean = {
     val canon =
@@ -239,6 +366,23 @@ object GraphOps {
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "degb"), Seq("b"))
       .select(col("a"), col("b"),
         (lit(2.0) * col("common") / (col("dega") + col("degb"))).as("dice"))
+  }
+
+  /** Adamic-Adar-style inverse-log-weighted similarity
+    * (`similarity_inverse_log_weighted`, `graphobject.c:14229` — "the best
+    * of the three" for hub-skewed webgraphs): each common neighbor u
+    * contributes 1/ln(deg(u)), so ubiquitous hubs count less.
+    * Pairs (a < b) with >= 1 common neighbor on the undirected simple view.
+    * Degree-1 vertices can never be common neighbors, so ln(deg) > 0.
+    */
+  def similarityInverseLogWeighted(g: LinkGraph): DataFrame = {
+    val e = g.bidirected.where(col("src") =!= col("dst")).select("src", "dst").distinct()
+    val deg = e.groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))
+    val au = e.select(col("src").as("a"), col("dst").as("u"))
+    val bu = e.select(col("src").as("b"), col("dst").as("u"))
+    au.join(bu, Seq("u")).where(col("a") < col("b"))
+      .join(deg, Seq("u"))
+      .groupBy("a", "b").agg(sum(lit(1.0) / log(col("deg").cast("double"))).as("ilw"))
   }
 
   /** k-hop neighborhood size per vertex (vertex itself included, as the

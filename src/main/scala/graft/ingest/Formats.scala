@@ -1,0 +1,378 @@
+package graft.ingest
+
+import graft.core.LinkGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-side parsers/writers for the small graph-interchange formats:
+  * GraphML, GML, Pajek, LGL, UCINET DL, DIMACS, adjacency matrix — plus
+  * the `Graph.Read` extension dispatch.
+  *
+  * Reference: `Read_GraphML/GML/Pajek/Lgl/DL/DIMACS/Adjacency` and their
+  * writers (`graphobject.c:14877-15101`, dispatch `__init__.py:2895-2930`,
+  * format table `__init__.py:4239-4263`); fixtures
+  * `tests/test_foreign.py:26-356`.
+  *
+  * Design note: these formats are sequential/stateful by construction
+  * (header-scoped sections, document order, 1-based index blocks), so they
+  * are parsed on the driver from a whole-file read and parallelized
+  * afterwards. They are interchange formats — the petabyte ingest path is
+  * parquet/Iceberg + the [[Pages]] pipeline, never these.
+  */
+object Formats {
+
+  /** Parsed foreign graph: edge table + optional (id, name) vertex names. */
+  final case class ForeignGraph(graph: LinkGraph, names: Option[DataFrame], weighted: Boolean)
+
+  private def wholeFile(spark: SparkSession, path: String): String =
+    spark.read.option("wholetext", "true").text(path).head().getString(0)
+
+  private def toGraph(spark: SparkSession, n: Long,
+                      edges: Seq[(Long, Long, Double)], directed: Boolean,
+                      names: Option[Seq[String]], weighted: Boolean): ForeignGraph = {
+    import spark.implicits._
+    val g = LinkGraph(edges.toDF("src", "dst", "weight"), directed, Some(n))
+    ForeignGraph(g, names.map(ns => ns.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "name")),
+      weighted)
+  }
+
+  // ------------------------------------------------------------------ LGL
+
+  /** LGL: `# vertex` header lines, each followed by its neighbors
+    * (`name [weight]` lines). First-seen name order gives dense ids,
+    * matching the reference's numbering (`graphobject.c:14964`).
+    */
+  def readLgl(spark: SparkSession, path: String, directed: Boolean = false): ForeignGraph = {
+    val lines = wholeFile(spark, path).split("\n").map(_.trim).filter(_.nonEmpty)
+    val idOf = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def id(name: String): Long = idOf.getOrElseUpdate(name, idOf.size.toLong)
+    var cur: Option[Long] = None
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var weighted = false
+    for (line <- lines) {
+      if (line.startsWith("#")) cur = Some(id(line.drop(1).trim))
+      else {
+        require(cur.isDefined, s"not an LGL file: neighbor line before any '# vertex' header: $line")
+        val f = line.split("\\s+")
+        val w = if (f.length >= 2) { weighted = true; f(1).toDouble } else 1.0
+        edges += ((cur.get, id(f(0)), w))
+      }
+    }
+    toGraph(spark, idOf.size.toLong, edges.toSeq, directed, Some(idOf.keys.toSeq), weighted)
+  }
+
+  /** write_lgl: `# source` header + neighbor lines. */
+  def writeLgl(g: LinkGraph, names: DataFrame, path: String, withWeights: Boolean = true): Unit = {
+    val nameOf = names.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sb = new StringBuilder
+    g.weighted.collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach { case (src, rows) =>
+      sb.append(s"# ${nameOf(src)}\n")
+      rows.foreach { r =>
+        sb.append(nameOf(r.getLong(1)))
+        if (withWeights) sb.append(" " + r.getDouble(2))
+        sb.append("\n")
+      }
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  // -------------------------------------------------------------- GraphML
+
+  /** GraphML via the JDK DOM parser: nodes in document order get dense ids
+    * (like the reference); `name` vertex data and `weight` edge data are
+    * honored; `edgedefault` sets directedness.
+    */
+  def readGraphml(spark: SparkSession, path: String): ForeignGraph = {
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(new java.io.File(path))
+    def elems(parent: org.w3c.dom.Element, tag: String): Seq[org.w3c.dom.Element] = {
+      val nl = parent.getElementsByTagName(tag)
+      (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+    }
+    val root = doc.getDocumentElement
+    // key id -> attr.name
+    val keyName = elems(root, "key").map(k => k.getAttribute("id") -> k.getAttribute("attr.name")).toMap
+    val graphEl = elems(root, "graph").head
+    val directed = graphEl.getAttribute("edgedefault") == "directed"
+    def dataOf(e: org.w3c.dom.Element): Map[String, String] =
+      elems(e, "data").map(d => keyName.getOrElse(d.getAttribute("key"), d.getAttribute("key"))
+        -> d.getTextContent.trim).toMap
+    val nodes = elems(graphEl, "node")
+    val idOf = nodes.zipWithIndex.map { case (nd, i) => nd.getAttribute("id") -> i.toLong }.toMap
+    val names = nodes.map(nd => dataOf(nd).getOrElse("name", nd.getAttribute("id")))
+    var weighted = false
+    val edges = elems(graphEl, "edge").map { ed =>
+      val w = dataOf(ed).get("weight").map { s => weighted = true; s.toDouble }.getOrElse(1.0)
+      (idOf(ed.getAttribute("source")), idOf(ed.getAttribute("target")), w)
+    }
+    toGraph(spark, nodes.size.toLong, edges, directed, Some(names), weighted)
+  }
+
+  /** write_graphml (igraph-style v_name/e_weight keys). */
+  def writeGraphml(g: LinkGraph, names: DataFrame, path: String): Unit = {
+    val nameOf = names.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n")
+    sb.append("<key id=\"v_name\" for=\"node\" attr.name=\"name\" attr.type=\"string\"/>\n")
+    sb.append("<key id=\"e_weight\" for=\"edge\" attr.name=\"weight\" attr.type=\"double\"/>\n")
+    sb.append(s"""<graph id="G" edgedefault="${if (g.directed) "directed" else "undirected"}">\n""")
+    nameOf.toSeq.sortBy(_._1).foreach { case (i, nm) =>
+      sb.append(s"""<node id="n$i"><data key="v_name">${esc(nm)}</data></node>\n""")
+    }
+    g.weighted.collect().foreach { r =>
+      sb.append(s"""<edge source="n${r.getLong(0)}" target="n${r.getLong(1)}">""")
+      sb.append(s"""<data key="e_weight">${r.getDouble(2)}</data></edge>\n""")
+    }
+    sb.append("</graph>\n</graphml>\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  // ------------------------------------------------------------------ GML
+
+  /** Minimal GML: `graph [ directed 0|1  node [ id N label "x" ]
+    * edge [ source A target B value W ] ]`.
+    */
+  def readGml(spark: SparkSession, path: String): ForeignGraph = {
+    val text = wholeFile(spark, path)
+    val tokens = "\"[^\"]*\"|\\[|\\]|[^\\s\\[\\]]+".r.findAllIn(text).toVector
+    // recursive descent: a block is a flat list of (key, scalar-or-block)
+    var pos = 0
+    def parseBlock(): Seq[(String, Any)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]
+      while (pos < tokens.length && tokens(pos) != "]") {
+        val key = tokens(pos); pos += 1
+        if (pos < tokens.length && tokens(pos) == "[") { pos += 1; out += key -> parseBlock() }
+        else { out += key -> tokens(pos); pos += 1 }
+      }
+      if (pos < tokens.length) pos += 1 // consume ']'
+      out.toSeq
+    }
+    val top = parseBlock()
+    val graph = top.collectFirst { case ("graph", b: Seq[_]) => b.asInstanceOf[Seq[(String, Any)]] }
+      .getOrElse(throw new IllegalArgumentException("not a GML file: no graph block"))
+    def scalar(b: Seq[(String, Any)], k: String): Option[String] =
+      b.collectFirst { case (`k`, v: String) => v.stripPrefix("\"").stripSuffix("\"") }
+    val directed = scalar(graph, "directed").contains("1")
+    val nodes = graph.collect { case ("node", b: Seq[_]) => b.asInstanceOf[Seq[(String, Any)]] }
+    val gmlIds = nodes.map(b => scalar(b, "id").get.toLong)
+    val idOf = gmlIds.zipWithIndex.map { case (gid, i) => gid -> i.toLong }.toMap
+    val names = nodes.zip(gmlIds).map { case (b, gid) => scalar(b, "label").getOrElse(gid.toString) }
+    var weighted = false
+    val edges = graph.collect { case ("edge", b: Seq[_]) => b.asInstanceOf[Seq[(String, Any)]] }.map { b =>
+      val w = scalar(b, "value").orElse(scalar(b, "weight")).map { s => weighted = true; s.toDouble }.getOrElse(1.0)
+      (idOf(scalar(b, "source").get.toLong), idOf(scalar(b, "target").get.toLong), w)
+    }
+    toGraph(spark, nodes.size.toLong, edges, directed, Some(names), weighted)
+  }
+
+  def writeGml(g: LinkGraph, names: Option[DataFrame], path: String): Unit = {
+    val nameOf = names.map(_.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+      .getOrElse(Map.empty)
+    val sb = new StringBuilder
+    sb.append("graph [\n").append(s"  directed ${if (g.directed) 1 else 0}\n")
+    val vs = g.vertices.collect().map(_.getLong(0)).sorted
+    vs.foreach { i =>
+      sb.append(s"  node [ id $i")
+      nameOf.get(i).foreach(nm => sb.append(s""" label "$nm""""))
+      sb.append(" ]\n")
+    }
+    g.weighted.collect().foreach { r =>
+      sb.append(s"  edge [ source ${r.getLong(0)} target ${r.getLong(1)} value ${r.getDouble(2)} ]\n")
+    }
+    sb.append("]\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  // ---------------------------------------------------------------- Pajek
+
+  /** Pajek .net: `*Vertices n` (+ optional `idx "label"` lines), then
+    * `*Arcs` (directed) and/or `*Edges` (undirected, loaded symmetrically
+    * when arcs exist) sections of 1-based `src dst [weight]` lines.
+    */
+  def readPajek(spark: SparkSession, path: String): ForeignGraph = {
+    val lines = wholeFile(spark, path).split("\n").map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("%"))
+    var n = 0L
+    var section = ""
+    val names = scala.collection.mutable.Map.empty[Long, String]
+    val arcs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val undir = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var weighted = false
+    for (line <- lines) {
+      val low = line.toLowerCase
+      if (low.startsWith("*vertices")) { section = "v"; n = line.split("\\s+")(1).toLong }
+      else if (low.startsWith("*arcs")) section = "a"
+      else if (low.startsWith("*edges")) section = "e"
+      else if (low.startsWith("*")) section = "?"
+      else section match {
+        case "v" =>
+          val m = "^(\\d+)\\s+\"([^\"]*)\"".r.findFirstMatchIn(line)
+            .orElse("^(\\d+)\\s+(\\S+)".r.findFirstMatchIn(line))
+          m.foreach(mm => names(mm.group(1).toLong - 1) = mm.group(2))
+        case "a" | "e" =>
+          val f = line.split("\\s+")
+          val w = if (f.length >= 3) { weighted = true; f(2).toDouble } else 1.0
+          val t = (f(0).toLong - 1, f(1).toLong - 1, w)
+          if (section == "a") arcs += t else undir += t
+        case _ =>
+      }
+    }
+    val directed = arcs.nonEmpty
+    // in a directed file, *Edges rows mean symmetric pairs
+    val edges = if (directed) arcs.toSeq ++ undir.flatMap(t => Seq(t, (t._2, t._1, t._3)))
+                else undir.toSeq
+    val nameSeq = (0L until n).map(i => names.getOrElse(i, (i + 1).toString))
+    toGraph(spark, n, edges, directed, Some(nameSeq), weighted)
+  }
+
+  def writePajek(g: LinkGraph, names: Option[DataFrame], path: String): Unit = {
+    val nameOf = names.map(_.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+      .getOrElse(Map.empty)
+    val n = g.vcount()
+    val sb = new StringBuilder
+    sb.append(s"*Vertices $n\n")
+    (0L until n).foreach(i => sb.append(s"${i + 1} \"${nameOf.getOrElse(i, (i + 1).toString)}\"\n"))
+    sb.append(if (g.directed) "*Arcs\n" else "*Edges\n")
+    g.weighted.collect().foreach(r =>
+      sb.append(s"${r.getLong(0) + 1} ${r.getLong(1) + 1} ${r.getDouble(2)}\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  // ------------------------------------------------------------- UCINET DL
+
+  /** UCINET DL, the two fixture dialects: `format = fullmatrix` (labels
+    * embedded or in a `labels:` block) and `format = edgelist1` (named
+    * endpoints, optional weight). Case-insensitive label resolution.
+    */
+  def readDl(spark: SparkSession, path: String, directed: Boolean = true): ForeignGraph = {
+    val lines = wholeFile(spark, path).split("\n").map(_.trim).filter(_.nonEmpty)
+    val header = lines.head.toLowerCase
+    require(header.startsWith("dl"), "not a DL file")
+    val n = "n\\s*=\\s*(\\d+)".r.findFirstMatchIn(header).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException("DL: missing n="))
+    var format = "fullmatrix"
+    var labels = Vector.empty[String]
+    var inLabels = false
+    var dataAt = -1
+    for ((line, i) <- lines.zipWithIndex.drop(1) if dataAt < 0) {
+      val low = line.toLowerCase
+      if (low.startsWith("format")) { format = low.split("=")(1).trim; inLabels = false }
+      else if (low.startsWith("labels") && low.contains("embedded")) inLabels = false
+      else if (low.startsWith("labels")) inLabels = true
+      else if (low.startsWith("data")) dataAt = i + 1
+      else if (inLabels) labels = labels ++ line.split("[,\\s]+").filter(_.nonEmpty)
+    }
+    val data = lines.drop(dataAt)
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var weighted = false
+    if (format.startsWith("fullmatrix")) {
+      var rows = data
+      if (labels.isEmpty) { labels = rows.head.split("[,\\s]+").filter(_.nonEmpty).toVector; rows = rows.tail }
+      require(labels.size == n, s"DL: ${labels.size} labels for n=$n")
+      rows.take(n).zipWithIndex.foreach { case (row, i) =>
+        var vals = row.split("\\s+").toSeq
+        if (vals.length == n + 1) vals = vals.tail // embedded row label
+        vals.take(n).zipWithIndex.foreach { case (v, j) =>
+          if (v.toDouble != 0.0) edges += ((i.toLong, j.toLong, v.toDouble))
+        }
+      }
+    } else { // edgelist1
+      require(labels.size == n, s"DL: ${labels.size} labels for n=$n")
+      val idOf = labels.map(_.toLowerCase).zipWithIndex.toMap
+      data.foreach { line =>
+        val f = line.split("\\s+")
+        val w = if (f.length >= 3) { weighted = true; f(2).toDouble } else 1.0
+        edges += ((idOf(f(0).toLowerCase).toLong, idOf(f(1).toLowerCase).toLong, w))
+      }
+    }
+    toGraph(spark, n.toLong, edges.toSeq, directed, Some(labels), weighted)
+  }
+
+  // --------------------------------------------------------------- DIMACS
+
+  final case class DimacsResult(graph: LinkGraph, source: Long, target: Long, capacities: DataFrame)
+
+  /** DIMACS max-flow: `p max n m`, `n <id> s|t`, `a u v capacity`
+    * (1-based). Capacity is carried as the edge weight too.
+    */
+  def readDimacs(spark: SparkSession, path: String, directed: Boolean = true): DimacsResult = {
+    import spark.implicits._
+    val lines = wholeFile(spark, path).split("\n").map(_.trim).filter(_.nonEmpty)
+    var n = 0L
+    var src = -1L
+    var dst = -1L
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    lines.foreach { line =>
+      val f = line.split("\\s+")
+      f(0) match {
+        case "p" => n = f(2).toLong
+        case "n" => if (f(2) == "s") src = f(1).toLong - 1 else if (f(2) == "t") dst = f(1).toLong - 1
+        case "a" => edges += ((f(1).toLong - 1, f(2).toLong - 1, f(3).toDouble))
+        case _ => // comments
+      }
+    }
+    val df = edges.toSeq.toDF("src", "dst", "weight")
+    DimacsResult(LinkGraph(df, directed, Some(n)), src, dst,
+      df.withColumnRenamed("weight", "capacity"))
+  }
+
+  def writeDimacs(r: DimacsResult, path: String): Unit = {
+    val rows = r.capacities.collect()
+    val sb = new StringBuilder
+    sb.append(s"p max ${r.graph.vcount()} ${rows.length}\n")
+    sb.append(s"n ${r.source + 1} s\n").append(s"n ${r.target + 1} t\n")
+    rows.foreach(x => sb.append(s"a ${x.getLong(0) + 1} ${x.getLong(1) + 1} ${x.getDouble(2)}\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  // ------------------------------------------------------------ adjacency
+
+  /** Read_Adjacency: dense numeric matrix (comment lines skipped). Without
+    * `attribute`, a cell value k produces k parallel unweighted edges
+    * (reference fixture: ecount 18); with one, a single weighted edge.
+    */
+  def readAdjacency(spark: SparkSession, path: String, attribute: Option[String] = None): ForeignGraph = {
+    val rows = wholeFile(spark, path).split("\n").map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\\s+").map(_.toDouble))
+    val n = rows.length.toLong
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    for ((row, i) <- rows.zipWithIndex; (v, j) <- row.zipWithIndex if v != 0.0) {
+      if (attribute.isDefined) edges += ((i.toLong, j.toLong, v))
+      else (0 until v.toInt).foreach(_ => edges += ((i.toLong, j.toLong, 1.0)))
+    }
+    toGraph(spark, n, edges.toSeq, directed = true, None, weighted = attribute.isDefined)
+  }
+
+  def writeAdjacency(g: LinkGraph, path: String): Unit = {
+    val n = g.vcount().toInt
+    val m = Array.fill(n, n)(0.0)
+    g.weighted.collect().foreach(r => m(r.getLong(0).toInt)(r.getLong(1).toInt) += r.getDouble(2))
+    val sb = new StringBuilder
+    m.foreach(row => sb.append(row.mkString(" ")).append("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  // ------------------------------------------------------------- dispatch
+
+  /** `Graph.Read(path)` extension dispatch (`__init__.py:2895-2930`). */
+  def read(spark: SparkSession, path: String, format: Option[String] = None): ForeignGraph = {
+    val fmt = format.getOrElse(path.toLowerCase.split("\\.").last)
+    fmt match {
+      case "ncol" =>
+        val r = Foreign.readNcol(spark, path)
+        ForeignGraph(r.graph, Some(r.vertices), r.weighted)
+      case "lgl"               => readLgl(spark, path)
+      case "graphml" | "xml"   => readGraphml(spark, path)
+      case "gml"               => readGml(spark, path)
+      case "net" | "pajek"     => readPajek(spark, path)
+      case "dl"                => readDl(spark, path)
+      case "dimacs" | "max"    => val r = readDimacs(spark, path); ForeignGraph(r.graph, None, weighted = true)
+      case "adj" | "adjacency" => readAdjacency(spark, path)
+      case "edges" | "edgelist" | "txt" =>
+        ForeignGraph(Foreign.readEdgelist(spark, path), None, weighted = false)
+      case other => throw new IllegalArgumentException(s"unknown graph format: $other")
+    }
+  }
+}

@@ -105,6 +105,32 @@ object Pages {
     }
   }
 
+  /** Zero-padded url so lexicographic dictionary order == numeric page
+    * order (id == page number) — the oracle-mode corpus url scheme.
+    */
+  def urlOfPadded(i: Long): String = f"https://oracle.test/p/$i%08d"
+
+  /** Oracle-mode corpus: page i links to (i*31 + 7j + 1) mod n for
+    * j < outDeg — pure integer arithmetic a SQL oracle reproduces exactly,
+    * while still exercising the full html -> extract -> link-parse ->
+    * dictionary pipeline (the links only exist inside the generated html).
+    */
+  def generateArithmetic(spark: SparkSession, n: Long, outDeg: Int = 8,
+                         partitions: Int = 8): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val anchors = (0 until outDeg).map { j =>
+        s"""<a href="${urlOfPadded((i * 31 + 7 * j + 1) % n)}">r$j</a>"""
+      }.mkString("\n")
+      val html =
+        s"""<html><head><title>p $i</title></head>
+           |<body><p>page $i</p>
+           |$anchors
+           |</body></html>""".stripMargin.getBytes(StandardCharsets.UTF_8)
+      Page(urlOfPadded(i), new Timestamp(1700000000000L), html, Extract.text(html), "en")
+    }
+  }
+
   // --- pages -> edges pipeline --------------------------------------------
 
   /** Url-level edge list: (src_url, dst_url), one row per anchor. */

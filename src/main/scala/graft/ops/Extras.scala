@@ -31,6 +31,41 @@ object Extras {
     LinkGraph(adj, directed = false, Some(eid.count()))
   }
 
+  /** `Weighted_Adjacency` (`graphobject.c:12979`): COO matrix
+    * (row, col, value) -> weighted graph; zero cells drop.
+    */
+  def weightedAdjacency(coo: DataFrame, directed: Boolean = true): LinkGraph =
+    LinkGraph(coo.select(col("row").as("src"), col("col").as("dst"),
+      col("value").cast("double").as("weight")).where(col("weight") =!= 0.0),
+      directed, None)
+
+  /** `Graph.Incidence`/`Bipartite` (`graphobject.c:12647`,
+    * `__init__.py:3229-3340`): incidence COO (row, col) -> bipartite graph;
+    * rows are vertices 0..n1-1 (type 0), columns n1..n1+n2-1 (type 1).
+    * @return (graph, (id, type))
+    */
+  def bipartiteFromIncidence(coo: DataFrame, n1: Long, n2: Long): (LinkGraph, DataFrame) = {
+    val spark = coo.sparkSession
+    val e = coo.select(col("row").as("src"), (col("col") + n1).as("dst"))
+    val types = spark.range(n1 + n2).select(col("id"), (col("id") >= n1).cast("int").as("type"))
+    (LinkGraph(e, directed = false, Some(n1 + n2)), types)
+  }
+
+  /** `get_incidence` (`graphobject.c:14817`): bipartite graph + (id, type)
+    * back to the (row, col) incidence COO, sides ranked independently.
+    */
+  def getIncidence(g: LinkGraph, types: DataFrame): DataFrame = {
+    def side(t: Int, as: String) = graft.core.Ids.assignDense(
+      types.where(col("type") === t).select(col("id").as("vid")), "vid")
+      .select(col("vid"), col("id").as(as))
+    val s0 = side(0, "row")
+    val s1 = side(1, "col")
+    val e = g.bidirected.select(col("src"), col("dst"))
+    e.join(s0.withColumnRenamed("vid", "src"), Seq("src"))
+      .join(s1.withColumnRenamed("vid", "dst"), Seq("dst"))
+      .select("row", "col").distinct()
+  }
+
   /** Sparse adjacency view in COO form (the edge table IS the matrix):
     * (row, col, value) with multi-edges collapsed by sum
     * (`get_adjacency`, `__init__.py:653-754`).

@@ -58,6 +58,19 @@ object Select {
     def result: DataFrame = attrs
     def ids: DataFrame = attrs.select("id")
 
+    /** `vs.find(...)`: first match in id order, or None
+      * (`__init__.py:4375-4424`). The name-indexed fast path of the
+      * reference is [[findByName]] — a pushed-down point filter on the
+      * dictionary instead of a hash lookup.
+      */
+    def find(): Option[org.apache.spark.sql.Row] =
+      attrs.orderBy("id").limit(1).collect().headOption
+
+    /** `vs.find(name=...)` against a (id, name) dictionary frame. */
+    def findByName(names: DataFrame, name: String): Option[Long] =
+      attrs.join(names.where(col("name") === name), Seq("id"))
+        .select("id").limit(1).collect().headOption.map(_.getLong(0))
+
     /** `g.vs.select(...).subgraph()` — induced subgraph of the selection. */
     def subgraph(): LinkGraph = GraphOps.inducedSubgraph(g, ids)
   }
@@ -106,6 +119,10 @@ object Select {
           (col("src").isin(s2: _*) && col("dst").isin(s1: _*))))
 
     def result: DataFrame = edges
+
+    /** `es.find(...)`: first match in (src, dst) order (`__init__.py:4647`). */
+    def find(): Option[org.apache.spark.sql.Row] =
+      edges.orderBy("src", "dst").limit(1).collect().headOption
 
     /** `subgraph_edges(...)` analog (`graphobject.c:14018`). */
     def subgraph(): LinkGraph = LinkGraph(edges, g.directed, g.numVertices)

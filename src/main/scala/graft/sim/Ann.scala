@@ -38,21 +38,27 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  /** Random-hyperplane LSH bucketing: `nBits` seeded pseudo-random
-    * hyperplanes (deterministic hash-derived coefficients), sign pattern ->
-    * bucket id. Same-bucket join gives candidates; exact cosine re-ranks.
-    * Recall grows with number of probe tables (`tables`).
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Random-hyperplane LSH bucketing: `nBits` ±1 sign-random-projection
+    * hyperplanes (Charikar SimHash-for-cosine), sign pattern -> bucket id.
+    * Same-bucket join gives candidates; exact cosine re-ranks. Recall grows
+    * with number of probe tables (`tables`). Coefficients are derived from
+    * md5("table_hyperplane_dim") parity so the DuckDB oracle recomputes the
+    * identical buckets with its own MD5.
     */
   def lshBuckets(vectors: DataFrame, nBits: Int = 6, table: Int = 0): DataFrame = {
-    // hyperplane h, dim d coefficient = centered hash in [-1,1]; shipped as
-    // ONE 2-D array literal folded at runtime — an unrolled per-dim
-    // expression tree (nBits x dims terms) bloats codegen and the task
-    // binary instead.
+    // shipped as ONE 2-D array literal folded at runtime — an unrolled
+    // per-dim expression tree (nBits x dims terms) bloats codegen and the
+    // task binary instead.
     val dims = vectors.select(size(col("embedding"))).head.getInt(0)
     val coefs: Seq[Seq[Double]] = (0 until nBits).map { h =>
       (0 until dims).map { d =>
-        val x = graft.ingest.Pages.mix64(table.toLong << 32 | h.toLong << 16 | d.toLong)
-        x.toDouble / Long.MaxValue.toDouble
+        val digit = Integer.parseInt(md5Hex(s"${table}_${h}_${d}").substring(15, 16), 16)
+        if ((digit & 1) == 1) 1.0 else -1.0
       }
     }
     val emb = col("embedding").cast("array<double>")

@@ -90,12 +90,19 @@ object TextOps {
   }
 
   /** MinHash signatures: k independent permutations simulated by seeded
-    * xxhash64 over shingles; signature[i] = min hash under seed i.
+    * hashes over shingles; signature[i] = min hash under seed i.
     * Pure Column expressions (aggregate over exploded shingles).
+    * `md5Mode` derives the permutations from md5 (any engine — the DuckDB
+    * oracle reproduces them bit-for-bit); default xxhash64 is the faster
+    * production path (identical algorithm, different hash family).
     */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16, md5Mode: Boolean = false): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val mins = (0 until k).map { i =>
+      val h = if (md5Mode) md5(concat_ws("|", lit(i.toString), col("sh")))
+              else xxhash64(lit(i), col("sh")).cast("string")
+      min(h).as(s"h$i")
+    }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -104,12 +111,14 @@ object TextOps {
     * Classic banding: collision prob ≈ 1-(1-J^r)^b. Candidates are then
     * (optionally) verified by exact Jaccard — the scale path for dedup.
     */
-  def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
-    val sig = minhashSignatures(docs, n, k)
+  def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 8,
+                        md5Mode: Boolean = false): DataFrame = {
+    val sig = minhashSignatures(docs, n, k, md5Mode)
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as("bh"))
+      val slots = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      val bh = if (md5Mode) md5(concat_ws("|", slots: _*)) else xxhash64(slots: _*).cast("string")
+      struct(lit(b).as("band"), bh.as("bh"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
@@ -119,38 +128,49 @@ object TextOps {
       .distinct()
   }
 
-  /** SimHash fingerprint (64-bit): per token, xxhash64; per bit, sum +1/-1
-    * weighted votes; sign -> bit. Near-dups have small Hamming distance.
+  /** SimHash fingerprint as four 16-bit chunks (c0..c3; c0 = bits 0-15).
+    * Per token the 64-bit hash is the first 16 hex chars of md5(token)
+    * (engine-portable — the DuckDB oracle recomputes it digit-wise); per
+    * bit, +1/-1 votes are summed over token OCCURRENCES; sign -> bit.
+    * The chunked representation doubles as the Hamming blocking key and
+    * avoids 64-bit sign pitfalls across engines.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("hx", md5(col("t")))
+      // hex chars 1-8 = bits 32..63, chars 9-16 = bits 0..31 (big-endian)
+      .withColumn("hi", conv(substring(col("hx"), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("hx"), 9, 8), 16, 10).cast("long"))
     val bitVotes: Seq[Column] = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
+      val (src, sh) = if (b < 32) (col("lo"), b) else (col("hi"), b - 32)
+      sum(when(shiftright(src, sh).bitwiseAND(lit(1L)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
     }
     val votes = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val fp = (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, c) => a.bitwiseOR(c))
-    votes.select(col("doc_id"), fp.as("simhash"))
+    val chunks = (0 until 4).map { c =>
+      (0 until 16).map(l => when(col(s"b${c * 16 + l}") > 0, lit(1L << l)).otherwise(lit(0L)))
+        .reduce((a, x) => a.bitwiseOR(x)).as(s"c$c")
+    }
+    votes.select(col("doc_id") +: chunks: _*)
   }
 
   /** Hamming-distance near-dup pairs from simhash, blocked by 16-bit chunks
-    * (pigeonhole: distance <= 3 implies at least one of 4 chunks equal).
+    * (pigeonhole: distance <= 3 implies at least one of 4 chunks equal; for
+    * larger maxDist the chunk-join is an approximate candidate generator).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val fp = simhash(docs).transform(graft.core.Lineage.cut)
-    val chunks = (0 until 4).map(c =>
-      struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck")))
-    val blocked = fp.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.chunk"), col("b.ck"))
-    val cand = blocked.alias("x").join(blocked.alias("y"), Seq("chunk", "ck"))
+    val chunkCols = (0 until 4).map(c => struct(lit(c).as("chunk"), col(s"c$c").as("ck")))
+    val blocked = fp.select(
+      (col("doc_id") +: (0 until 4).map(c => col(s"c$c"))) :+ explode(array(chunkCols: _*)).as("b"): _*)
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"), col("b.chunk"), col("b.ck"))
+    val hamming = (0 until 4)
+      .map(c => bit_count(col(s"x.c$c").bitwiseXOR(col(s"y.c$c"))))
+      .reduce(_ + _).cast("long")
+    blocked.alias("x").join(blocked.alias("y"), Seq("chunk", "ck"))
       .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.simhash").as("fa"), col("y.simhash").as("fb"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.as("dist"))
       .distinct()
-    cand.withColumn("dist", bit_count(col("fa").bitwiseXOR(col("fb"))))
       .where(col("dist") <= maxDist)
-      .select("a", "b", "dist")
   }
 
   /** Language-ID by stopword-profile voting: score each candidate language
@@ -158,7 +178,7 @@ object TextOps {
     * (n-gram-profile heuristic in the spirit of Cavnar-Trenkle, reduced to
     * codegen-friendly set intersections.)
     */
-  private val langProfiles: Map[String, Seq[String]] = Map(
+  private[graft] val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is"),
     "de" -> Seq("der", "die", "und", "ist", "das"),
     "fr" -> Seq("le", "la", "et", "est", "les"),
@@ -176,12 +196,15 @@ object TextOps {
     docs.select(col("doc_id"), array_max(array(scores: _*)).getField("lang").as("pred_lang"))
   }
 
-  /** Rolling-hash document fingerprint (winnowing-style): min xxhash64 over
-    * character 8-gram windows — cheap containment-dup detector.
+  /** Rolling-hash document fingerprint (winnowing-style): min md5 over
+    * character 8-gram windows — cheap containment-dup detector. md5 keeps
+    * the fingerprint reproducible in any engine (the DuckDB oracle computes
+    * the identical value); swap in xxhash64 where cross-engine parity is
+    * not needed.
     */
   def fingerprint(docs: DataFrame, window: Int = 8): DataFrame = {
     val idx = sequence(lit(1), greatest(length(col("text")) - (window - 1), lit(1)))
-    val grams = transform(idx, i => xxhash64(col("text").substr(i, lit(window))))
+    val grams = transform(idx, i => md5(col("text").substr(i, lit(window))))
     docs.select(col("doc_id"), array_min(grams).as("fingerprint"))
   }
 }

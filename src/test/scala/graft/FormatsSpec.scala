@@ -1,0 +1,220 @@
+package graft
+
+import graft.ingest.Formats
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Foreign-format fixtures ported from `tests/test_foreign.py:26-356`. */
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def tmp(content: String, ext: String): String = {
+    val f = java.io.File.createTempFile("graft", "." + ext)
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath, content.stripMargin)
+    f.getAbsolutePath
+  }
+
+  private def namedEdges(fg: Formats.ForeignGraph): Seq[(String, String)] = {
+    val nameOf = fg.names.get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    fg.graph.edges.collect().map(r => (nameOf(r.getLong(0)), nameOf(r.getLong(1)))).toSeq.sorted
+  }
+
+  test("DIMACS max-flow fixture (test_foreign.py:26-53) + round-trip") {
+    val p = tmp(
+      """c comment
+        |p max 4 5
+        |n 1 s
+        |n 4 t
+        |a 1 2 4
+        |a 1 3 2
+        |a 2 3 2
+        |a 2 4 3
+        |a 3 4 5
+        |""", "max")
+    val r = Formats.readDimacs(spark, p)
+    assert(r.graph.vcount() == 4 && r.graph.ecount() == 5)
+    assert(r.source == 0 && r.target == 3)
+    val caps = r.capacities.orderBy("src", "dst").collect().map(_.getDouble(2)).toSeq
+    assert(caps == Seq(4.0, 2.0, 2.0, 3.0, 5.0))
+    val out = tmp("", "max")
+    Formats.writeDimacs(r, out)
+    val r2 = Formats.readDimacs(spark, out)
+    assert(r2.graph.vcount() == 4 && r2.graph.ecount() == 5 && r2.source == 0 && r2.target == 3)
+  }
+
+  test("DL fullmatrix embedded + labels-block + edgelist1 (test_foreign.py:55-151)") {
+    val m1 = Formats.readDl(spark, tmp(
+      """dl n=5
+        |format = fullmatrix
+        |labels embedded
+        |data:
+        |larry david lin pat russ
+        |Larry 0 1 1 1 0
+        |david 1 0 0 0 1
+        |Lin 1 0 0 1 0
+        |Pat 1 0 1 0 1
+        |russ 0 1 0 1 0
+        |""", "dl"))
+    assert(m1.graph.vcount() == 5 && m1.graph.ecount() == 12 && m1.graph.directed)
+    val el1 = m1.graph.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(el1 == Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (1L, 4L), (2L, 0L),
+      (2L, 3L), (3L, 0L), (3L, 2L), (3L, 4L), (4L, 1L), (4L, 3L)))
+
+    val m2 = Formats.readDl(spark, tmp(
+      """dl n=5
+        |format = fullmatrix
+        |labels:
+        |barry,david
+        |lin,pat
+        |russ
+        |data:
+        |0 1 1 1 0
+        |1 0 0 0 1
+        |1 0 0 1 0
+        |1 0 1 0 1
+        |0 1 0 1 0
+        |""", "dl"))
+    assert(m2.graph.vcount() == 5 && m2.graph.ecount() == 12)
+
+    val e1 = Formats.readDl(spark, tmp(
+      """DL n=5
+        |format = edgelist1
+        |labels:
+        |george, sally, jim, billy, jane
+        |labels embedded:
+        |data:
+        |george sally 2
+        |george jim 3
+        |sally jim 4
+        |billy george 5
+        |jane jim 6
+        |""", "dl"), directed = false)
+    assert(e1.graph.vcount() == 5 && e1.graph.ecount() == 5 && !e1.graph.directed)
+    val el = e1.graph.edges.collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSeq.sorted
+    assert(el == Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 4L)))
+  }
+
+  test("LGL fixture incl. weights and the not-an-LGL error (test_foreign.py:204-246)") {
+    val fg = Formats.readLgl(spark, tmp(
+      """# eggs
+        |spam 1
+        |# ham
+        |eggs 2
+        |bacon
+        |# bacon
+        |spam 3
+        |# spam
+        |spam""", "lgl"))
+    assert(fg.graph.vcount() == 4 && fg.graph.ecount() == 5 && fg.weighted)
+    // first-seen name order, like the reference
+    assert(fg.names.get.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("eggs", "spam", "ham", "bacon"))
+    val ws = fg.graph.weighted.collect().map(_.getDouble(2)).sorted.toSeq
+    assert(ws == Seq(1.0, 1.0, 1.0, 2.0, 3.0)) // missing weights default 1
+    assertThrows[IllegalArgumentException] {
+      Formats.readLgl(spark, tmp("1 2\n1 3\n", "lgl"))
+    }
+    // round-trip
+    val out = tmp("", "lgl")
+    Formats.writeLgl(fg.graph, fg.names.get, out)
+    val fg2 = Formats.readLgl(spark, out)
+    assert(namedEdges(fg2) == namedEdges(fg))
+  }
+
+  test("GraphML fixture + round-trip (test_foreign.py:297-356)") {
+    val fg = Formats.readGraphml(spark, tmp(
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+        |<key id="v_name" for="node" attr.name="name" attr.type="string"/>
+        |<graph id="G" edgedefault="undirected">
+        |<node id="n0"><data key="v_name">a</data></node>
+        |<node id="n1"><data key="v_name">b</data></node>
+        |<node id="n2"><data key="v_name">c</data></node>
+        |<node id="n3"><data key="v_name">d</data></node>
+        |<node id="n4"><data key="v_name">e</data></node>
+        |<node id="n5"><data key="v_name">f</data></node>
+        |<edge source="n0" target="n1"></edge>
+        |<edge source="n0" target="n2"></edge>
+        |<edge source="n0" target="n3"></edge>
+        |<edge source="n1" target="n2"></edge>
+        |<edge source="n3" target="n4"></edge>
+        |<edge source="n3" target="n5"></edge>
+        |<edge source="n4" target="n5"></edge>
+        |</graph>
+        |</graphml>
+        |""", "graphml"))
+    assert(fg.graph.vcount() == 6 && fg.graph.ecount() == 7 && !fg.graph.directed)
+    assert(fg.names.get.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b", "c", "d", "e", "f"))
+    val out = tmp("", "graphml")
+    Formats.writeGraphml(fg.graph, fg.names.get, out)
+    val fg2 = Formats.readGraphml(spark, out)
+    assert(namedEdges(fg2) == namedEdges(fg))
+  }
+
+  test("GML parse + round-trip") {
+    val fg = Formats.readGml(spark, tmp(
+      """graph [
+        |  directed 1
+        |  node [ id 7 label "alpha" ]
+        |  node [ id 9 label "beta" ]
+        |  node [ id 11 label "gamma" ]
+        |  edge [ source 7 target 9 value 2.5 ]
+        |  edge [ source 9 target 11 ]
+        |]
+        |""", "gml"))
+    assert(fg.graph.vcount() == 3 && fg.graph.ecount() == 2 && fg.graph.directed && fg.weighted)
+    assert(namedEdges(fg) == Seq(("alpha", "beta"), ("beta", "gamma")))
+    val out = tmp("", "gml")
+    Formats.writeGml(fg.graph, fg.names, out)
+    assert(namedEdges(Formats.readGml(spark, out)) == namedEdges(fg))
+  }
+
+  test("Pajek parse (1-based, arcs+edges) + round-trip") {
+    val fg = Formats.readPajek(spark, tmp(
+      """*Vertices 3
+        |1 "x"
+        |2 "y"
+        |3 "z"
+        |*Arcs
+        |1 2 1.5
+        |*Edges
+        |2 3
+        |""", "net"))
+    assert(fg.graph.directed && fg.graph.vcount() == 3 && fg.graph.ecount() == 3)
+    val out = tmp("", "net")
+    Formats.writePajek(fg.graph, fg.names, out)
+    assert(namedEdges(Formats.readPajek(spark, out)).toSet == namedEdges(fg).toSet)
+  }
+
+  test("Adjacency matrix: plain vs attribute (test_foreign.py:266-295) + round-trip") {
+    val content =
+      """# Test comment line
+        |0 1 1 0 0 0
+        |1 0 1 0 0 0
+        |1 1 0 0 0 0
+        |0 0 0 0 2 2
+        |0 0 0 2 0 2
+        |0 0 0 2 2 0
+        |"""
+    val plain = Formats.readAdjacency(spark, tmp(content, "adj"))
+    assert(plain.graph.vcount() == 6 && plain.graph.ecount() == 18 && plain.graph.directed)
+    val weighted = Formats.readAdjacency(spark, tmp(content, "adj"), attribute = Some("weight"))
+    assert(weighted.graph.ecount() == 12)
+    val ws = weighted.graph.weighted.collect().map(_.getDouble(2)).sorted.toSeq
+    assert(ws == Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0))
+    val out = tmp("", "adj")
+    Formats.writeAdjacency(weighted.graph, out)
+    val again = Formats.readAdjacency(spark, out, attribute = Some("weight"))
+    assert(again.graph.ecount() == 12)
+  }
+
+  test("Graph.Read dispatch by extension (__init__.py:2895-2930)") {
+    val p = tmp("a b 1\nb c 2\n", "ncol")
+    val fg = Formats.read(spark, p)
+    assert(fg.graph.ecount() == 2 && fg.weighted)
+    assertThrows[IllegalArgumentException] { Formats.read(spark, "x.unknownext") }
+  }
+}

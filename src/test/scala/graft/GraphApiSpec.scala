@@ -1,0 +1,117 @@
+package graft
+
+import graft.algos.{Components, Paths}
+import graft.core.{GraphOps, LinkGraph, Mode}
+import graft.ops.{Extras, Select}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Small-API surface: neighbors/incident/get_eid/are_connected, find,
+  * predicates, nominal assortativity, decompose, dfsiter, matrix
+  * constructors, callable simplify combiners.
+  */
+class GraphApiSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def g = LinkGraph(spark, 5,
+    Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L)), directed = true)
+
+  test("neighbors / successors / predecessors / incident (graphobject.c:12336-12401)") {
+    assert(GraphOps.successors(g, 0L).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(GraphOps.predecessors(g, 2L).collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+    assert(GraphOps.neighbors(g, 2L, Mode.All).collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 3L))
+    assert(GraphOps.incident(g, 2L, Mode.Out).count() == 1)
+  }
+
+  test("are_connected / get_eid (graphobject.c:12358-12400, 13008)") {
+    assert(GraphOps.areConnected(g, 0L, 1L))
+    assert(!GraphOps.areConnected(g, 1L, 0L)) // directed
+    val und = LinkGraph(g.weighted.select("src", "dst"), directed = false, Some(5L))
+    assert(GraphOps.areConnected(und, 1L, 0L))
+    assert(GraphOps.getEid(g, 0L, 1L) == 0L) // (0,1) first in (src,dst) order
+    assert(GraphOps.getEid(g, 2L, 3L) == 3L)
+    assert(GraphOps.getEid(g, 3L, 0L) == -1L)
+  }
+
+  test("vs.find / es.find / findByName (__init__.py:4375-4424)") {
+    val names = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e")).toDF("id", "name")
+    assert(Select.vs(g).degree("gt", 1, Mode.Out).find().map(_.getLong(0)) == Some(0L))
+    assert(Select.vs(g).findByName(names, "c") == Some(2L))
+    assert(Select.vs(g).findByName(names, "zz").isEmpty)
+    assert(Select.es(g).source(Seq(2L)).find().map(r => (r.getLong(0), r.getLong(1))) == Some((2L, 3L)))
+  }
+
+  test("predicates: is_connected / is_tree / is_mutual / is_bipartite") {
+    // g has an isolated vertex 4 -> not connected; its 4-vertex core is
+    val core = LinkGraph(spark, 4, Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L)), directed = true)
+    assert(GraphOps.isConnected(core)) // weakly
+    assert(!GraphOps.isConnected(core, strong = true))
+    assert(!GraphOps.isConnected(g)) // vertex 4 isolated
+    val tree = LinkGraph.tree(spark, 7, 2)
+    assert(GraphOps.isTree(tree) && !GraphOps.isTree(g))
+    val mut = LinkGraph(spark, 2, Seq((0L, 1L), (1L, 0L)), directed = true)
+    assert(GraphOps.isMutual(mut) && !GraphOps.isMutual(g))
+    assert(GraphOps.isBipartite(LinkGraph.star(spark, 5)))
+    assert(GraphOps.isBipartite(LinkGraph.ring(spark, 6)))
+    assert(!GraphOps.isBipartite(LinkGraph.ring(spark, 5))) // odd cycle
+    assert(!GraphOps.isBipartite(LinkGraph.full(spark, 3)))
+  }
+
+  test("nominal assortativity: perfect mixing -> 1, anti-mixing negative (graphobject.c:13027)") {
+    val types = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1)).toDF("id", "type")
+    val assortative = LinkGraph(spark, 4, Seq((0L, 1L), (2L, 3L)), directed = false)
+    val r1 = GraphOps.assortativityNominal(assortative, types).head.getDouble(0)
+    assert(math.abs(r1 - 1.0) < 1e-12)
+    val disassortative = LinkGraph(spark, 4, Seq((0L, 2L), (1L, 3L)), directed = false)
+    val r2 = GraphOps.assortativityNominal(disassortative, types).head.getDouble(0)
+    assert(r2 < 0.0)
+  }
+
+  test("decompose with maxcompno/minelements (graphobject.c:13258-13271)") {
+    val three = GraphOps.disjointUnion(GraphOps.disjointUnion(
+      LinkGraph.full(spark, 4), LinkGraph.full(spark, 3)), LinkGraph.full(spark, 2))
+    val all = Components.decompose(three)
+    assert(all.map(_.vcount()).sorted == Seq(2L, 3L, 4L))
+    assert(Components.decompose(three, maxCompNo = 2).map(_.vcount()) == Seq(4L, 3L))
+    assert(Components.decompose(three, minElements = 3).map(_.vcount()).sorted == Seq(3L, 4L))
+  }
+
+  test("dfsiter: preorder with smallest-first tie-break (dfsiter.c)") {
+    // 0 -> {1, 2}, 1 -> {3}: preorder 0,1,3,2
+    val dg = LinkGraph(spark, 4, Seq((0L, 1L), (0L, 2L), (1L, 3L)), directed = true)
+    assert(Paths.dfsIter(dg, 0L) == Seq(0L, 1L, 3L, 2L))
+    assert(Paths.dfsIter(dg, 0L, Mode.All) == Seq(0L, 1L, 3L, 2L))
+  }
+
+  test("Weighted_Adjacency / Incidence / get_incidence round-trip") {
+    val coo = Seq((0L, 1L, 2.5), (1L, 0L, 0.0), (1L, 2L, 1.0)).toDF("row", "col", "value")
+    val wa = Extras.weightedAdjacency(coo)
+    assert(wa.ecount() == 2) // zero cell dropped
+    val inc = Seq((0L, 0L), (0L, 1L), (1L, 1L)).toDF("row", "col")
+    val (bg, types) = Extras.bipartiteFromIncidence(inc, 2, 2)
+    assert(bg.ecount() == 3 && GraphOps.isBipartite(bg))
+    assert(types.where(col("type") === 1).count() == 2)
+    val back = Extras.getIncidence(bg, types).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == Set((0L, 0L), (0L, 1L), (1L, 1L)))
+  }
+
+  test("simplify with a CUSTOM Aggregator combiner (convert.c:269-291 callable)") {
+    // geometric mean as a user-defined Aggregator, registered via udaf
+    val geo = new org.apache.spark.sql.expressions.Aggregator[Double, (Double, Long), Double] {
+      def zero = (0.0, 0L)
+      def reduce(b: (Double, Long), a: Double) = (b._1 + math.log(a), b._2 + 1)
+      def merge(x: (Double, Long), y: (Double, Long)) = (x._1 + y._1, x._2 + y._2)
+      def finish(b: (Double, Long)) = math.exp(b._1 / b._2)
+      def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong)
+      def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+    }
+    val geoUdaf = udaf(geo)
+    val mg = LinkGraph.weighted(spark, 2, Seq((0L, 1L, 2.0), (0L, 1L, 8.0)), directed = false)
+    val s = GraphOps.simplifyWith(mg, w => geoUdaf(w))
+    val w = s.weighted.head.getDouble(2)
+    assert(math.abs(w - 4.0) < 1e-12) // sqrt(2*8)
+  }
+}

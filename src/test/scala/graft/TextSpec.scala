@@ -69,7 +69,7 @@ class TextSpec extends AnyFunSuite {
       (1L, "abcdefghijklmnop one two three"),
       (2L, "abcdefghijklmnop one two three"),
       (3L, "zzzzzz totally other content qqq")).toDF("doc_id", "text"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(f(1L) == f(2L))
     assert(f(1L) != f(3L))
   }
