@@ -156,6 +156,8 @@ object SparkEntry {
     "q_es_within" -> ((s, dir) => graft.ops.Select.es(Tables.eventsGraph(s, dir))
       .within((0L to 20L)).result
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))),
+    "q_bridges" -> ((s, dir) => graft.ops.Extras.bridges(Tables.bridgeGraph(s, dir), md5Tags = true)
+      .select(col("src"), col("dst"))),
     "q_linegraph" -> ((s, dir) => {
       val g = LinkGraph(Tables.eventsGraph(s, dir).weighted
         .select("src", "dst").distinct(), directed = true, None)
@@ -321,6 +323,51 @@ FROM h$k h JOIN a$k a ON a.id = h.id""")
     sb.toString
   }
 
+  /** First 15 md5 hex digits of `arg` as a BIGINT (mirrors Spark's
+    * `conv(substring(md5(x), 1, 15), 16, 10)` — 60 bits, sign-safe).
+    */
+  private def md5Long15Sql(arg: String): String =
+    (1 to 15).map(i =>
+      s"(STRPOS('0123456789abcdef', SUBSTR(h, $i, 1)) - 1) * ${math.pow(16, 15 - i).toLong}")
+      .mkString("(", " + ", ")")
+
+  /** Bridges oracle on the tree-plus-chords graph: the same spanning-forest
+    * + XOR-tag-coverage algorithm as `Extras.bridges(md5Tags=true)` —
+    * BFS forest from per-component min roots (parent = min neighbor one
+    * level up), md5-derived tags on non-tree edges, subtree XOR via the
+    * recursive ancestor closure; bridges = tree edges with subtree XOR 0.
+    */
+  private def bridgesSql: String =
+    s"""WITH RECURSIVE ev AS (SELECT DISTINCT user_id AS u FROM events),
+       |be AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM (
+       |  SELECT u // 2 AS s, u AS d FROM ev WHERE u > 0
+       |  UNION ALL SELECT u - 1, u FROM ev WHERE u > 0 AND u % 7 = 0)),
+       |ue AS MATERIALIZED (SELECT u AS a, v AS b FROM be UNION ALL SELECT v, u FROM be),
+       |verts AS (SELECT DISTINCT a AS id FROM ue),
+       |reach AS (SELECT id AS a, id AS b FROM verts
+       |  UNION SELECT r.a, ue.b FROM reach r JOIN ue ON ue.a = r.b),
+       |comp AS MATERIALIZED (SELECT a AS id, MIN(b) AS c FROM reach GROUP BY a),
+       |roots AS (SELECT id FROM comp WHERE id = c),
+       |bf AS (SELECT id AS vx, 0 AS d FROM roots
+       |  UNION SELECT ue.b, bf.d + 1 FROM bf JOIN ue ON ue.a = bf.vx WHERE bf.d < 64),
+       |md AS MATERIALIZED (SELECT vx, MIN(d) AS d FROM bf GROUP BY vx),
+       |par AS MATERIALIZED (SELECT m.vx AS v, MIN(ue.b) AS parent FROM md m
+       |  JOIN ue ON ue.a = m.vx JOIN md mp ON mp.vx = ue.b AND mp.d = m.d - 1
+       |  GROUP BY m.vx),
+       |tre AS (SELECT LEAST(v, parent) AS u, GREATEST(v, parent) AS v2 FROM par),
+       |nt AS (SELECT be.u, be.v FROM be LEFT JOIN tre ON tre.u = be.u AND tre.v2 = be.v
+       |  WHERE tre.u IS NULL),
+       |nth AS (SELECT u, v, MD5(u::VARCHAR || '_' || v::VARCHAR || '_1') AS h FROM nt),
+       |tags AS MATERIALIZED (SELECT u, v, ${md5Long15Sql("h")} AS tag FROM nth),
+       |xv AS (SELECT vert, BIT_XOR(tag) AS x FROM (
+       |  SELECT u AS vert, tag FROM tags UNION ALL SELECT v, tag FROM tags) GROUP BY vert),
+       |anc AS (SELECT vx AS v, vx AS a FROM md
+       |  UNION SELECT anc.v, par.parent FROM anc JOIN par ON par.v = anc.a),
+       |subx AS MATERIALIZED (SELECT anc.a, BIT_XOR(COALESCE(xv.x, 0)) AS sx FROM anc
+       |  LEFT JOIN xv ON xv.vert = anc.v GROUP BY anc.a)
+       |SELECT LEAST(p.v, p.parent) AS src, GREATEST(p.v, p.parent) AS dst
+       |FROM par p JOIN subx s ON s.a = p.v WHERE s.sx = 0""".stripMargin
+
   /** Unrolled fixed-sweep Louvain local-move phase on the co-part graph
     * (id-parity scheduling, min-label ties, canonical dense relabel) —
     * mirrors `Louvain.localMove(fixedSweeps=k)` + `canonicalizeMembership`.
@@ -476,6 +523,7 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
     "q_hits" -> hitsSql(20),
     "q_kcore" -> kcoreSql(3, 15),
     "q_louvain" -> louvainSql(4),
+    "q_bridges" -> bridgesSql,
     "q_pages_pagerank" -> pagerankSql(10,
       """pg AS (SELECT UNNEST(RANGE(0, 1000)) AS i),
         |e AS MATERIALIZED (SELECT i AS src, (i * 31 + 7 * jj.j + 1) % 1000 AS dst,

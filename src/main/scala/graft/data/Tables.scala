@@ -43,6 +43,20 @@ object Tables {
     LinkGraph(e, directed = false, None)
   }
 
+  /** Sparse tree-plus-chords graph over `events` user ids: binary-tree
+    * edges u -> u/2 (u > 0) plus chords (u-1, u) when u % 7 == 0 —
+    * guaranteed to contain bridges (uncovered tree edges) and reproducible
+    * in SQL; the q_bridges verification graph.
+    */
+  def bridgeGraph(spark: SparkSession, dir: String): LinkGraph = {
+    val users = read(spark, dir, "events").select(col("user_id").as("u")).distinct()
+    val tree = users.where(col("u") > 0)
+      .select((col("u") / 2).cast("long").as("src"), col("u").as("dst"))
+    val chords = users.where(col("u") > 0 && col("u") % 7 === 0)
+      .select((col("u") - 1).as("src"), col("u").as("dst"))
+    LinkGraph(tree.union(chords).distinct(), directed = false, None)
+  }
+
   /** SQL CTE mirroring [[copartGraph]]. */
   val copartGraphSql: String =
     """pe AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

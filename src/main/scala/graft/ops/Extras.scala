@@ -192,7 +192,7 @@ object Extras {
     * never reported as a bridge (matching the reference's multigraph
     * semantics — ADVICE r01). Self-loops are dropped (never bridges).
     */
-  def bridges(g: LinkGraph): DataFrame = {
+  def bridges(g: LinkGraph, md5Tags: Boolean = false): DataFrame = {
     import graft.core.Lineage
     val spark = g.spark
     // canonical undirected non-loop copies with multiplicity
@@ -237,9 +237,14 @@ object Extras {
     val withTree = mult.join(treeCanon, Seq("u", "v"), "left")
       .select(col("u"), col("v"), (col("mult") - coalesce(col("tree"), lit(0L))).as("copies"))
       .where(col("copies") > 0)
+    // md5Tags: 60-bit tags from md5 hex (engine-portable — the q_bridges
+    // DuckDB oracle recomputes the identical values); default xxhash64.
+    val tagExpr =
+      if (md5Tags) conv(substring(md5(concat_ws("_", col("u"), col("v"), col("k"))), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("u"), col("v"), col("k"))
     val tagged = withTree
       .select(col("u"), col("v"), explode(sequence(lit(1L), col("copies"))).as("k"))
-      .select(col("u"), col("v"), xxhash64(col("u"), col("v"), col("k")).as("tag"))
+      .select(col("u"), col("v"), tagExpr.as("tag"))
     val xPerVertex = tagged.select(col("u").as("v"), col("tag"))
       .union(tagged.select(col("v"), col("tag")))
       .groupBy("v").agg(expr("bit_xor(tag)").as("x"))
