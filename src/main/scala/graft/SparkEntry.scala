@@ -81,6 +81,13 @@ object SparkEntry {
     "q_louvain" -> ((s, dir) => GraphOps.canonicalizeMembership(
       Louvain.localMove(Tables.copartGraph(s, dir), fixedSweeps = Some(4)))
       .select(col("id"), col("label"))),
+    "q_leiden" -> ((s, dir) => {
+      val g = Tables.copartGraph(s, dir)
+      GraphOps.canonicalizeMembership(
+        Leiden.localMove(g, g.vertices.select(col("id"), lit(1.0).as("nw")),
+          gammaEff = 0.5, fixedSweeps = Some(4)))
+        .select(col("id"), col("label"))
+    }),
 
     // --- join-shaped structural queries ---
     "q_cocitation" -> ((s, dir) => GraphOps.cocitation(Tables.eventsGraph(s, dir))
@@ -221,6 +228,12 @@ object SparkEntry {
       Ann.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     }),
+    "q_embed_dupes" -> ((s, dir) =>
+      Ann.nearDupPairs(Tables.read(s, dir, "embeddings"), 0.45)
+        .select(col("a"), col("b"), col("cos"))),
+    "q_embed_dedup" -> ((s, dir) =>
+      Ann.dedupByEmbedding(Tables.read(s, dir, "embeddings"), 0.45, exact = true)
+        .select(col("vec_id"), col("cluster"), col("keep").cast("long").as("keep"))),
 
     // --- ingest pipeline (synthetic pages; deterministic, dir-independent) ---
     // arithmetic-link corpus: the full html -> extract -> link-parse ->
@@ -405,6 +418,42 @@ SELECT c.id, CAST(r.new_lab AS BIGINT) AS label FROM c$k c JOIN rel r ON r.lab =
     sb.toString
   }
 
+  /** Unrolled k-sweep CPM local move (Leiden gain, node weight 1, plain
+    * id-parity scheduling) — mirrors [[graft.algos.Leiden.localMove]] with
+    * `fixedSweeps = Some(k)` exactly, including tie-breaks.
+    */
+  private def leidenSql(k: Int, gamma: Double): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH $P,
+nb AS MATERIALIZED (SELECT src AS v, dst AS nbr, CAST(1.0 AS DOUBLE) AS w FROM pe
+  WHERE src <> dst
+  UNION ALL SELECT dst, src, CAST(1.0 AS DOUBLE) FROM pe WHERE src <> dst),
+c0 AS (SELECT id, id AS lab FROM pv)""")
+    for (i <- 0 until k) sb.append(s""",
+ct$i AS MATERIALIZED (SELECT lab, COUNT(*) * 1.0 AS tot FROM c$i GROUP BY lab),
+kc$i AS MATERIALIZED (SELECT nb.v AS id, cl.lab AS clabel, SUM(nb.w) AS kvc FROM nb
+  JOIN c$i cl ON cl.id = nb.nbr GROUP BY nb.v, cl.lab),
+st$i AS (SELECT c.id, c.lab,
+    COALESCE(ko.kvc, 0) - $gamma * (ct.tot - 1.0) AS stay
+  FROM c$i c JOIN ct$i ct ON ct.lab = c.lab
+  LEFT JOIN kc$i ko ON ko.id = c.id AND ko.clabel = c.lab),
+bt$i AS (SELECT id, clabel, gain FROM (
+  SELECT kc.id, kc.clabel, kc.kvc - $gamma * ct.tot AS gain,
+    ROW_NUMBER() OVER (PARTITION BY kc.id
+      ORDER BY (kc.kvc - $gamma * ct.tot) DESC, kc.clabel) AS rn
+  FROM kc$i kc JOIN c$i c ON c.id = kc.id AND kc.clabel <> c.lab
+  JOIN ct$i ct ON ct.lab = kc.clabel) WHERE rn = 1),
+c${i + 1} AS MATERIALIZED (SELECT s.id,
+  CASE WHEN s.id % 2 = ${i % 2} AND b.gain IS NOT NULL AND b.gain > s.stay + 1e-12
+    THEN b.clabel ELSE s.lab END AS lab
+  FROM st$i s LEFT JOIN bt$i b ON b.id = s.id)""")
+    sb.append(s""",
+fs AS (SELECT lab, MIN(id) AS first_id FROM c$k GROUP BY lab),
+rel AS (SELECT lab, DENSE_RANK() OVER (ORDER BY first_id) - 1 AS new_lab FROM fs)
+SELECT c.id, CAST(r.new_lab AS BIGINT) AS label FROM c$k c JOIN rel r ON r.lab = c.lab""")
+    sb.toString
+  }
+
   /** Unrolled k-core peel (keep vertices with >= kk surviving neighbors,
     * repeat `rounds` times — idempotent once converged) on the co-part
     * graph — mirrors `KCore.kCoreVertices(g, kk)`.
@@ -523,6 +572,7 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
     "q_hits" -> hitsSql(20),
     "q_kcore" -> kcoreSql(3, 15),
     "q_louvain" -> louvainSql(4),
+    "q_leiden" -> leidenSql(4, 0.5),
     "q_bridges" -> bridgesSql,
     "q_pages_pagerank" -> pagerankSql(10,
       """pg AS (SELECT UNNEST(RANGE(0, 1000)) AS i),
@@ -867,6 +917,30 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id JOIN norms nc ON nc.vec_id = d.neighbor_id),
         |ranked AS (SELECT query_id, neighbor_id, cos,
         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
-        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM ranked WHERE rank <= 5""".stripMargin
+        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_embed_dupes" ->
+      """WITH ex AS (SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+        |    GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings),
+        |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id),
+        |dots AS (SELECT p.vec_id AS a, q.vec_id AS b, SUM(p.x * q.x) AS dot
+        |  FROM ex p JOIN ex q ON p.i = q.i AND p.vec_id < q.vec_id GROUP BY 1, 2),
+        |cp AS (SELECT d.a, d.b, d.dot / (na.nrm * nb.nrm) AS c FROM dots d
+        |  JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b)
+        |SELECT a, b, ROUND(c, 6) AS cos FROM cp WHERE c >= 0.45""".stripMargin,
+    "q_embed_dedup" ->
+      """WITH RECURSIVE ex AS (SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+        |    GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings),
+        |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id),
+        |dots AS (SELECT p.vec_id AS a, q.vec_id AS b, SUM(p.x * q.x) AS dot
+        |  FROM ex p JOIN ex q ON p.i = q.i AND p.vec_id < q.vec_id GROUP BY 1, 2),
+        |cp AS MATERIALIZED (SELECT d.a, d.b FROM dots d
+        |  JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+        |  WHERE d.dot / (na.nrm * nb.nrm) >= 0.45),
+        |ue AS (SELECT a, b FROM cp UNION SELECT b, a FROM cp),
+        |reach AS (SELECT vec_id AS a, vec_id AS b FROM embeddings
+        |  UNION SELECT r.a, ue.b FROM reach r JOIN ue ON ue.a = r.b)
+        |SELECT a AS vec_id, MIN(b) AS cluster,
+        |  CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM reach GROUP BY a""".stripMargin
   )
 }

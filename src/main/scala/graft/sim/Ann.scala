@@ -71,6 +71,62 @@ object Ann {
     vectors.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
   }
 
+  /** Exact embedding-cosine near-duplicate pairs: every (a < b) with
+    * cosine ≥ `threshold`. Quadratic self-join — the ground-truth/small
+    * path (mirrors `TextOps.jaccardPairs`'s role for text); at corpus
+    * scale use [[nearDupPairsLsh]], whose candidate set is bucket-local.
+    */
+  def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val l = vectors.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = vectors.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        cosine(col("ea").cast("array<double>"), col("eb").cast("array<double>")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Near-duplicate pairs via multi-table sign-random-projection LSH:
+    * same-bucket candidates, exact cosine confirm. The 100 TB shape — one
+    * shuffle per table on the bucket key, never all-pairs. High-cosine
+    * pairs collide with probability (1 − θ/π)^nBits per table, so recall
+    * grows with `tables`; a missed pair costs recall, never a false dupe
+    * (candidates are exact-confirmed).
+    */
+  def nearDupPairsLsh(vectors: DataFrame, threshold: Double,
+                      nBits: Int = 6, tables: Int = 8): DataFrame = {
+    val cand = (0 until tables).map { t =>
+      val b = lshBuckets(vectors, nBits, t)
+      b.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
+        .join(b.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket")), Seq("bucket"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"), col("ea"), col("eb"))
+    }.reduce(_ union _).distinct()
+    cand.select(col("a"), col("b"),
+        cosine(col("ea").cast("array<double>"), col("eb").cast("array<double>")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine dedup: near-dup pairs → connected components → keep
+    * the minimum vec_id per duplicate cluster. Output (vec_id, cluster,
+    * keep); `cluster` is the min member id ([[graft.algos.Components.wcc]]
+    * canonical labels), singletons are their own cluster and always kept.
+    */
+  def dedupByEmbedding(vectors: DataFrame, threshold: Double,
+                       exact: Boolean = false, nBits: Int = 6, tables: Int = 8): DataFrame = {
+    val pairs = if (exact) nearDupPairs(vectors, threshold)
+                else nearDupPairsLsh(vectors, threshold, nBits, tables)
+    val ids = vectors.select(col("vec_id").as("id"))
+    val g = graft.core.LinkGraph(
+      pairs.select(col("a").as("src"), col("b").as("dst")), directed = false)
+    val comp = graft.algos.Components.wcc(g) // (id, comp) over pair endpoints
+    ids.join(comp, Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("comp"), col("id")).as("cluster"))
+      .withColumn("keep", col("vec_id") === col("cluster"))
+  }
+
   /** ANN top-k via multi-table LSH: union candidates over `tables` hash
     * tables, exact-cosine re-rank within candidates.
     */

@@ -84,6 +84,38 @@ class TextSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall") // 6 tables × 8 bits on 500 vecs
   }
 
+  test("embedding near-dup: exact pairs + transitive dedup clusters, keep-min") {
+    // 1 ≈ 2 ≈ 3 chain (1 and 3 are NOT directly near-dup) + unrelated 4
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.95f, 0.3122f)), // cos(1,2) ≈ 0.95
+      (3L, Array(0.81f, 0.59f)),   // cos(2,3) ≈ 0.95, cos(1,3) ≈ 0.81
+      (4L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.sim.Ann.nearDupPairs(v, 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L)))
+    val dedup = graft.sim.Ann.dedupByEmbedding(v, 0.9, exact = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(dedup(1L) === ((1L, true)))  // cluster representative
+    assert(dedup(2L) === ((1L, false))) // direct dupe of 1
+    assert(dedup(3L) === ((1L, false))) // transitive dupe via 2
+    assert(dedup(4L) === ((4L, true)))  // singleton survives
+  }
+
+  test("embedding near-dup: LSH path finds the same pairs as exact (recall)") {
+    val exact = graft.sim.Ann.nearDupPairs(emb, 0.45)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs at 0.45")
+    val lsh = graft.sim.Ann.nearDupPairsLsh(emb, 0.45, nBits = 4, tables = 12)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH confirms candidates exactly — no false dupes")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    // 0.45-cosine pairs are weak dupes (θ≈63°) — recall is modest by design;
+    // real near-dup corpora (cos ≥ 0.9) collide far more often
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("brute-force ANN: cosine of identical vectors is 1, ranks deterministic") {
     val v = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
