@@ -204,6 +204,384 @@ object Generators {
     LinkGraph(ringCanon.union(chords).distinct(), directed = false, Some(n.toLong))
   }
 
+  // ----------------------------------------------- geometric / block models
+
+  /** GRG (geometric random graph, `graphobject.c:12629`; Py wrapper
+    * `__init__.py:3321`): n seeded uniform points in the unit square,
+    * edge iff distance ≤ radius. Distributed shape: grid-cell bucketing
+    * with cell width ≥ radius — candidates come from the 3×3 neighbor
+    * cells only (a classic spatial self-join), never all pairs.
+    * Returns the graph; point coordinates are on `points` for callers
+    * that need the layout (the reference returns them as vertex attrs).
+    */
+  def grg(spark: SparkSession, n: Long, radius: Double, torus: Boolean = false,
+          seed: Long = 42L): (LinkGraph, DataFrame) = {
+    import spark.implicits._
+    val cells = math.max(1L, math.floor(1.0 / radius).toLong)
+    val pts = spark.range(n).map { i =>
+      (i, u01(mix64(seed ^ (2 * i))), u01(mix64(seed ^ (2 * i + 1))))
+    }.toDF("id", "x", "y")
+      .withColumn("cx", least(floor(col("x") * cells), lit(cells - 1)).cast("long"))
+      .withColumn("cy", least(floor(col("y") * cells), lit(cells - 1)).cast("long"))
+      .persist()
+    pts.count()
+    val offsets = Seq(-1L, 0L, 1L)
+    val probes = offsets.flatMap(dx => offsets.map(dy => (dx, dy))).toDF("dx", "dy")
+    val wrap: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      if (torus) (c, d) => pmod(c + d, lit(cells)) else (c, d) => c + d
+    val left = pts.crossJoin(broadcast(probes))
+      .select(col("id").as("a"), col("x").as("xa"), col("y").as("ya"),
+        wrap(col("cx"), col("dx")).as("kx"), wrap(col("cy"), col("dy")).as("ky"))
+    val right = pts.select(col("id").as("b"), col("x").as("xb"), col("y").as("yb"),
+      col("cx").as("kx"), col("cy").as("ky"))
+    def axisDist(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) = {
+      val d = abs(p - q)
+      if (torus) least(d, lit(1.0) - d) else d
+    }
+    val dx = axisDist(col("xa"), col("xb"))
+    val dy = axisDist(col("ya"), col("yb"))
+    val e = left.join(right, Seq("kx", "ky"))
+      .where(col("a") < col("b") && dx * dx + dy * dy <= lit(radius * radius))
+      .select(col("a").as("src"), col("b").as("dst")).distinct()
+    (LinkGraph(e, directed = false, Some(n)), pts.select("id", "x", "y"))
+  }
+
+  /** SBM (stochastic block model, `graphobject.c:12732`; structural test
+    * `test_generators.py:207-235`): vertex blocks by size, pair (u,v) kept
+    * with the block-pair probability. Only block pairs with p > 0 generate
+    * candidates, so sparse preference matrices skip the dead cross space.
+    */
+  def sbm(spark: SparkSession, pref: Seq[Seq[Double]], blockSizes: Seq[Long],
+          directed: Boolean = false, loops: Boolean = false,
+          seed: Long = 42L): LinkGraph = {
+    val n = blockSizes.sum
+    require(pref.size == blockSizes.size && pref.forall(_.size == blockSizes.size),
+      "pref matrix must be k x k for k blocks")
+    require(pref.flatten.forall(p => p >= 0.0 && p <= 1.0), "probabilities must be in [0,1]")
+    if (!directed)
+      for (i <- pref.indices; j <- pref.indices)
+        require(math.abs(pref(i)(j) - pref(j)(i)) < 1e-12, "pref matrix must be symmetric (undirected)")
+    val starts = blockSizes.scanLeft(0L)(_ + _)
+    val parts = for {
+      bi <- pref.indices
+      bj <- pref.indices
+      if pref(bi)(bj) > 0.0 && (directed || bi <= bj)
+    } yield {
+      val a = spark.range(starts(bi), starts(bi + 1)).toDF("src")
+      val b = spark.range(starts(bj), starts(bj + 1)).select(col("id").as("dst"))
+      val pairCond =
+        if (directed) { if (loops) lit(true) else col("src") =!= col("dst") }
+        else if (bi == bj) { if (loops) col("src") <= col("dst") else col("src") < col("dst") }
+        else lit(true)
+      val h = xxhash64(lit(seed), col("src"), col("dst"))
+      val keep = (shiftrightunsigned(h, 11) + 1).cast("double") / lit((1L << 53).toDouble)
+      a.crossJoin(b).where(pairCond && keep < pref(bi)(bj))
+    }
+    val e = parts.reduceOption(_ union _)
+      .getOrElse(spark.range(0).select(col("id").as("src"), col("id").as("dst")))
+    LinkGraph(e, directed, Some(n))
+  }
+
+  /** Preference(n, type_dist, pref_matrix) (`graphobject.c:12685`): types
+    * sampled from `typeDist` by seeded hash, then SBM-style pair keep.
+    * Candidate space is Θ(n²) like GNP (types are not contiguous); returns
+    * (graph, types) since the reference stores types as a vertex attribute.
+    */
+  def preference(spark: SparkSession, n: Long, typeDist: Seq[Double],
+                 pref: Seq[Seq[Double]], directed: Boolean = false,
+                 seed: Long = 42L): (LinkGraph, DataFrame) = {
+    val k = typeDist.size
+    val total = typeDist.sum
+    val cum = typeDist.scanLeft(0.0)(_ + _).map(_ / total)
+    val u = (shiftrightunsigned(xxhash64(lit(seed ^ 0x7f), col("id")), 11) + 1)
+      .cast("double") / lit((1L << 53).toDouble)
+    // type = index of the first cumulative boundary above u
+    val tcol = (1 to k).foldRight(lit(k - 1)) { case (i, acc) =>
+      when(u < cum(i), lit(i - 1)).otherwise(acc)
+    }
+    val types = spark.range(n).select(col("id"), tcol.as("vtype")).persist()
+    types.count()
+    val pm = { import spark.implicits._
+      (for (i <- 0 until k; j <- 0 until k) yield (i, j, pref(i)(j))).toDF("ta", "tb", "p") }
+    val a = types.select(col("id").as("src"), col("vtype").as("ta"))
+    val b = types.select(col("id").as("dst"), col("vtype").as("tb"))
+    val pairCond = if (directed) col("src") =!= col("dst") else col("src") < col("dst")
+    val h = xxhash64(lit(seed), col("src"), col("dst"))
+    val keep = (shiftrightunsigned(h, 11) + 1).cast("double") / lit((1L << 53).toDouble)
+    val e = a.crossJoin(b).where(pairCond)
+      .join(broadcast(pm), Seq("ta", "tb"))
+      .where(keep < col("p"))
+      .select("src", "dst")
+    (LinkGraph(e, directed, Some(n)), types)
+  }
+
+  // ------------------------------------------- fitness-weighted edge models
+
+  /** Distributed prefix sums over (id, w) in id order: per-partition sums
+    * + broadcast offsets (same pattern as [[Ids.assignDense]] — no global
+    * Window). Returns (id, w, lo, hi) with [lo, hi) the half-open
+    * cumulative interval of each id.
+    */
+  def prefixWeights(weights: DataFrame): DataFrame = {
+    val spark = weights.sparkSession
+    val sorted = weights.select(col("id").cast("long"), col("w").cast("double"))
+      .repartitionByRange(32, col("id"))
+      .sortWithinPartitions("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+      Iterator((pi, it.map(_.getDouble(1)).sum))
+    }.collect().sortBy(_._1)
+    val offset: Map[Int, Double] = {
+      var acc = 0.0
+      sums.map { case (pi, s) => val o = (pi, acc); acc += s; o }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offset)
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var acc = bc.value.getOrElse(pi, 0.0)
+      it.map { r =>
+        val w = r.getDouble(1)
+        val out = org.apache.spark.sql.Row(r.getLong(0), w, acc, acc + w)
+        acc += w
+        out
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.DoubleType, false),
+      org.apache.spark.sql.types.StructField("lo", org.apache.spark.sql.types.DoubleType, false),
+      org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.DoubleType, false)))
+    val out = Lineage.cut(spark.createDataFrame(rows, schema))
+    sorted.unpersist()
+    out
+  }
+
+  /** Weighted sampling by inverse CDF: for each sample row (k, u) with
+    * u ∈ [0, 1), find the id whose cumulative interval contains u·total.
+    * The interval join is bucketed (intervals exploded over the coarse
+    * buckets they span, samples hit one bucket) — an equi-join, not a
+    * range join, so it scales.
+    */
+  def sampleByWeight(weights: DataFrame, samples: DataFrame): DataFrame = {
+    val iv = prefixWeights(weights).persist()
+    val total = iv.agg(max("hi")).head.getDouble(0)
+    val nIds = iv.count()
+    val nB = math.max(1L, nIds)
+    val ivB = iv.withColumn("bucket",
+      explode(sequence(least(floor(col("lo") / total * nB), lit(nB - 1)).cast("long"),
+        least(floor(col("hi") / total * nB), lit(nB - 1)).cast("long"))))
+    val sB = samples.select(col("k"), (col("u") * total).as("x"))
+      .withColumn("bucket", least(floor(col("x") / total * nB), lit(nB - 1)).cast("long"))
+    val out = sB.join(ivB, Seq("bucket"))
+      .where(col("x") >= col("lo") && col("x") < col("hi"))
+      .select(col("k"), col("id"))
+    iv.unpersist(blocking = false)
+    out
+  }
+
+  /** Static_Fitness(m, fitness) (`graphobject.c:12834`): m edges with
+    * endpoint probability ∝ fitness; loops and multi-edges rejected by
+    * oversample-dedupe-take-first-m (the same pattern as
+    * [[erdosRenyiGnm]]). `fitnessIn` switches to the directed variant.
+    */
+  def staticFitness(spark: SparkSession, m: Long, fitness: DataFrame,
+                    fitnessIn: Option[DataFrame] = None,
+                    seed: Long = 42L): LinkGraph = {
+    import spark.implicits._
+    val directed = fitnessIn.isDefined
+    var oversample = math.max(32L, (m * 1.6).toLong)
+    var result: DataFrame = null
+    while (result == null) {
+      val us = spark.range(oversample)
+        .map(k => (k, u01(mix64(seed ^ (2 * k))))).toDF("k", "u")
+      val vs = spark.range(oversample)
+        .map(k => (k, u01(mix64(seed ^ (2 * k + 1))))).toDF("k", "u")
+      val srcs = sampleByWeight(fitness, us).select(col("k"), col("id").as("a"))
+      val dsts = sampleByWeight(fitnessIn.getOrElse(fitness), vs)
+        .select(col("k"), col("id").as("b"))
+      val cand = srcs.join(dsts, Seq("k"))
+        .where(col("a") =!= col("b"))
+        .select(col("k"),
+          (if (directed) col("a") else least(col("a"), col("b"))).as("src"),
+          (if (directed) col("b") else greatest(col("a"), col("b"))).as("dst"))
+        .groupBy("src", "dst").agg(min("k").as("k"))
+      if (cand.count() >= m) result = cand.orderBy("k").limit(m.toInt).select("src", "dst")
+      else oversample *= 2
+    }
+    LinkGraph(result, directed, None)
+  }
+
+  /** Static_Power_Law(n, m, exponent) (`graphobject.c:12858`): fitness
+    * f_i = (i + 1)^(−1/(γ−1)) then [[staticFitness]] — the igraph
+    * construction for expected power-law degree exponent γ.
+    */
+  def staticPowerLaw(spark: SparkSession, n: Long, m: Long, exponent: Double,
+                     seed: Long = 42L): LinkGraph = {
+    require(exponent > 2.0, "exponent must be > 2")
+    val alpha = 1.0 / (exponent - 1.0)
+    val fit = spark.range(n).select(col("id"), pow(col("id") + 1, -alpha).as("w"))
+    val g = staticFitness(spark, m, fit, None, seed)
+    LinkGraph(g.edges, directed = false, Some(n))
+  }
+
+  // ------------------------------------------------------ incremental models
+
+  /** Growing_Random(n, m) (`graphobject.c:12636`): vertex i > 0 attaches
+    * m edges to uniform earlier vertices — each edge a pure function of
+    * (seed, i, j), embarrassingly parallel.
+    */
+  def growingRandom(spark: SparkSession, n: Long, m: Int, seed: Long = 42L): LinkGraph = {
+    import spark.implicits._
+    val e = spark.range(1, n).flatMap { i =>
+      (0 until m).map { j =>
+        (i, java.lang.Long.remainderUnsigned(mix64(seed ^ (i * 131 + j)), i))
+      }
+    }.toDF("src", "dst")
+    LinkGraph(e, directed = false, Some(n))
+  }
+
+  /** Random_Bipartite(n1, n2, p) (`graphobject.c:12704`): GNP restricted
+    * to cross pairs; ids 0..n1-1 are side 0 (matching [[fullBipartite]]).
+    */
+  def randomBipartite(spark: SparkSession, n1: Long, n2: Long, p: Double,
+                      directed: Boolean = false, seed: Long = 42L): LinkGraph = {
+    val a = spark.range(n1).toDF("src")
+    val b = spark.range(n1, n1 + n2).select(col("id").as("dst"))
+    val h = xxhash64(lit(seed), col("src"), col("dst"))
+    val keep = (shiftrightunsigned(h, 11) + 1).cast("double") / lit((1L << 53).toDouble)
+    LinkGraph(a.crossJoin(b).where(keep < p), directed, Some(n1 + n2))
+  }
+
+  /** Tree_Game(n) (`graphobject.c:12944`): uniform random labeled tree via
+    * a seeded Prüfer sequence (Cayley bijection — exactly uniform). The
+    * decode is inherently sequential, so it is a driver kernel capped at
+    * [[treeGameCap]]; above that use [[barabasi]]/[[LinkGraph.tree]].
+    */
+  val treeGameCap = 2000000L
+  def treeGame(spark: SparkSession, n: Long, seed: Long = 42L): LinkGraph = {
+    import spark.implicits._
+    require(n <= treeGameCap, s"treeGame driver kernel capped at $treeGameCap vertices")
+    if (n <= 1) return LinkGraph(spark, n, Seq.empty, directed = false)
+    if (n == 2) return LinkGraph(spark, 2, Seq((0L, 1L)), directed = false)
+    val ni = n.toInt
+    val prufer = Array.tabulate(ni - 2)(i =>
+      java.lang.Long.remainderUnsigned(mix64(seed ^ i.toLong), n).toInt)
+    val deg = Array.fill(ni)(1)
+    prufer.foreach(deg(_) += 1)
+    val leaves = scala.collection.mutable.PriorityQueue.empty[Int](Ordering[Int].reverse)
+    (0 until ni).foreach(v => if (deg(v) == 1) leaves.enqueue(v))
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    prufer.foreach { p =>
+      val leaf = leaves.dequeue()
+      edges += ((math.min(leaf, p).toLong, math.max(leaf, p).toLong))
+      deg(p) -= 1
+      if (deg(p) == 1) leaves.enqueue(p)
+    }
+    val last = (leaves.dequeue(), leaves.dequeue())
+    edges += ((math.min(last._1, last._2).toLong, math.max(last._1, last._2).toLong))
+    LinkGraph(edges.toSeq.toDF("src", "dst"), directed = false, Some(n))
+  }
+
+  /** Kautz(m, n) (`graphobject.c:12663`; test `test_generators.py:193-198`):
+    * vertices = length-(n+1) strings over an (m+1)-symbol alphabet with no
+    * repeated adjacent symbols; arcs shift left and append. Closed-form id
+    * codec (first symbol + base-m offsets), mapped in parallel.
+    */
+  def kautz(spark: SparkSession, m: Int, n: Int): LinkGraph = {
+    import spark.implicits._
+    val pow = Array.iterate(1L, n + 1)(_ * m)
+    val size = (m + 1).toLong * pow(n)
+    val e = spark.range(size).flatMap { id =>
+      // decode symbols s0..sn
+      val s = new Array[Int](n + 1)
+      s(0) = (id / pow(n)).toInt
+      var rest = id % pow(n)
+      for (i <- 1 to n) {
+        val o = (rest / pow(n - i)).toInt % m
+        s(i) = (s(i - 1) + 1 + o) % (m + 1)
+        rest = rest % pow(n - i)
+      }
+      // successors: strings s1..sn,t for every t != sn
+      (0 to m).filter(_ != s(n)).map { t =>
+        val ns = s.drop(1) :+ t
+        var tid = ns(0).toLong * pow(n)
+        for (i <- 1 to n) {
+          val o = ((ns(i) - ns(i - 1) - 1) % (m + 1) + (m + 1)) % (m + 1)
+          tid += o.toLong * pow(n - i)
+        }
+        (id, tid)
+      }
+    }.toDF("src", "dst")
+    LinkGraph(e, directed = true, Some(size))
+  }
+
+  /** Realize_Degree_Sequence (`graphobject.c:12789`; test
+    * `test_generators.py:138-190`): deterministic Havel-Hakimi realization.
+    * `method`: "smallest" / "largest" / "index" pick which vertex's stubs
+    * are wired next; always connects to the largest remaining degrees
+    * (which is what guarantees a simple realization exists whenever the
+    * sequence is graphical). Driver kernel — realization is sequential.
+    */
+  def realizeDegreeSequence(spark: SparkSession, degrees: Seq[Int],
+                            inDegrees: Option[Seq[Int]] = None,
+                            method: String = "smallest"): LinkGraph = {
+    import spark.implicits._
+    val meth = method.toLowerCase
+    require(Seq("smallest", "largest", "index").contains(meth), s"unknown method $method")
+    inDegrees match {
+      case None =>
+        val n = degrees.size
+        require(degrees.sum % 2 == 0, "degree sum must be even")
+        val rem = degrees.toArray
+        val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val order = 0 until n
+        var progressing = true
+        while (progressing) {
+          val pending = order.filter(rem(_) > 0)
+          if (pending.isEmpty) progressing = false
+          else {
+            val v = meth match {
+              case "smallest" => pending.minBy(x => (rem(x), x))
+              case "largest"  => pending.maxBy(x => (rem(x), -x))
+              case "index"    => pending.head
+            }
+            val targets = pending.filter(_ != v).sortBy(x => (-rem(x), x)).take(rem(v))
+            require(targets.size == rem(v), s"degree sequence not graphical (stuck at vertex $v)")
+            targets.foreach { u =>
+              edges += ((math.min(v, u).toLong, math.max(v, u).toLong))
+              rem(u) -= 1
+            }
+            rem(v) = 0
+          }
+        }
+        LinkGraph(edges.toSeq.toDF("src", "dst"), directed = false, Some(n.toLong))
+      case Some(ins) =>
+        val n = degrees.size
+        require(ins.size == n && degrees.sum == ins.sum, "out/in degree sums must match")
+        val remOut = degrees.toArray
+        val remIn = ins.toArray
+        val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val order = 0 until n
+        var progressing = true
+        while (progressing) {
+          val pending = order.filter(remOut(_) > 0)
+          if (pending.isEmpty) progressing = false
+          else {
+            val v = meth match {
+              case "smallest" => pending.minBy(x => (remOut(x), x))
+              case "largest"  => pending.maxBy(x => (remOut(x), -x))
+              case "index"    => pending.head
+            }
+            val targets = order.filter(u => u != v && remIn(u) > 0)
+              .sortBy(x => (-remIn(x), x)).take(remOut(v))
+            require(targets.size == remOut(v), "degree sequence not realizable (simple digraph)")
+            targets.foreach { u => edges += ((v.toLong, u.toLong)); remIn(u) -= 1 }
+            remOut(v) = 0
+          }
+        }
+        LinkGraph(edges.toSeq.toDF("src", "dst"), directed = true, Some(n.toLong))
+    }
+  }
+
   /** Famous named graphs (`graphobject.c:12569`) — the ones the reference
     * test-suite leans on. Edge lists are public-domain graph data.
     */

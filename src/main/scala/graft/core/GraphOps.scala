@@ -248,6 +248,16 @@ object GraphOps {
     canon.groupBy("src", "dst").count().where(col("count") > 1).isEmpty
   }
 
+  /** True iff any (src, dst) pair repeats (`has_multiple`,
+    * `graphobject.c:12299`); loops are not multi-edges by themselves.
+    */
+  def hasMultiple(g: LinkGraph): Boolean = {
+    val canon =
+      if (g.directed) g.edges.select("src", "dst")
+      else g.edges.select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
+    !canon.groupBy("src", "dst").count().where(col("count") > 1).isEmpty
+  }
+
   /** to_undirected(mode=collapse|each) — `graphobject.c:14838`. */
   def toUndirected(g: LinkGraph, collapse: Boolean = true, combine: String = "sum"): LinkGraph = {
     val und = LinkGraph(g.weighted, directed = false, g.numVertices)

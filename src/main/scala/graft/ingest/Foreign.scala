@@ -62,4 +62,34 @@ object Foreign {
   def writeEdgelist(g: LinkGraph, path: String): Unit =
     g.edges.select(concat_ws(" ", col("src"), col("dst")).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
+
+  final case class DictListResult(vertices: DataFrame, edges: DataFrame, graph: LinkGraph)
+
+  /** `Graph.DictList(vertices, edges)` (`__init__.py:2992-3115`): vertex
+    * rows carry a `name` column plus arbitrary attribute columns; edge rows
+    * carry `source`/`target` name columns plus attributes. Names resolve
+    * through the distributed dictionary; `useVids=false` semantics (name
+    * lookup), vertices mentioned only by edges are auto-created like the
+    * reference's `Graph.TupleList`. Returns the attribute tables re-keyed
+    * by dense id alongside the graph.
+    */
+  def dictList(vertices: Option[DataFrame], edges: DataFrame,
+               directed: Boolean = false): DictListResult = {
+    val edgeNames = edges.select(col("source").as("name"))
+      .union(edges.select(col("target").as("name")))
+    val names = vertices.map(v => edgeNames.union(v.select(col("name")))).getOrElse(edgeNames)
+    val dict = Ids.assignDense(names, "name").localCheckpoint(true)
+    val e = edges
+      .join(dict.select(col("name").as("source"), col("id").as("src")), Seq("source"))
+      .join(dict.select(col("name").as("target"), col("id").as("dst")), Seq("target"))
+      .drop("source", "target")
+    val vAttrs = vertices match {
+      case Some(v) => dict.join(v, Seq("name"), "left")
+      case None    => dict
+    }
+    val weightCol = if (e.columns.contains("weight")) col("weight").cast("double") else lit(1.0)
+    val g = LinkGraph(e.select(col("src"), col("dst"), weightCol.as("weight")),
+      directed, Some(dict.count()))
+    DictListResult(vAttrs.select((col("id") +: vAttrs.columns.filter(_ != "id").map(col)): _*), e, g)
+  }
 }

@@ -128,6 +128,29 @@ object Formats {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
   }
 
+  /** Read_GraphMLz (`__init__.py:2304-2317`): gunzip to a temp file, then
+    * the plain GraphML reader.
+    */
+  def readGraphmlz(spark: SparkSession, path: String): ForeignGraph = {
+    val tmp = java.nio.file.Files.createTempFile("graft-graphmlz", ".graphml")
+    val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(path))
+    try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    try readGraphml(spark, tmp.toString)
+    finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** write_graphmlz: gzip-compressed [[writeGraphml]]. */
+  def writeGraphmlz(g: LinkGraph, names: DataFrame, path: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile("graft-graphmlz", ".graphml")
+    try {
+      writeGraphml(g, names, tmp.toString)
+      val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(path))
+      try java.nio.file.Files.copy(tmp, out)
+      finally out.close()
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   // ------------------------------------------------------------------ GML
 
   /** Minimal GML: `graph [ directed 0|1  node [ id N label "x" ]
@@ -365,6 +388,8 @@ object Formats {
         ForeignGraph(r.graph, Some(r.vertices), r.weighted)
       case "lgl"               => readLgl(spark, path)
       case "graphml" | "xml"   => readGraphml(spark, path)
+      case "graphmlz"          => readGraphmlz(spark, path)
+      case "gz" if path.toLowerCase.endsWith(".graphml.gz") => readGraphmlz(spark, path)
       case "gml"               => readGml(spark, path)
       case "net" | "pajek"     => readPajek(spark, path)
       case "dl"                => readDl(spark, path)

@@ -127,6 +127,78 @@ object Ann {
       .withColumn("keep", col("vec_id") === col("cluster"))
   }
 
+  /** IVF (inverted-file) coarse quantizer: deterministic k-means-lite —
+    * `nlist` centroids seeded from a hash-ordered sample, refined by
+    * `iters` Lloyd rounds (one broadcast-join + groupBy each). Returns the
+    * centroid table (centroid_id, centroid: array<double>), small enough to
+    * broadcast — the standard IVF layout where the corpus is partitioned by
+    * nearest centroid and queries probe only a few lists.
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
+                   seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"),
+        xxhash64(lit(seed), col("vec_id")).as("h"))
+      .orderBy("h").limit(nlist)
+      .select(col("ce")).collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val cdf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("centroid_id", "centroid")
+      val assigned = assignToCentroid(corpus, cdf)
+      // per-dimension mean via posexplode + avg: a plain map-side-combinable
+      // aggregate (no per-group array accumulation), collecting only
+      // nlist x dims tiny rows
+      val dimMeans = assigned
+        .select(col("centroid_id"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy("centroid_id", "pos").agg(avg("col").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cents = cents.indices.map { i =>
+        if (dimMeans.contains((i, 0)))
+          Array.tabulate(cents(i).length)(d => dimMeans((i, d)))
+        else cents(i)
+      }.toArray
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("centroid_id", "centroid")
+  }
+
+  private def assignToCentroid(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding").cast("array<double>"), col("centroid")).as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** ANN top-k via IVF: corpus partitioned by nearest centroid; each query
+    * probes its `nprobe` nearest lists and exact-reranks only those — the
+    * candidate set shrinks from N to N·nprobe/nlist per query. Recall
+    * depends on nprobe/nlist like any IVF index; [[bruteForceTopK]] is the
+    * exactness baseline, [[lshTopK]] the hash-bucketed alternative.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, seed = seed)
+    val corpusAssigned = assignToCentroid(corpus, cents)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("centroid_id"))
+    // queries probe their nprobe closest centroids
+    val qScored = queries.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("centroid_id"),
+        cosine(col("embedding").cast("array<double>"), col("centroid")).as("sim"))
+    val wq = Window.partitionBy("query_id").orderBy(col("sim").desc, col("centroid_id"))
+    val probes = qScored.withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("centroid_id"))
+    val scored = probes.join(corpusAssigned, Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe").cast("array<double>"), col("ce").cast("array<double>")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** ANN top-k via multi-table LSH: union candidates over `tables` hash
     * tables, exact-cosine re-rank within candidates.
     */

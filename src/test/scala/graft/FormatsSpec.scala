@@ -217,4 +217,47 @@ class FormatsSpec extends AnyFunSuite {
     assert(fg.graph.ecount() == 2 && fg.weighted)
     assertThrows[IllegalArgumentException] { Formats.read(spark, "x.unknownext") }
   }
+
+  test("GraphMLz: gzip round-trip + Graph.Read dispatch (__init__.py:2304-2317)") {
+    val plain = tmp(
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+        |<key id="v_name" for="node" attr.name="name" attr.type="string"/>
+        |<graph id="G" edgedefault="undirected">
+        |<node id="n0"><data key="v_name">a</data></node>
+        |<node id="n1"><data key="v_name">b</data></node>
+        |<edge source="n0" target="n1"></edge>
+        |</graph>
+        |</graphml>
+        |""", "graphml")
+    val gz = java.io.File.createTempFile("graft", ".graphml.gz")
+    gz.deleteOnExit()
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    try java.nio.file.Files.copy(java.nio.file.Paths.get(plain), out) finally out.close()
+    val fg = Formats.read(spark, gz.getAbsolutePath)
+    assert(fg.graph.vcount() == 2 && fg.graph.ecount() == 1)
+    assert(namedEdges(fg) == Seq(("a", "b")))
+    // writer round-trip
+    val gz2 = java.io.File.createTempFile("graft", ".graphmlz")
+    gz2.deleteOnExit()
+    Formats.writeGraphmlz(fg.graph, fg.names.get, gz2.getAbsolutePath)
+    assert(namedEdges(Formats.readGraphmlz(spark, gz2.getAbsolutePath)) == namedEdges(fg))
+  }
+
+  test("Graph.DictList: named vertices/edges with attrs (__init__.py:2992-3115)") {
+    import spark.implicits._
+    val verts = Seq(("apple", 10.0), ("pear", 20.0), ("plum", 30.0)).toDF("name", "size")
+    val edges = Seq(("apple", "pear", 1.5), ("pear", "plum", 2.5), ("cherry", "apple", 3.5))
+      .toDF("source", "target", "weight")
+    val r = graft.ingest.Foreign.dictList(Some(verts), edges, directed = true)
+    // cherry appears only in edges and is auto-created
+    assert(r.graph.vcount() == 4 && r.graph.ecount() == 3 && r.graph.directed)
+    val nameOf = r.vertices.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val got = r.graph.weighted.collect()
+      .map(x => (nameOf(x.getLong(0)), nameOf(x.getLong(1)), x.getDouble(2))).toSet
+    assert(got === Set(("apple", "pear", 1.5), ("pear", "plum", 2.5), ("cherry", "apple", 3.5)))
+    // vertex attrs survive re-keying; auto-created vertex has null attr
+    val sizes = r.vertices.collect().map(x => x.getString(1) -> Option(x.get(2))).toMap
+    assert(sizes("apple") === Some(10.0) && sizes("cherry") === None)
+  }
 }

@@ -84,4 +84,120 @@ class GeneratorsSpec extends AnyFunSuite {
       graft.algos.Louvain.communityMultilevel(bull))
     assert(math.abs(q - 0.08) < 1e-7)
   }
+
+  test("GRG: cell-join edges match brute-force distance pairs exactly") {
+    import org.apache.spark.sql.functions._
+    val (g, pts) = Generators.grg(spark, 300, 0.1, seed = 11L)
+    val got = g.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = (for {
+      (a, xa, ya) <- p; (b, xb, yb) <- p if a < b
+      if (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 0.01 + 1e-15
+    } yield (a, b)).toSet
+    assert(got === want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // torus mode wraps: points at opposite edges can connect
+    val (gt, _) = Generators.grg(spark, 300, 0.1, torus = true, seed = 11L)
+    assert(gt.ecount() >= g.ecount())
+  }
+
+  test("SBM: block structure (test_generators.py:207-235)") {
+    val pref = Seq(Seq(0.5, 0.0, 0.0), Seq(0.0, 0.0, 0.5), Seq(0.0, 0.5, 0.0))
+    val g = Generators.sbm(spark, pref, Seq(20L, 20L, 20L), seed = 9L)
+    assert(GraphOps.isSimple(g))
+    // block 0 is one component; blocks 1 and 2 (cross-linked only) are another
+    val comp = TestSession.reindex(TestSession.longVector(
+      graft.algos.Components.wcc(g), "comp").toSeq)
+    assert(comp === Seq.fill(20)(0) ++ Seq.fill(40)(1))
+    // no intra-block edges in blocks 1 and 2
+    import org.apache.spark.sql.functions._
+    val intra12 = g.edges.where(col("src") >= 20 && col("dst") >= 20 &&
+      (col("src") - 20) / 20 === (col("dst") - 20) / 20).count()
+    assert(intra12 === 0L)
+    // loops argument produces loops; directed variant has non-mutual arcs
+    val gl = Generators.sbm(spark, pref, Seq(20L, 20L, 20L), loops = true, seed = 9L)
+    assert(gl.edges.where(col("src") === col("dst")).count() > 0)
+    val gd = Generators.sbm(spark, pref, Seq(20L, 20L, 20L), directed = true, seed = 9L)
+    assert(gd.edges.where(col("src") === col("dst")).count() === 0L)
+    val mutual = gd.edges.alias("a").join(gd.edges.alias("b"),
+      col("a.src") === col("b.dst") && col("a.dst") === col("b.src")).count()
+    assert(mutual < gd.ecount())
+  }
+
+  test("Static_Fitness / Static_Power_Law: exact m, simple, fitness-biased") {
+    import org.apache.spark.sql.functions._
+    // mild skew: heavy skew saturates the distinct hot-hot pair space under
+    // the simple-graph constraint (igraph's rejection sampling clips the
+    // same way), which would mask the bias being tested
+    val fit = spark.range(200).select(col("id"),
+      when(col("id") < 20, 4.0).otherwise(1.0).as("w"))
+    val g = Generators.staticFitness(spark, 300, fit, seed = 13L)
+    assert(g.ecount() === 300L)
+    assert(g.edges.where(col("src") === col("dst")).count() === 0L)
+    assert(g.edges.distinct().count() === 300L)
+    // per-capita degree of high-fitness vertices ≈ 4x the low-fitness ones
+    val deg = GraphOps.degrees(g, Mode.All).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hotAvg = (0L until 20L).map(deg.getOrElse(_, 0L)).sum.toDouble / 20
+    val coldAvg = (20L until 200L).map(deg.getOrElse(_, 0L)).sum.toDouble / 180
+    assert(hotAvg > 2.0 * coldAvg, s"hotAvg=$hotAvg coldAvg=$coldAvg")
+    // determinism
+    assert(Generators.staticFitness(spark, 300, fit, seed = 13L)
+      .edges.collect().toSet === g.edges.collect().toSet)
+
+    val pl = Generators.staticPowerLaw(spark, 2000, 6000, exponent = 2.5, seed = 17L)
+    assert(pl.ecount() === 6000L)
+    assert(GraphOps.maxDegree(pl, Mode.All) > 50, "power-law head should be heavy")
+  }
+
+  test("Growing_Random / Random_Bipartite / Tree_Game shapes") {
+    import org.apache.spark.sql.functions._
+    val gr = Generators.growingRandom(spark, 500, 2, seed = 21L)
+    assert(gr.ecount() === 499L * 2)
+    assert(gr.edges.where(col("dst") >= col("src")).count() === 0L)
+
+    val rb = Generators.randomBipartite(spark, 40, 60, 0.2, seed = 23L)
+    assert(rb.edges.where(col("src") >= 40 || col("dst") < 40).count() === 0L)
+    val m = rb.ecount()
+    assert(m > 250 && m < 720, s"m=$m") // E = 480
+
+    val t = Generators.treeGame(spark, 200, seed = 25L)
+    assert(t.ecount() === 199L)
+    assert(graft.algos.Components.wcc(t).select("comp").distinct().count() === 1L)
+    assert(Generators.treeGame(spark, 200, seed = 25L).edges.collect().toSet ===
+      t.edges.collect().toSet)
+  }
+
+  test("Kautz(2,2): 12 vertices, in/out degree 2 (test_generators.py:193-198)") {
+    val g = Generators.kautz(spark, 2, 2)
+    assert(g.vcount() === 12L && g.directed)
+    val din = GraphOps.degrees(g, Mode.In).collect().map(_.getLong(1))
+    val dout = GraphOps.degrees(g, Mode.Out).collect().map(_.getLong(1))
+    assert(din.length === 12 && din.forall(_ == 2L), din.mkString(","))
+    assert(dout.forall(_ == 2L))
+  }
+
+  test("Realize_Degree_Sequence: reference cases incl. zachary degrees (test_generators.py:138-190)") {
+    import org.apache.spark.sql.functions._
+    val g1 = Generators.realizeDegreeSequence(spark, Seq(1, 1), method = "smallest")
+    assert(!g1.directed)
+    assert(GraphOps.degrees(g1, Mode.All).collect().map(_.getLong(1)).toSeq === Seq(1L, 1L))
+
+    val g2 = Generators.realizeDegreeSequence(spark, Seq(1, 1), Some(Seq(1, 1)), "largest")
+    assert(g2.directed)
+    assert(GraphOps.degrees(g2, Mode.In).collect().map(_.getLong(1)).toSeq === Seq(1L, 1L))
+    assert(GraphOps.degrees(g2, Mode.Out).collect().map(_.getLong(1)).toSeq === Seq(1L, 1L))
+
+    val zachary = Generators.famous(spark, "zachary")
+    val degrees = GraphOps.degrees(zachary, Mode.All).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1).toInt).toSeq
+    val gz = Generators.realizeDegreeSequence(spark, degrees)
+    val got = GraphOps.degrees(gz, Mode.All).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1).toInt).toSeq
+    assert(got === degrees)
+    assert(GraphOps.isSimple(gz))
+    // index strategy also realizes it
+    val gi = Generators.realizeDegreeSequence(spark, degrees, method = "index")
+    assert(GraphOps.degrees(gi, Mode.All).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1).toInt).toSeq === degrees)
+  }
 }

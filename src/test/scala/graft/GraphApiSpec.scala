@@ -114,4 +114,15 @@ class GraphApiSpec extends AnyFunSuite {
     val w = s.weighted.head.getDouble(2)
     assert(math.abs(w - 4.0) < 1e-12) // sqrt(2*8)
   }
+
+  test("has_multiple: undirected collapse, loops not multi (graphobject.c:12299)") {
+    assert(!GraphOps.hasMultiple(LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L)), directed = false)))
+    // (0,1) and (1,0) are the SAME undirected edge -> multi
+    assert(GraphOps.hasMultiple(LinkGraph(spark, 3, Seq((0L, 1L), (1L, 0L)), directed = false)))
+    // a loop alone is not a multi-edge
+    assert(!GraphOps.hasMultiple(LinkGraph(spark, 2, Seq((0L, 0L), (0L, 1L)), directed = false)))
+    // directed: repeated arc is multi, opposite arcs are not
+    assert(GraphOps.hasMultiple(LinkGraph(spark, 2, Seq((0L, 1L), (0L, 1L)), directed = true)))
+    assert(!GraphOps.hasMultiple(LinkGraph(spark, 2, Seq((0L, 1L), (1L, 0L)), directed = true)))
+  }
 }

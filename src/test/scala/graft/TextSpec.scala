@@ -116,6 +116,19 @@ class TextSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("ANN: IVF top-k achieves useful recall vs brute force and is deterministic") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 6)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall") // probing 6/16 lists
+    val again = Ann.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 6)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === ivf)
+  }
+
   test("brute-force ANN: cosine of identical vectors is 1, ranks deterministic") {
     val v = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
