@@ -1,0 +1,231 @@
+package graft.algos
+
+import graft.core.{Lineage, LinkGraph}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Infomap community detection (`community_infomap`,
+  * `graphobject.c:11514-11613`; Py wrapper `__init__.py:1184`; golden
+  * `tests/test_decomposition.py:250-266` — zachary membership + codelength
+  * 4.60605).
+  *
+  * Semantics reverse-engineered against the reference's zachary golden and
+  * matched to 6 decimals:
+  *  - node visit rates p_v: power iteration with teleportation τ = 0.15
+  *    (teleport uniform over vertices, or ∝ vertex weights), transition
+  *    ∝ edge weights; no dangling redistribution (a dangling node's
+  *    non-teleport mass is dropped, as in the original Infomap);
+  *  - module exit rate q_m = τ·(n−n_m)/n·Σ_{v∈m} p_v
+  *    + Σ_{u∈m, v∉m} (1−τ)·p_u·w_uv/s_u  (recorded teleportation);
+  *  - two-level map equation
+  *    L = plogp(Σq) − 2Σ plogp(q_m) − Σ plogp(p_v) + Σ plogp(q_m + p_m)
+  *    with plogp(x) = x·log₂x.
+  *
+  * The optimizer is the standard alternation of vertex-level and
+  * module-level greedy move passes (each pass cycles until no move
+  * improves L) — a strictly sequential search, so like
+  * [[CommunityKernels]] it runs as a driver kernel over a collected graph.
+  * The flow computation is PageRank (distributed here via
+  * [[PageRank]]/[[flowRanks]]) and [[codelength]] scores any membership
+  * distributedly; at corpus scale the community surface is
+  * [[Louvain]]/[[Leiden]]/[[LabelProp]].
+  */
+object Infomap {
+
+  val tau = 0.15
+  val maxKernelVertices = 100000L
+
+  final case class Result(membership: DataFrame, codelength: Double)
+
+  private def plogp(x: Double): Double = if (x > 1e-15) x * (math.log(x) / math.log(2.0)) else 0.0
+
+  // --------------------------------------------------------------- kernel --
+
+  private final class K(val n: Int, val adj: Array[Array[(Int, Double)]], val p: Array[Double]) {
+    val strength: Array[Double] = adj.map(_.map(_._2).sum)
+    /** directed flow u -> v along an incident edge. */
+    def flow(u: Int, w: Double): Double =
+      if (strength(u) > 0) (1.0 - tau) * p(u) * w / strength(u) else 0.0
+  }
+
+  private def collectK(g: LinkGraph, vWeights: Option[Map[Long, Double]]): (Array[Long], K) = {
+    val ids = g.vertices.select("id").collect().map(_.getLong(0)).sorted
+    require(ids.length <= maxKernelVertices,
+      s"infomap kernel capped at $maxKernelVertices vertices; use Louvain/Leiden at scale")
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val nbr = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
+    g.weighted.select("src", "dst", "weight").collect().foreach { r =>
+      val (u, v, w) = (idx(r.getLong(0)), idx(r.getLong(1)), r.getDouble(2))
+      if (u != v) { nbr(u) += ((v, w)); nbr(v) += ((u, w)) }
+    }
+    val adj = nbr.map(_.toArray)
+    val s = adj.map(_.map(_._2).sum)
+    val tele: Array[Double] = vWeights match {
+      case Some(vw) =>
+        val tot = ids.map(vw.getOrElse(_, 0.0)).sum
+        ids.map(i => vw.getOrElse(i, 0.0) / tot)
+      case None => Array.fill(n)(1.0 / n)
+    }
+    var p = tele.clone()
+    var it = 0
+    var delta = 1.0
+    while (delta > 1e-14 && it < 500) {
+      val np = tele.map(_ * tau)
+      for (v <- 0 until n; (u, w) <- adj(v))
+        if (s(v) > 0) np(u) += (1.0 - tau) * p(v) * w / s(v)
+      delta = (0 until n).map(v => math.abs(np(v) - p(v))).sum
+      p = np
+      it += 1
+    }
+    (ids, new K(n, adj, p))
+  }
+
+  /** Full codelength of a membership on the kernel graph. */
+  private def kernelL(k: K, memb: Array[Int]): Double = {
+    val mods = memb.distinct
+    val nM = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    val pM = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+    (0 until k.n).foreach { v => nM(memb(v)) += 1; pM(memb(v)) += k.p(v) }
+    val fOut = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+    for (u <- 0 until k.n; (v, w) <- k.adj(u) if memb(u) != memb(v))
+      fOut(memb(u)) += k.flow(u, w)
+    val qs = mods.map(m => tau * (k.n - nM(m)).toDouble / k.n * pM(m) + fOut(m))
+    val sumQ = qs.sum
+    plogp(sumQ) - 2.0 * qs.map(plogp).sum - k.p.map(plogp).sum +
+      mods.zip(qs).map { case (m, q) => plogp(q + pM(m)) }.sum
+  }
+
+  /** One greedy pass moving `units` (vertex singletons or whole modules);
+    * candidates are neighbor modules + a fresh empty module; moves apply
+    * immediately; cycles until a full sweep makes no move. Full-L
+    * evaluation per candidate (exact, no drift); unit degree bounds the
+    * candidate count so a pass is O(Σdeg · modules-touched).
+    */
+  private def movePass(k: K, memb: Array[Int], units: Array[Array[Int]], l0: Double): (Double, Boolean) = {
+    var best = l0
+    var improvedAny = false
+    var improved = true
+    while (improved) {
+      improved = false
+      for (unit <- units if unit.nonEmpty && unit.forall(memb(_) == memb(unit.head))) {
+        val cur = memb(unit.head)
+        val inUnit = unit.toSet
+        val nbrMods = unit.flatMap(v => k.adj(v).map(_._1)).filterNot(inUnit)
+          .map(memb(_)).distinct.sorted
+        val fresh = memb.max + 1
+        var bestC = cur
+        var bestL = best
+        for (c <- nbrMods :+ fresh if c != cur) {
+          unit.foreach(memb(_) = c)
+          val l = kernelL(k, memb)
+          if (l < bestL - 1e-12) { bestL = l; bestC = c }
+        }
+        unit.foreach(memb(_) = bestC)
+        if (bestC != cur) { best = bestL; improved = true; improvedAny = true }
+      }
+    }
+    (best, improvedAny)
+  }
+
+  /** `community_infomap`. Deterministic: trial 0 visits in ascending-id
+    * order; further trials use seeded shuffles, best codelength wins
+    * (reference default `trials=10`).
+    */
+  def communityInfomap(g: LinkGraph, trials: Int = 1,
+                       vertexWeights: Option[Map[Long, Double]] = None): Result = {
+    val spark = g.spark
+    import spark.implicits._
+    val (ids, k) = collectK(g, vertexWeights)
+    var bestMemb: Array[Int] = null
+    var bestL = Double.PositiveInfinity
+    for (t <- 0 until math.max(1, trials)) {
+      val order = {
+        val o = Array.tabulate(k.n)(identity)
+        if (t > 0) { // Fisher-Yates with the engine's splitmix stream
+          var i = k.n - 1
+          while (i > 0) {
+            val j = java.lang.Long.remainderUnsigned(
+              graft.core.Generators.mix64(t.toLong << 32 | i.toLong), i + 1L).toInt
+            val tmp = o(i); o(i) = o(j); o(j) = tmp
+            i -= 1
+          }
+        }
+        o
+      }
+      val memb = Array.tabulate(k.n)(identity)
+      var l = kernelL(k, memb)
+      var rounds = 0
+      var progressing = true
+      while (progressing && rounds < 100) {
+        val (l1, i1) = movePass(k, memb, order.map(Array(_)), l)
+        val modules = (0 until k.n).groupBy(memb(_)).values.map(_.toArray).toArray
+          .sortBy(_.min)
+        val (l2, i2) = movePass(k, memb, modules, l1)
+        l = l2
+        progressing = i1 || i2
+        rounds += 1
+      }
+      if (l < bestL - 1e-12) { bestL = l; bestMemb = memb.clone() }
+    }
+    val seen = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    val df = ids.indices.map(i => (ids(i), seen.getOrElseUpdate(bestMemb(i), seen.size).toLong))
+      .toDF("id", "label")
+    Result(df, bestL)
+  }
+
+  // ---------------------------------------------------------- distributed --
+
+  /** Distributed teleport-flow visit rates (the infomap flow model: PageRank
+    * with τ teleport, NO dangling redistribution). Returns (id, p).
+    */
+  def flowRanks(g: LinkGraph, iters: Int = 100): DataFrame = {
+    val n = g.vcount().toDouble
+    val out = g.bidirected.where(col("src") =!= col("dst"))
+    val s = out.groupBy("src").agg(sum("weight").as("s"))
+    val trans = out.join(s, Seq("src"))
+      .select(col("src"), col("dst"), (col("weight") / col("s")).as("t"))
+      .repartition(col("src")).persist()
+    trans.count()
+    var p = g.vertices.select(col("id"), lit(1.0 / n).as("p")).transform(Lineage.cut)
+    for (_ <- 0 until iters) {
+      val msgs = trans.join(p.select(col("id").as("src"), col("p")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("p") * col("t")).as("m"))
+      p = g.vertices.join(msgs, Seq("id"), "left")
+        .select(col("id"), (lit(tau / n) + lit(1.0 - tau) * coalesce(col("m"), lit(0.0))).as("p"))
+        .transform(Lineage.cut)
+    }
+    trans.unpersist()
+    p
+  }
+
+  /** Distributed two-level codelength of any membership — joins and
+    * aggregates only, usable at full scale to SCORE partitions produced by
+    * the scalable community methods.
+    */
+  def codelength(g: LinkGraph, membership: DataFrame): Double = {
+    val n = g.vcount().toDouble
+    val p = flowRanks(g).persist()
+    val m = membership.select(col("id"), col("label"))
+    val out = g.bidirected.where(col("src") =!= col("dst"))
+    val s = out.groupBy("src").agg(sum("weight").as("s"))
+    val cross = out.join(s, Seq("src"))
+      .join(m.select(col("id").as("src"), col("label").as("lu")), Seq("src"))
+      .join(m.select(col("id").as("dst"), col("label").as("lv")), Seq("dst"))
+      .where(col("lu") =!= col("lv"))
+      .join(p.select(col("id").as("src"), col("p")), Seq("src"))
+      .groupBy(col("lu").as("label"))
+      .agg(sum(lit(1.0 - tau) * col("p") * col("weight") / col("s")).as("fout"))
+    val mods = m.join(p, Seq("id")).groupBy("label")
+      .agg(count(lit(1)).as("nm"), sum("p").as("pm"))
+      .join(cross, Seq("label"), "left")
+      .select(col("nm").cast("double"), col("pm"), coalesce(col("fout"), lit(0.0)).as("fout"))
+      .collect()
+    val pv = p.select("p").collect().map(_.getDouble(0))
+    p.unpersist()
+    val qs = mods.map(r => tau * (n - r.getDouble(0)) / n * r.getDouble(1) + r.getDouble(2))
+    val pms = mods.map(_.getDouble(1))
+    plogp(qs.sum) - 2.0 * qs.map(plogp).sum - pv.map(plogp).sum +
+      qs.zip(pms).map { case (q, pm) => plogp(q + pm) }.sum
+  }
+}
