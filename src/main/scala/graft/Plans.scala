@@ -62,6 +62,17 @@ object Plans {
       graft.core.GraphOps.canonicalizeMembership(
         graft.algos.Components.wcc(g)))
 
+    // round-2 additions: the new distributed operators' hot joins
+    // Leiden gain sweep: kvc aggregate + ctot join (the per-sweep core)
+    val lg = Tables.copartGraph(spark, dir)
+    dump("leiden local-move sweep (1 fixed sweep)",
+      graft.algos.Leiden.localMove(lg,
+        lg.vertices.select(col("id"), lit(1.0).as("nw")), gammaEff = 0.5,
+        fixedSweeps = Some(1)))
+    // embedding near-dup LSH candidates: bucket equi-join, no cross join
+    dump("embedding near-dup LSH (1 table)",
+      graft.sim.Ann.nearDupPairsLsh(
+        Tables.read(spark, dir, "embeddings"), 0.45, nBits = 4, tables = 1))
     spark.stop()
   }
 }

@@ -234,6 +234,10 @@ object SparkEntry {
     "q_embed_dedup" -> ((s, dir) =>
       Ann.dedupByEmbedding(Tables.read(s, dir, "embeddings"), 0.45, exact = true)
         .select(col("vec_id"), col("cluster"), col("keep").cast("long").as("keep"))),
+    "q_embed_dedup_lsh" -> ((s, dir) =>
+      Ann.dedupByEmbedding(Tables.read(s, dir, "embeddings"), 0.45,
+        exact = false, nBits = 4, tables = 4)
+        .select(col("vec_id"), col("cluster"), col("keep").cast("long").as("keep"))),
 
     // --- ingest pipeline (synthetic pages; deterministic, dir-independent) ---
     // arithmetic-link corpus: the full html -> extract -> link-parse ->
@@ -933,6 +937,38 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id),
         |dots AS (SELECT p.vec_id AS a, q.vec_id AS b, SUM(p.x * q.x) AS dot
         |  FROM ex p JOIN ex q ON p.i = q.i AND p.vec_id < q.vec_id GROUP BY 1, 2),
+        |cp AS MATERIALIZED (SELECT d.a, d.b FROM dots d
+        |  JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+        |  WHERE d.dot / (na.nrm * nb.nrm) >= 0.45),
+        |ue AS (SELECT a, b FROM cp UNION SELECT b, a FROM cp),
+        |reach AS (SELECT vec_id AS a, vec_id AS b FROM embeddings
+        |  UNION SELECT r.a, ue.b FROM reach r JOIN ue ON ue.a = r.b)
+        |SELECT a AS vec_id, MIN(b) AS cluster,
+        |  CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM reach GROUP BY a""".stripMargin,
+    // the LSH scale path run end-to-end in SQL too: identical md5-derived
+    // hyperplanes (the q_ann_lsh derivation), bucket-join candidates, exact
+    // cosine confirm, recursive-CTE components
+    "q_embed_dedup_lsh" ->
+      """WITH RECURSIVE coef AS MATERIALIZED (SELECT tt.t, hh.h, dd.d,
+        |    CASE WHEN (STRPOS('0123456789abcdef',
+        |      SUBSTR(MD5(tt.t::VARCHAR || '_' || hh.h::VARCHAR || '_' || dd.d::VARCHAR), 16, 1)) - 1) % 2 = 1
+        |    THEN 1.0 ELSE -1.0 END AS c
+        |  FROM (SELECT UNNEST(RANGE(0, 4)) AS t) tt
+        |  CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS h) hh
+        |  CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS d) dd),
+        |ex AS MATERIALIZED (SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+        |  GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS d FROM embeddings),
+        |bits AS MATERIALIZED (SELECT vec_id, t, h, CASE WHEN SUM(x * c) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM ex JOIN coef USING (d) GROUP BY vec_id, t, h),
+        |buck AS MATERIALIZED (SELECT vec_id, t, SUM(bit * (1 << CAST(h AS INTEGER))) AS bucket
+        |  FROM bits GROUP BY vec_id, t),
+        |cand AS MATERIALIZED (SELECT DISTINCT p.vec_id AS a, q.vec_id AS b FROM buck p
+        |  JOIN buck q ON p.t = q.t AND p.bucket = q.bucket AND p.vec_id < q.vec_id),
+        |norms AS MATERIALIZED (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id),
+        |dots AS (SELECT cand.a, cand.b, SUM(p.x * q.x) AS dot FROM cand
+        |  JOIN ex p ON p.vec_id = cand.a JOIN ex q ON q.vec_id = cand.b AND q.d = p.d
+        |  GROUP BY cand.a, cand.b),
         |cp AS MATERIALIZED (SELECT d.a, d.b FROM dots d
         |  JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
         |  WHERE d.dot / (na.nrm * nb.nrm) >= 0.45),

@@ -276,6 +276,9 @@ object CommunityKernels {
   def walktrap(g0: LinkGraph, steps: Int = 4): Dendrogram = {
     val g = collect(g0)
     val n = g.n
+    // P^t signatures are dense n-vectors: O(n²) doubles. Tighter cap than
+    // the shared kernel limit — 4096² ≈ 128 MB of signature state.
+    require(n <= 4096, s"walktrap dense-signature kernel capped at 4096 vertices ($n given)")
     if (g.m == 0.0 || n == 0) return Dendrogram(n, Vector.empty, Vector(0.0))
     // transition matrix rows with self-loop smoothing as in Pons-Latapy
     // (walk moves to a uniform neighbor by weight)

@@ -74,6 +74,27 @@ object Distances {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** `farthest_points` (`graphobject.c:13356`): one extremal pair realizing
+    * the diameter plus the distance — deterministic min-(src,dst) pick.
+    */
+  def farthestPoints(g: LinkGraph): (Long, Long, Long) = {
+    val mode = if (g.directed) Mode.Out else Mode.All
+    val d = multiBfs(g, mode)
+    val r = d.orderBy(col("dist").desc, col("origin"), col("v")).limit(1).collect()
+    if (r.isEmpty) (-1L, -1L, 0L)
+    else (r.head.getLong(r.head.fieldIndex("origin")), r.head.getLong(r.head.fieldIndex("v")),
+      r.head.getLong(r.head.fieldIndex("dist")))
+  }
+
+  /** `get_diameter`: the actual vertex path realizing the diameter
+    * ([[ShortestPaths.path]] parent chain from the farthest pair).
+    */
+  def getDiameter(g: LinkGraph): Seq[Long] = {
+    val (s, t, d) = farthestPoints(g)
+    val mode = if (g.directed) Mode.Out else Mode.All
+    if (d <= 0) Seq.empty else ShortestPaths.path(g, s, t, mode)
+  }
+
   /** Mean finite pairwise distance (`average_path_length`). */
   def averagePathLength(g: LinkGraph): Double = {
     val mode = if (g.directed) Mode.Out else Mode.All

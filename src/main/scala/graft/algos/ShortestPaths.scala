@@ -91,8 +91,8 @@ object ShortestPaths {
   /** Reconstruct the vertex path origin -> target by walking parents
     * (driver-side; paths are short). Returns empty if unreachable.
     */
-  def path(g: LinkGraph, source: Long, target: Long): Seq[Long] = {
-    val rows = fromSources(g, Seq(source))
+  def path(g: LinkGraph, source: Long, target: Long, mode: Mode = Mode.Out): Seq[Long] = {
+    val rows = fromSources(g, Seq(source), mode)
       .select("id", "parent").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     if (!rows.contains(target)) return Seq.empty

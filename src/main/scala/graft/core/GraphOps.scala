@@ -248,6 +248,43 @@ object GraphOps {
     canon.groupBy("src", "dst").count().where(col("count") > 1).isEmpty
   }
 
+  /** `bipartite_projection(types, which)` (`graphobject.c:13198`; Py
+    * `__init__.py:3378-3442`; goldens `tests/test_bipartite.py:171-202`):
+    * connect two same-side vertices iff they share an opposite-side
+    * neighbor; `weight` = number of shared neighbors (multiplicity). The
+    * classic co-occurrence self-join — the same shape as the engine's
+    * lineitem co-part graph. Vertex ids are preserved (the reference
+    * renumbers; documented difference).
+    */
+  def bipartiteProjection(g: LinkGraph, types: DataFrame, which: Int,
+                          multiplicity: Boolean = true): LinkGraph = {
+    val t = types.select(col("id"), col("type").cast("int").as("t"))
+    val e = g.weighted
+      .join(t.select(col("id").as("src"), col("t").as("ts")), Seq("src"))
+      .join(t.select(col("id").as("dst"), col("t").as("td")), Seq("dst"))
+    require(e.where(col("ts") === col("td")).isEmpty,
+      "graph is not bipartite w.r.t. the given types (same-type edge found)")
+    // (projected vertex u, pivot p) incidence, deduped
+    val side = e.where(col("ts") === which).select(col("src").as("u"), col("dst").as("p"))
+      .union(e.where(col("td") === which).select(col("dst").as("u"), col("src").as("p")))
+      .distinct()
+    val pairs = side.alias("a").join(side.alias("b"), Seq("p"))
+      .where(col("a.u") < col("b.u"))
+      .groupBy(col("a.u").as("src"), col("b.u").as("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+    val edges = if (multiplicity) pairs else pairs.select("src", "dst")
+    LinkGraph(edges, directed = false, None)
+  }
+
+  /** `bipartite_projection_size` → (n0, m0, n1, m1). */
+  def bipartiteProjectionSize(g: LinkGraph, types: DataFrame): (Long, Long, Long, Long) = {
+    val t = types.select(col("id"), col("type").cast("int").as("t"))
+    val n0 = t.where(col("t") === 0).count()
+    val n1 = t.where(col("t") === 1).count()
+    (n0, bipartiteProjection(g, types, 0).ecount(),
+      n1, bipartiteProjection(g, types, 1).ecount())
+  }
+
   /** True iff any (src, dst) pair repeats (`has_multiple`,
     * `graphobject.c:12299`); loops are not multi-edges by themselves.
     */

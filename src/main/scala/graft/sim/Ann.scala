@@ -77,11 +77,17 @@ object Ann {
     * scale use [[nearDupPairsLsh]], whose candidate set is bucket-local.
     */
   def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val l = vectors.select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val r = vectors.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    // norms precomputed per vector BEFORE the pair join: one interpreted
+    // higher-order aggregate per pair (the dot) instead of three — same
+    // arithmetic (dot / na·nb), 3x less work on the quadratic path
+    val nv = vectors.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0d), (a, v) => a + v)))
+    val l = nv.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
+    val r = nv.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
     l.join(r, col("a") < col("b"))
       .select(col("a"), col("b"),
-        cosine(col("ea").cast("array<double>"), col("eb").cast("array<double>")).as("cos"))
+        (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+          / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
@@ -95,15 +101,20 @@ object Ann {
     */
   def nearDupPairsLsh(vectors: DataFrame, threshold: Double,
                       nBits: Int = 6, tables: Int = 8): DataFrame = {
+    val nv = vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("embedding").cast("array<double>"), x => x * x), lit(0.0d), (a, v) => a + v)))
     val cand = (0 until tables).map { t =>
-      val b = lshBuckets(vectors, nBits, t)
-      b.select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
-        .join(b.select(col("vec_id").as("b"), col("embedding").as("eb"), col("bucket")), Seq("bucket"))
+      val b = lshBuckets(nv, nBits, t)
+        .join(nv.select(col("vec_id"), col("nrm")), Seq("vec_id"))
+      b.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"), col("bucket"))
+        .join(b.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"), col("bucket")), Seq("bucket"))
         .where(col("a") < col("b"))
-        .select(col("a"), col("b"), col("ea"), col("eb"))
+        .select(col("a"), col("b"), col("ea"), col("eb"), col("na"), col("nb"))
     }.reduce(_ union _).distinct()
     cand.select(col("a"), col("b"),
-        cosine(col("ea").cast("array<double>"), col("eb").cast("array<double>")).as("cos"))
+        (aggregate(zip_with(col("ea").cast("array<double>"), col("eb").cast("array<double>"),
+          (x, y) => x * y), lit(0.0d), (acc, v) => acc + v) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }

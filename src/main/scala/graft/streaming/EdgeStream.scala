@@ -61,4 +61,52 @@ object EdgeStream {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Streaming exact dedup over a `(doc_id, text)` document stream: custom
+    * keyed state via `flatMapGroupsWithState` — the first document with a
+    * given content hash passes, every later duplicate (same or later
+    * micro-batch) is dropped. This is the streaming face of
+    * [[graft.text.TextOps.dedupExact]]: state is one boolean per content
+    * hash, partitioned by the hash — exactly the layout a 100 TB ingest
+    * dedup needs (state scales with distinct content, not stream length).
+    */
+  def dedupStream(docs: DataFrame): Dataset[(Long, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.select(md5(col("text")).as("h"), col("doc_id").cast("long"), col("text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // content already emitted in an earlier batch
+          else {
+            state.update(true)
+            // within a batch, keep the smallest doc_id (batch dedup keep-min)
+            val first = rows.minBy(_._2)
+            Iterator((first._2, first._3))
+          }
+      }
+  }
+
+  /** Stateful per-vertex running degree over an append-only edge stream
+    * (`mapGroupsWithState`): each micro-batch updates a per-vertex counter;
+    * emits (id, degree) totals as of the latest batch. State = one long per
+    * vertex, partitioned by vertex id — the streaming analog of
+    * `GraphOps.degrees` for a growing web graph.
+    */
+  def runningDegrees(edges: DataFrame): Dataset[(Long, Long)] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    edges.select(explode(array(col("src"), col("dst"))).as("id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val d = state.getOption.getOrElse(0L) + rows.size
+          state.update(d)
+          (id, d)
+      }
+  }
 }

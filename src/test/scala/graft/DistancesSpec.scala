@@ -97,4 +97,14 @@ class DistancesSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(apxHist == exactHist)
   }
+
+  test("farthest_points + get_diameter on the tree (test_structural.py:36-41)") {
+    val (s, t, d) = Distances.farthestPoints(tree14)
+    assert(d == 5L && (s == 13L || t == 13L), s"($s,$t,$d)")
+    val path = Distances.getDiameter(tree14)
+    assert(path.length == 6) // 5 hops = 6 vertices
+    assert(path.head == 13L || path.last == 13L, path.mkString(","))
+    // endpoints of the returned path realize the diameter
+    assert(path.head == s || path.head == t)
+  }
 }

@@ -115,6 +115,24 @@ class GraphApiSpec extends AnyFunSuite {
     assert(math.abs(w - 4.0) < 1e-12) // sqrt(2*8)
   }
 
+  test("bipartite_projection: Full_Bipartite(10,5) -> Full(10) w=5 / Full(5) w=10 (test_bipartite.py:171-202)") {
+    val g = graft.core.Generators.fullBipartite(spark, 10, 5)
+    val types = spark.range(15).select(col("id"), when(col("id") < 10, 0).otherwise(1).as("type"))
+    val p0 = GraphOps.bipartiteProjection(g, types, 0)
+    val p1 = GraphOps.bipartiteProjection(g, types, 1)
+    assert(p0.ecount() === 45L) // Full(10)
+    assert(p1.ecount() === 10L) // Full(5)
+    assert(p0.weighted.collect().forall(_.getDouble(2) == 5.0))
+    assert(p1.weighted.collect().forall(_.getDouble(2) == 10.0))
+    assert(GraphOps.bipartiteProjectionSize(g, types) === ((10L, 45L, 5L, 10L)))
+    // multiplicity=false drops the weight column
+    assert(!GraphOps.bipartiteProjection(g, types, 0, multiplicity = false)
+      .edges.columns.contains("weight"))
+    // non-bipartite types rejected
+    val bad = spark.range(15).select(col("id"), lit(0).as("type"))
+    assertThrows[IllegalArgumentException] { GraphOps.bipartiteProjection(g, bad, 0) }
+  }
+
   test("has_multiple: undirected collapse, loops not multi (graphobject.c:12299)") {
     assert(!GraphOps.hasMultiple(LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L)), directed = false)))
     // (0,1) and (1,0) are the SAME undirected edge -> multi

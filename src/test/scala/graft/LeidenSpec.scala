@@ -91,6 +91,24 @@ class LeidenSpec extends AnyFunSuite {
     assert(labels.distinct.size === nc)
   }
 
+  test("distributed communityLeiden end-to-end above the sequential threshold") {
+    // 900 cliques of 6 in a ring = 5400 vertices > seqThreshold(4096):
+    // exercises distributed move + constrained refinement + aggregation
+    val k = 6
+    val nc = 900
+    val cliq = for (c <- 0 until nc; i <- 0 until k; j <- i + 1 until k)
+      yield ((c * k + i).toLong, (c * k + j).toLong, 1.0)
+    val ringE = (0 until nc).map(c => ((c * k).toLong, (((c + 1) % nc) * k + 1).toLong, 1.0))
+    val g = LinkGraph.weighted(spark, (nc * k).toLong, cliq ++ ringE, directed = false)
+    val labels = memb(Leiden.communityLeiden(g, Leiden.CPM, resolution = 0.5, nIterations = 1))
+    // every clique uncut; CPM γ=0.5 favors exactly the cliques
+    for (c <- 0 until nc) {
+      val ls = (0 until k).map(i => labels(c * k + i)).distinct
+      assert(ls.size === 1, s"clique $c split: $ls")
+    }
+    assert(labels.distinct.size >= nc / 2, "cliques should not all collapse")
+  }
+
   test("n_iterations=2 default matches -1 result on a stable graph") {
     val cl2 = Leiden.communityLeidenSequential(figC1, Leiden.CPM, beta = 0.0, nIterations = 2)
     val clInf = Leiden.communityLeidenSequential(figC1, Leiden.CPM, beta = 0.0, nIterations = -1)

@@ -109,4 +109,41 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count() > 0)
     assert(out.columns.contains("event_type"))
   }
+
+  test("streaming dedup: flatMapGroupsWithState drops cross-batch duplicates") {
+    val base = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    Seq((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"))
+      .toDF("doc_id", "text").write.parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$base/in")
+    val q = EdgeStream.dedupStream(stream)
+      .toDF("doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+    q.processAllAvailable()
+    // batch 2: one duplicate of batch 1, one new doc
+    Seq((4L, "alpha text"), (5L, "gamma text"))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$base/in")
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("select doc_id from dd").collect().map(_.getLong(0)).toSet
+    // 1 (keep-min of the alpha pair in batch 1), 2, 5; 3 and 4 are dupes
+    assert(got === Set(1L, 2L, 5L))
+  }
+
+  test("streaming running degrees: mapGroupsWithState accumulates across batches") {
+    val base = java.nio.file.Files.createTempDirectory("degstream").toString
+    Seq((0L, 1L), (0L, 2L)).toDF("src", "dst").write.parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$base/in")
+    val q = EdgeStream.runningDegrees(stream)
+      .toDF("id", "degree")
+      .writeStream.outputMode("update").format("memory").queryName("rd").start()
+    q.processAllAvailable()
+    Seq((0L, 3L)).toDF("src", "dst").write.mode("append").parquet(s"$base/in")
+    q.processAllAvailable(); q.stop()
+    // latest update per id wins
+    val rows = spark.sql("select id, degree from rd").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(1)).max }
+    assert(rows(0L) === 3L) // 0 seen in all three edges
+    assert(rows(3L) === 1L)
+  }
 }
