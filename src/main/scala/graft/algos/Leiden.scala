@@ -396,9 +396,11 @@ object Leiden {
         .join(nwAll, Seq("id"))
         .select(col("id"), col("clabel"),
           (col("kvc") - lit(gammaEff) * col("nw") * col("tot")).as("gain"))
-      val w = Window.partitionBy("id").orderBy(col("gain").desc, col("clabel"))
-      val best = cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("id"), col("clabel"), col("gain"))
+      // argmax(gain, tie -> min clabel) as a hash aggregate — identical
+      // selection to a desc-gain/asc-clabel window, with map-side combine
+      val best = cand.groupBy("id")
+        .agg(min(struct(negate(col("gain")).as("ng"), col("clabel"), col("gain"))).as("b"))
+        .select(col("id"), col("b.clabel").as("clabel"), col("b.gain").as("gain"))
       val mayMove =
         if (fixedSweeps.isDefined) pmod(col("id"), lit(2L)) === lit((sweep % 2).toLong)
         else pmod(xxhash64(lit(43L), lit(sweep), col("id")), lit(2L)) === 0L

@@ -84,9 +84,12 @@ object Louvain {
         .join(kvAll, Seq("id"))
         .select(col("id"), col("clabel"),
           (col("kvc") - col("tot") * col("k") / m2).as("gain"))
-      val w = Window.partitionBy("id").orderBy(col("gain").desc, col("clabel"))
-      val best = cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("id"), col("clabel"), col("gain"))
+      // argmax(gain, tie -> min clabel) as a hash aggregate (map-side
+      // partial combine), NOT a sort-based window — same selection, no
+      // per-vertex sort of the full candidate set
+      val best = cand.groupBy("id")
+        .agg(min(struct(negate(col("gain")).as("ng"), col("clabel"), col("gain"))).as("b"))
+        .select(col("id"), col("b.clabel").as("clabel"), col("b.gain").as("gain"))
       // seeded parity (not plain id parity): a 2-cycle between two same-
       // parity neighbors (e.g. both odd) would otherwise swap labels forever.
       // Fixed-sweep oracle mode uses plain id parity (deterministic + SQL).
