@@ -182,6 +182,8 @@ object SparkEntry {
       .select(col("src"), col("dst"), round(col("betweenness"), 4).as("betweenness"))),
     "q_closeness" -> ((s, dir) => Betweenness.closeness(Tables.eventsGraph(s, dir), mode = Mode.All)
       .select(col("id"), round(col("closeness"), 6).as("closeness"))),
+    "q_harmonic" -> ((s, dir) => Betweenness.harmonicCentrality(Tables.eventsGraph(s, dir), mode = Mode.All)
+      .select(col("id"), round(col("harmonic"), 6).as("harmonic"))),
     "q_evcent" -> ((s, dir) => {
       val r = Centrality.eigenvector(GraphOps.simplify(Tables.eventsGraph(s, dir)), fixedIters = Some(20))
       r.scores.select(col("id"), round(col("centrality"), 6).as("centrality"))
@@ -540,6 +542,17 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |md AS (SELECT o, vx, MIN(d) AS d FROM r GROUP BY o, vx)
          |SELECT o AS id, ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(d), 6) AS closeness
          |FROM md WHERE d > 0 GROUP BY o""".stripMargin,
+    "q_harmonic" ->
+      s"""WITH RECURSIVE $E,
+         |ue AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         |r AS (SELECT id AS o, id AS vx, 0 AS d FROM v
+         |  UNION SELECT r.o, ue.b, r.d + 1 FROM r JOIN ue ON ue.a = r.vx WHERE r.d < 30),
+         |md AS (SELECT o, vx, MIN(d) AS d FROM r GROUP BY o, vx),
+         |hm AS (SELECT o, SUM(1.0 / d) AS s FROM md WHERE d > 0 GROUP BY o)
+         |SELECT v.id, ROUND(COALESCE(hm.s, 0) / ((SELECT COUNT(*) FROM v) - 1), 6) AS harmonic
+         |FROM v LEFT JOIN hm ON hm.o = v.id""".stripMargin,
     "q_degree_out" ->
       s"""WITH $E, od AS (SELECT src AS id, COUNT(*) AS degree FROM e GROUP BY src)
          |SELECT v.id, COALESCE(od.degree, 0) AS degree FROM v LEFT JOIN od ON od.id = v.id""".stripMargin,

@@ -197,4 +197,30 @@ object Betweenness {
         when(col("reached").isNull, lit(Double.NaN))
           .otherwise(col("reached") / col("sumd")).as("closeness"))
   }
+
+  /** `harmonic_centrality` (`graphobject.c:4274-4300`; goldens
+    * `test_structural.py:358-387`): mean of 1/d(v, u) over all other
+    * vertices (unreachable contribute 0), same distance machinery as
+    * [[closeness]] — one aggregate over the multi-source distance table.
+    */
+  def harmonicCentrality(
+      g: LinkGraph,
+      weighted: Boolean = false,
+      cutoff: Option[Double] = None,
+      mode: Mode = Mode.All
+  ): DataFrame = {
+    val view = mode match {
+      case Mode.Out => g
+      case Mode.In  => LinkGraph(g.weighted.select(col("dst").as("src"), col("src").as("dst"), col("weight")), g.directed, g.numVertices)
+      case Mode.All => LinkGraph(g.bidirected, directed = false, g.numVertices)
+    }
+    val n = g.vcount()
+    val t = brandesTables(view, weighted, cutoff, None)
+    val agg = t.dist.where(col("dist") > 0)
+      .groupBy(col("origin").as("id"))
+      .agg(sum(lit(1.0) / col("dist")).as("s"))
+    g.vertices.join(agg, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("s"), lit(0.0)) / lit(math.max(1L, n - 1).toDouble)).as("harmonic"))
+  }
 }

@@ -79,4 +79,22 @@ class BetweennessSpec extends AnyFunSuite {
     assert(math.abs(clOut(0L) - 2.0 / 3.0) < 1e-9) // reaches 2 at dists 1,2
     assert(clOut(2L).isNaN) // reaches nothing
   }
+
+  test("harmonic centrality goldens incl. cutoff + weighted (test_structural.py:358-387)") {
+    val star5 = LinkGraph.star(spark, 5)
+    def hc(weighted: Boolean = false, cutoff: Option[Double] = None): Map[Long, Double] =
+      Betweenness.harmonicCentrality(star5, weighted = weighted, cutoff = cutoff)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = hc()
+    assert(math.abs(plain(0L) - 1.0) < 1e-3)
+    (1L to 4L).foreach(v => assert(math.abs(plain(v) - 0.625) < 1e-3, s"v=$v ${plain(v)}"))
+    val cut = hc(cutoff = Some(1.0))
+    assert(math.abs(cut(0L) - 1.0) < 1e-3)
+    (1L to 4L).foreach(v => assert(math.abs(cut(v) - 0.25) < 1e-3))
+    // unit weights through the weighted (Dijkstra) path give the same values
+    val w = hc(weighted = true)
+    assert(math.abs(w(0L) - 1.0) < 1e-3 && math.abs(w(1L) - 0.625) < 1e-3)
+    val wc = hc(weighted = true, cutoff = Some(1.0))
+    assert(math.abs(wc(1L) - 0.25) < 1e-3)
+  }
 }
