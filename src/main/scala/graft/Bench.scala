@@ -110,14 +110,26 @@ object Bench {
     //  - 8 -> 32 threads: saturates this single socket's shared memory
     //    bandwidth at the top level — the intra-node ceiling, reported for
     //    honesty, not the cluster-scaling claim.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // adaptive repetitions: alternate levels until one full round improves
+    // no level's min by >5% (noise epochs on this host can shadow an entire
+    // session, so a fixed rep count under-samples the true compute cost)
+    val repCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     val levels = Seq(2, 8, 32)
-    val runs = (0 until reps).flatMap { _ =>
-      levels.map(p => p -> prSecPerIter(p, benchN, avgDeg = 10, benchIters))
+    val mins = scala.collection.mutable.Map(levels.map(_ -> Double.PositiveInfinity): _*)
+    var m = 0L
+    var rep = 0
+    var improved = true
+    while (rep < repCap && (rep < 2 || improved)) {
+      improved = false
+      levels.foreach { p =>
+        val (s, edges) = prSecPerIter(p, benchN, avgDeg = 10, benchIters)
+        m = edges
+        if (s < mins(p) * 0.95) improved = true
+        if (s < mins(p)) mins(p) = s
+      }
+      rep += 1
     }
-    val m = runs.head._2._2
-    def secAt(p: Int) = runs.collect { case (`p`, (s, _)) => s }.min
-    val (sec2, sec8, sec32) = (secAt(2), secAt(8), secAt(32))
+    val (sec2, sec8, sec32) = (mins(2), mins(8), mins(32))
     val (eps2, eps8, eps32) = (m / sec2, m / sec8, m / sec32)
     val effNodes = (eps8 / eps2) / 4.0  // the N -> 4N cluster-node analog
     val efficiency = (eps32 / eps8) / 4.0 // intra-socket ceiling (disclosed)

@@ -184,6 +184,9 @@ object SparkEntry {
       .select(col("id"), round(col("closeness"), 6).as("closeness"))),
     "q_harmonic" -> ((s, dir) => Betweenness.harmonicCentrality(Tables.eventsGraph(s, dir), mode = Mode.All)
       .select(col("id"), round(col("harmonic"), 6).as("harmonic"))),
+    "q_constraint" -> ((s, dir) => GraphOps.constraint(Tables.eventsGraph(s, dir))
+      .where(!isnan(col("constraint")))
+      .select(col("id"), round(col("constraint"), 6).as("constraint_score"))),
     "q_evcent" -> ((s, dir) => {
       val r = Centrality.eigenvector(GraphOps.simplify(Tables.eventsGraph(s, dir)), fixedIters = Some(20))
       r.scores.select(col("id"), round(col("centrality"), 6).as("centrality"))
@@ -553,6 +556,20 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |hm AS (SELECT o, SUM(1.0 / d) AS s FROM md WHERE d > 0 GROUP BY o)
          |SELECT v.id, ROUND(COALESCE(hm.s, 0) / ((SELECT COUNT(*) FROM v) - 1), 6) AS harmonic
          |FROM v LEFT JOIN hm ON hm.o = v.id""".stripMargin,
+    "q_constraint" ->
+      s"""WITH $E,
+         |sy AS MATERIALIZED (SELECT i, j, SUM(w) AS w FROM (
+         |  SELECT src AS i, dst AS j, weight AS w FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src, weight FROM e WHERE src <> dst) GROUP BY i, j),
+         |si AS (SELECT i, SUM(w) AS s FROM sy GROUP BY i),
+         |p AS MATERIALIZED (SELECT sy.i, sy.j, sy.w / si.s AS p FROM sy JOIN si ON si.i = sy.i),
+         |ind AS MATERIALIZED (SELECT a.i, b.j, SUM(a.p * b.p) AS ind FROM p a
+         |  JOIN p b ON a.j = b.i AND a.i <> b.j GROUP BY a.i, b.j),
+         |pr AS (SELECT p.i, p.p + COALESCE(ind.ind, 0) AS t
+         |  FROM p LEFT JOIN ind ON p.i = ind.i AND p.j = ind.j),
+         |cs AS (SELECT i AS id, SUM(t * t) AS c FROM pr GROUP BY i)
+         |SELECT v.id, ROUND(cs.c, 6) AS constraint_score FROM v
+         |JOIN cs ON cs.id = v.id""".stripMargin,
     "q_degree_out" ->
       s"""WITH $E, od AS (SELECT src AS id, COUNT(*) AS degree FROM e GROUP BY src)
          |SELECT v.id, COALESCE(od.degree, 0) AS degree FROM v LEFT JOIN od ON od.id = v.id""".stripMargin,

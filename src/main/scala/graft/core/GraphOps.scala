@@ -285,6 +285,45 @@ object GraphOps {
       n1, bipartiteProjection(g, types, 1).ecount())
   }
 
+  /** Burt's `constraint` (`graphobject.c:13113-13160`; smoke test
+    * `test_structural.py:507-509`): c_i = Σ_j (p_ij + Σ_q p_iq·p_qj)² where
+    * p_ij is the symmetrized proportional tie strength
+    * (w_ij + w_ji) / Σ_q (w_iq + w_qi), q ranging over shared contacts.
+    * Shape: one symmetrize-aggregate, one self-join on the shared contact,
+    * one squared-sum aggregate — all shuffles on vertex keys.
+    */
+  def constraint(g: LinkGraph): DataFrame = {
+    val e = g.weighted.where(col("src") =!= col("dst"))
+    val sym = e.select(col("src").as("i"), col("dst").as("j"), col("weight"))
+      .union(e.select(col("dst").as("i"), col("src").as("j"), col("weight")))
+      .groupBy("i", "j").agg(sum("weight").as("w"))
+    val si = sym.groupBy("i").agg(sum("w").as("s"))
+    val p = sym.join(si, Seq("i")).select(col("i"), col("j"), (col("w") / col("s")).as("p"))
+      .persist()
+    p.count()
+    // indirect strength via shared contact q: Σ_q p_iq · p_qj  (q != i, j by
+    // construction: p has no self rows; exclude j == i)
+    val ind = p.alias("a")
+      .join(p.alias("b"), col("a.j") === col("b.i"))
+      .where(col("a.i") =!= col("b.j"))
+      .groupBy(col("a.i").as("i"), col("b.j").as("j"))
+      .agg(sum(col("a.p") * col("b.p")).as("ind"))
+    // Burt's sum runs over DIRECT contacts j only — indirect paths modify
+    // c_ij for existing contacts, they do not add new j terms (a star leaf
+    // has constraint exactly 1): left join, not full outer
+    val pair = p.select(col("i"), col("j"), col("p"))
+      .join(ind, Seq("i", "j"), "left")
+      .select(col("i"),
+        (col("p") + coalesce(col("ind"), lit(0.0))).as("t"))
+    val out = g.vertices.join(
+      pair.groupBy(col("i").as("id")).agg(sum(col("t") * col("t")).as("constraint")),
+      Seq("id"), "left")
+      .select(col("id"), when(col("constraint").isNull, lit(Double.NaN))
+        .otherwise(col("constraint")).as("constraint"))
+    p.unpersist(blocking = false)
+    out
+  }
+
   /** True iff any (src, dst) pair repeats (`has_multiple`,
     * `graphobject.c:12299`); loops are not multi-edges by themselves.
     */

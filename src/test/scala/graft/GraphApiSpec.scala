@@ -133,6 +133,23 @@ class GraphApiSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { GraphOps.bipartiteProjection(g, bad, 0) }
   }
 
+  test("constraint: K3=1.125, star center 1/k, path [1,0.5,1] (graphobject.c:13113)") {
+    def c(g: LinkGraph): Map[Long, Double] =
+      GraphOps.constraint(g).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val k3 = c(LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L), (0L, 2L)), directed = false))
+    (0L to 2L).foreach(v => assert(math.abs(k3(v) - 1.125) < 1e-9, s"$v ${k3(v)}"))
+    val star = c(LinkGraph.star(spark, 5))
+    assert(math.abs(star(0L) - 0.25) < 1e-9) // center: 1/k
+    (1L to 4L).foreach(v => assert(math.abs(star(v) - 1.0) < 1e-9))
+    // P3: endpoints have one contact (p=1, no shared third party) -> 1.0;
+    // middle: two contacts at p=0.5, unconnected to each other -> 0.5
+    val p3 = c(LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L)), directed = false))
+    assert(math.abs(p3(0L) - 1.0) < 1e-9 && math.abs(p3(1L) - 0.5) < 1e-9)
+    // isolated vertex -> NaN (reference convention)
+    val iso = c(LinkGraph(spark, 3, Seq((0L, 1L)), directed = false))
+    assert(iso(2L).isNaN)
+  }
+
   test("has_multiple: undirected collapse, loops not multi (graphobject.c:12299)") {
     assert(!GraphOps.hasMultiple(LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L)), directed = false)))
     // (0,1) and (1,0) are the SAME undirected edge -> multi
