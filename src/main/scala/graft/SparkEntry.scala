@@ -187,6 +187,17 @@ object SparkEntry {
     "q_constraint" -> ((s, dir) => GraphOps.constraint(Tables.eventsGraph(s, dir))
       .where(!isnan(col("constraint")))
       .select(col("id"), round(col("constraint"), 6).as("constraint_score"))),
+    "q_bipartite_proj" -> ((s, dir) => {
+      // order/part bipartite graph (even ids = orders, odd ids = parts);
+      // part-side projection with multiplicity = the co-part graph + counts
+      val li = Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.select((col("ok") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+      val g = LinkGraph(e, directed = false, None)
+      val types = g.vertices.select(col("id"), pmod(col("id"), lit(2L)).cast("int").as("type"))
+      GraphOps.bipartiteProjection(g, types, which = 1)
+        .weighted.select(col("src"), col("dst"), col("weight").cast("long").as("common"))
+    }),
     "q_evcent" -> ((s, dir) => {
       val r = Centrality.eigenvector(GraphOps.simplify(Tables.eventsGraph(s, dir)), fixedIters = Some(20))
       r.scores.select(col("id"), round(col("centrality"), 6).as("centrality"))
@@ -570,6 +581,11 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |cs AS (SELECT i AS id, SUM(t * t) AS c FROM pr GROUP BY i)
          |SELECT v.id, ROUND(cs.c, 6) AS constraint_score FROM v
          |JOIN cs ON cs.id = v.id""".stripMargin,
+    "q_bipartite_proj" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pj AS (SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS common FROM lp a
+        |  JOIN lp b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2)
+        |SELECT 2 * pa + 1 AS src, 2 * pb + 1 AS dst, common FROM pj""".stripMargin,
     "q_degree_out" ->
       s"""WITH $E, od AS (SELECT src AS id, COUNT(*) AS degree FROM e GROUP BY src)
          |SELECT v.id, COALESCE(od.degree, 0) AS degree FROM v LEFT JOIN od ON od.id = v.id""".stripMargin,
