@@ -39,6 +39,10 @@ object Bench {
       // the iterative joins hit a pre-partitioned cached side: hash join
       // avoids re-sorting the big cached relation every superstep
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // the grid-CSR loop shuffles primitive double[] partials between its
+      // two stages; Kryo writes them as raw blocks (Java serialization adds
+      // per-object framing)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -50,26 +54,31 @@ object Bench {
     * session): per-iteration wall times come from the loop itself; the first
     * two iterations (JIT/codegen/cache warmup) are dropped.
     */
-  private def prSecPerIter(cpus: Int, n: Long, avgDeg: Int, iters: Int): (Double, Long) = {
+  private def prSecPerIter(cpus: Int, n: Long, avgDeg: Int, iters: Int): (Double, Double, Long) = {
     val spark = session(cpus)
     try {
       val edges = synthEdges(spark, n, avgDeg, partitions = math.max(cpus * 2, 16)).persist()
       val g = LinkGraph(edges, directed = true, Some(n))
       val m = g.ecount() // also materializes the edge cache
-      val strategy = sys.env.getOrElse("SPARK_GRAFT_STRATEGY", "edge") match {
-        case "csr"  => PageRank.CsrBlocks(math.max(cpus * 2, 16))
+      // the partition/block count is FIXED across parallelism levels so the
+      // job (RDD graph, partitioning, shuffle layout) is identical — only
+      // the thread count varies, which is the scaling claim being evidenced
+      val strategy = sys.env.getOrElse("SPARK_GRAFT_STRATEGY", "grid") match {
+        case "csr"  => PageRank.CsrBlocks(32)
         case "hub"  => PageRank.HubBroadcast(10000)
-        case _      => PageRank.EdgeJoin
+        case "edge" => PageRank.EdgeJoin
+        case _      => PageRank.GridBlocks(sys.env.getOrElse("SPARK_GRAFT_GRID_P", "32").toInt)
       }
       // per-iteration timing from the loop itself; drop the first two
-      // (JIT/codegen/cache warmup). MIN of the steady-state tail, not mean:
-      // this sandbox is a shared host and neighbor noise inflates individual
-      // iterations by up to 2x — the min approximates the true compute cost
-      // (standard robust-timing practice)
+      // (JIT/codegen/cache warmup). Both MIN and MEAN of the steady-state
+      // tail are reported: this sandbox is a shared host and neighbor noise
+      // inflates individual iterations by up to 2x — the min approximates
+      // the true compute cost (standard robust-timing practice), the mean is
+      // kept for comparability with round-1 numbers (ADVICE r2).
       val r = PageRank.run(g, fixedIters = Some(iters + 2), strategy = strategy)
       edges.unpersist()
       val steady = r.perIterSec.drop(2)
-      (steady.min, m)
+      (steady.min, steady.sum / steady.size, m)
     } finally spark.stop()
   }
 
@@ -114,30 +123,36 @@ object Bench {
     // no level's min by >5% (noise epochs on this host can shadow an entire
     // session, so a fixed rep count under-samples the true compute cost)
     val repCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
-    val levels = Seq(2, 8, 32)
+    val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
+      .split(",").map(_.trim.toInt).toSeq
     val mins = scala.collection.mutable.Map(levels.map(_ -> Double.PositiveInfinity): _*)
+    val means = scala.collection.mutable.Map(levels.map(_ -> Double.PositiveInfinity): _*)
     var m = 0L
     var rep = 0
     var improved = true
     while (rep < repCap && (rep < 2 || improved)) {
       improved = false
       levels.foreach { p =>
-        val (s, edges) = prSecPerIter(p, benchN, avgDeg = 10, benchIters)
+        val (s, mean, edges) = prSecPerIter(p, benchN, avgDeg = 10, benchIters)
         m = edges
         if (s < mins(p) * 0.95) improved = true
         if (s < mins(p)) mins(p) = s
+        if (mean < means(p)) means(p) = mean
       }
       rep += 1
     }
-    val (sec2, sec8, sec32) = (mins(2), mins(8), mins(32))
-    val (eps2, eps8, eps32) = (m / sec2, m / sec8, m / sec32)
-    val effNodes = (eps8 / eps2) / 4.0  // the N -> 4N cluster-node analog
-    val efficiency = (eps32 / eps8) / 4.0 // intra-socket ceiling (disclosed)
-
+    val hi = levels.last
+    val epsHi = m / mins(hi)
     val qJson = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val secJson = levels.map(p => s""""sec_per_iter_local$p":${"%.3f".format(mins(p))}""").mkString(",")
+    val meanJson = levels.map(p => s""""mean_sec_per_iter_local$p":${"%.3f".format(means(p))}""").mkString(",")
+    val epsJson = levels.map(p => s""""eps_local$p":${"%.0f".format(m / mins(p))}""").mkString(",")
+    val effJson = levels.sliding(2).map { case Seq(a, b) =>
+      s""""efficiency_${a}_to_$b":${"%.3f".format((mins(a) / mins(b)) / (b.toDouble / a))}"""
+    }.mkString(",")
     val json =
-      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.0f".format(eps32)},"unit":"edges/sec/iter","queries":$qJson,"sf":"$sfDir","total_query_sec":${"%.2f".format(total)},"scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,"sec_per_iter_local2":${"%.3f".format(sec2)},"sec_per_iter_local8":${"%.3f".format(sec8)},"sec_per_iter_local32":${"%.3f".format(sec32)},"eps_local2":${"%.0f".format(eps2)},"eps_local8":${"%.0f".format(eps8)},"eps_local32":${"%.0f".format(eps32)},"efficiency_2_to_8":${"%.3f".format(effNodes)},"efficiency_8_to_32":${"%.3f".format(efficiency)},"note":"2->8 holds per-core bandwidth constant (N->4N cluster-node analog); 8->32 saturates the single socket's shared memory bandwidth"}}"""
+      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.0f".format(epsHi)},"unit":"edges/sec/iter","queries":$qJson,"sf":"$sfDir","total_query_sec":${"%.2f".format(total)},"scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,$secJson,$meanJson,$epsJson,$effJson,"note":"${levels.head}->${levels(1)} holds per-core bandwidth constant (the N->4N cluster-node analog, each node bringing its own memory bandwidth); higher pairs additionally contend the single socket's shared bandwidth; sec_per_iter_* are steady-state minima (robust timing), mean_* the steady-state means"}}"""
     println(json)
     // belt-and-braces for the driver's parser: also drop the line in a file
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")

@@ -2,7 +2,7 @@ package graft.algos
 
 import graft.core.{CheckpointStore, Iterate, LinkGraph}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 /** Label-propagation community detection (Raghavan-Albert-Kumara, Phys Rev E
@@ -83,15 +83,18 @@ object LabelProp {
         .where(col("label").isNotNull)
         .groupBy(col("dst").as("id"), col("label"))
         .agg(sum("weight").as("mass"))
-      // deterministic argmax: mass desc, then seeded hash (or min), then label
-      val w =
-        if (minTieBreak) Window.partitionBy(col("id")).orderBy(col("mass").desc, col("label"))
-        else Window.partitionBy(col("id")).orderBy(
-          col("mass").desc,
-          xxhash64(lit(seed), lit(iter), col("id"), col("label")),
-          col("label"))
-      val best = votes.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1).select(col("id"), col("label").as("new_label"))
+      // deterministic argmax as a map-side-combinable hash aggregate:
+      // min(struct(-mass, tiebreak, label)) == "mass desc, tiebreak, label"
+      // without sorting each vertex's full vote set (the Louvain/Leiden
+      // argmax shape — a row_number window here was the one benched query
+      // that regressed in round 2)
+      val bestStruct =
+        if (minTieBreak) struct(negate(col("mass")).as("nm"), col("label").as("l"))
+        else struct(negate(col("mass")).as("nm"),
+          xxhash64(lit(seed), lit(iter), col("id"), col("label")).as("h"),
+          col("label").as("l"))
+      val best = votes.groupBy(col("id")).agg(min(bestStruct).as("b"))
+        .select(col("id"), col("b.l").as("new_label"))
 
       val next = labels.join(best, Seq("id"), "left")
         .select(col("id"),
@@ -100,13 +103,20 @@ object LabelProp {
           col("is_fixed"))
       val cut = Iterate.cut(next, iter + 1, store, t0)
       if (fixedIters.isEmpty) {
-        changed = cut.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-          .where(!(col("label") <=> col("old"))).count()
-        // oscillation guard: if state equals the state two steps ago, freeze
-        if (changed > 0 && prev != null) {
-          val sameAsPrev = cut.join(prev.select(col("id"), col("label").as("p2")), Seq("id"))
-            .where(!(col("label") <=> col("p2"))).count() == 0
-          if (sameAsPrev) changed = 0
+        // ONE job for both convergence and the 2-cycle oscillation guard:
+        // count diffs vs the previous state and vs the state two steps ago
+        // in the same aggregation over the cached cut
+        val base = cut.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        if (prev != null) {
+          val r = base.join(prev.select(col("id"), col("label").as("p2")), Seq("id"))
+            .agg(
+              sum(when(!(col("label") <=> col("old")), 1L).otherwise(0L)).as("ch"),
+              sum(when(!(col("label") <=> col("p2")), 1L).otherwise(0L)).as("osc"))
+            .head
+          changed = r.getLong(0)
+          if (changed > 0 && r.getLong(1) == 0) changed = 0 // frozen 2-cycle
+        } else {
+          changed = base.where(!(col("label") <=> col("old"))).count()
         }
       }
       prev = labels

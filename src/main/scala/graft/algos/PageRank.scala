@@ -48,6 +48,10 @@ object PageRank {
   case object EdgeJoin extends Strategy
   final case class CsrBlocks(partitions: Int = 64) extends Strategy
   final case class HubBroadcast(k: Int = 10000) extends Strategy
+  /** Grid-partitioned CSR SpMV ([[PageRankGrid]]): dense ids required,
+    * 8 bytes/edge, one two-stage RDD job per superstep. `p = 0` auto-sizes.
+    */
+  final case class GridBlocks(p: Int = 0) extends Strategy
 
   final case class Result(ranks: DataFrame, iterations: Int, delta: Double,
       perIterSec: Seq[Double] = Nil)
@@ -99,6 +103,11 @@ object PageRank {
       store: Option[CheckpointStore],
       strategy: Strategy
   ): Result = {
+    strategy match {
+      case GridBlocks(p) =>
+        return PageRankGrid.run(g, damping, tol, maxIter, reset, fixedIters, store, initial, startIter, p)
+      case _ =>
+    }
     val vertices = g.vertices.localCheckpoint(true)
     val n = vertices.count()
     require(n > 0, "empty graph")
