@@ -127,6 +127,15 @@ object SparkEntry {
       .select(col("id"), round(col("cc"), 6).as("cc"))),
     "q_knn" -> ((s, dir) => GraphOps.knn(Tables.copartGraph(s, dir))
       .select(col("id"), col("degree"), round(col("knn"), 6).as("knn"))),
+    "q_knn_w" -> ((s, dir) => {
+      // weighted knn (reference knn(weights=...)): deterministic per-edge
+      // weight ((src*7 + dst*13) % 5) + 1, recomputable in DuckDB
+      val g0 = Tables.copartGraph(s, dir)
+      val e = g0.edges.select(col("src"), col("dst"),
+        ((col("src") * 7 + col("dst") * 13) % 5 + 1).cast("double").as("weight"))
+      GraphOps.knn(LinkGraph(e, directed = false, None), weighted = true)
+        .select(col("id"), col("degree"), round(col("knn"), 6).as("knn"))
+    }),
     "q_modularity" -> ((s, dir) => {
       val g = Tables.copartGraph(s, dir)
       val membership = g.vertices.select(col("id"), (col("id") % 10).as("label"))
@@ -136,6 +145,16 @@ object SparkEntry {
     // --- distances / order / mixing (events graph) ---
     "q_eccentricity" -> ((s, dir) => Distances.eccentricity(Tables.eventsGraph(s, dir), Some(Mode.All))
       .select(col("id"), col("eccentricity"))),
+    "q_ecc_weighted" -> ((s, dir) => {
+      // weighted eccentricity (reference eccentricity/diameter(weights=...)):
+      // deterministic weights in {1, 2} so weighted shortest paths have a
+      // provable hop bound (the DuckDB oracle unrolls Bellman-Ford)
+      val g0 = Tables.eventsGraph(s, dir)
+      val e = g0.edges.select(col("src"), col("dst"),
+        ((col("src") * 3 + col("dst") * 5) % 2 + 1).cast("double").as("weight"))
+      Distances.eccentricity(LinkGraph(e, directed = true, None), Some(Mode.All), weighted = true)
+        .select(col("id"), round(col("eccentricity"), 6).as("ecc"))
+    }),
     "q_path_hist" -> ((s, dir) => Distances.pathLengthHist(Tables.eventsGraph(s, dir))
       .select(col("dist"), col("n_pairs"))),
     "q_topo_layers" -> ((s, dir) => {
@@ -798,6 +817,16 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |adj AS (SELECT src AS id, dst AS nbr FROM pe UNION ALL SELECT dst, src FROM pe)
          |SELECT a.id, MAX(d0.deg) AS degree, ROUND(AVG(dn.deg), 6) AS knn
          |FROM adj a JOIN degp dn ON dn.id = a.nbr JOIN degp d0 ON d0.id = a.id GROUP BY a.id""".stripMargin,
+    "q_knn_w" ->
+      s"""WITH $P,
+         |we AS (SELECT src, dst, CAST((src * 7 + dst * 13) % 5 + 1 AS DOUBLE) AS w FROM pe),
+         |adj AS (SELECT src AS id, dst AS nbr, w FROM we UNION ALL SELECT dst, src, w FROM we),
+         |st AS (SELECT id, SUM(w) AS s FROM adj GROUP BY id),
+         |degp AS (SELECT id, COUNT(*) AS deg FROM adj GROUP BY id)
+         |SELECT a.id, MAX(degp.deg) AS degree,
+         |  ROUND(SUM(a.w * sn.s) / MAX(st.s), 6) AS knn
+         |FROM adj a JOIN st sn ON sn.id = a.nbr JOIN st ON st.id = a.id
+         |JOIN degp ON degp.id = a.id GROUP BY a.id""".stripMargin,
     "q_modularity" ->
       s"""WITH $P,
          |em AS (SELECT src % 10 AS cs, dst % 10 AS cd, 1.0 AS w FROM pe),
@@ -817,6 +846,29 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |  UNION SELECT r.a, ue.b, r.d + 1 FROM r JOIN ue ON ue.a = r.b WHERE r.d < 40),
          |md AS (SELECT a, b, MIN(d) AS d FROM r GROUP BY a, b)
          |SELECT a AS id, MAX(d) AS eccentricity FROM md GROUP BY a""".stripMargin,
+    "q_ecc_weighted" -> {
+      // Bellman-Ford unrolled 8 rounds: weights are in {1,2} so any weighted
+      // shortest path has weight ≤ 2·(unweighted distance) and therefore
+      // ≤ 2·diam+? hops; diam(events, ALL) == 2 at the verify scales, so 8
+      // relax rounds are convergent with margin (extra rounds idempotent).
+      val rounds = 8
+      val sb = new StringBuilder
+      sb.append(s"""WITH $E,
+         |uew AS (SELECT a, b, MIN(w) AS w FROM (
+         |  SELECT src AS a, dst AS b, CAST((src * 3 + dst * 5) % 2 + 1 AS DOUBLE) AS w
+         |    FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src, CAST((src * 3 + dst * 5) % 2 + 1 AS DOUBLE)
+         |    FROM e WHERE src <> dst) GROUP BY a, b),
+         |d0 AS (SELECT id AS a, id AS b, CAST(0 AS DOUBLE) AS d FROM v)""".stripMargin)
+      for (i <- 1 to rounds) sb.append(s""",
+         |d$i AS MATERIALIZED (SELECT a, b, MIN(d) AS d FROM (
+         |  SELECT a, b, d FROM d${i - 1}
+         |  UNION ALL SELECT p.a, uew.b, p.d + uew.w FROM d${i - 1} p
+         |    JOIN uew ON uew.a = p.b) GROUP BY a, b)""".stripMargin)
+      sb.append(s"""
+         |SELECT a AS id, ROUND(MAX(d), 6) AS ecc FROM d$rounds GROUP BY a""".stripMargin)
+      sb.toString
+    },
     "q_path_hist" ->
       s"""WITH RECURSIVE $E,
          |de AS (SELECT DISTINCT src, dst FROM e),

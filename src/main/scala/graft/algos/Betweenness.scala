@@ -91,15 +91,25 @@ object Betweenness {
       .transform(Lineage.cut)
     adj.unpersist()
 
-    // distance levels, ascending (small: diameter for unweighted)
-    val levels = dist.select("dist").distinct().collect().map(_.getDouble(0)).sorted
+    // Per-origin DAG levels: dense_rank of distance WITHIN each origin
+    // (partitioned window, never global). Any per-origin topological order
+    // of the shortest-path DAG is valid for the σ/δ sweeps; ranking within
+    // origin bounds the sweep count by max distinct distances FROM ONE
+    // origin (≤ n−1) instead of global distinct distance values (≈ #pairs
+    // on weighted graphs — the round-2 scale-killer).
+    val wLvl = org.apache.spark.sql.expressions.Window.partitionBy("origin").orderBy("dist")
+    val distL = dist.withColumn("lvl", dense_rank().over(wLvl)).persist()
+    val maxLvl = distL.agg(max("lvl")).head.getInt(0)
+    lastLevelCount = maxLvl
+    require(maxLvl.toLong <= g.vcount(),
+      s"Brandes level count $maxLvl exceeds vertex count — per-origin ranking broken")
 
     // --- 3. σ by ascending level ------------------------------------------
-    var sigma = dist.where(col("dist") === 0.0)
+    var sigma = distL.where(col("lvl") === 1)
       .select(col("origin"), col("v"), lit(1.0).as("sigma"))
       .transform(Lineage.cut)
-    for (l <- levels.drop(1)) {
-      val atL = dist.where(col("dist") === l).select("origin", "v")
+    for (l <- 2 to maxLvl) {
+      val atL = distL.where(col("lvl") === l).select("origin", "v")
       val s = dag.join(atL, Seq("origin", "v"), "left_semi")
         .join(sigma.select(col("origin"), col("v").as("u"), col("sigma").as("s_u")), Seq("origin", "u"))
         .groupBy("origin", "v").agg(sum("s_u").as("sigma"))
@@ -108,8 +118,8 @@ object Betweenness {
 
     // --- 4. δ by descending level -----------------------------------------
     var delta = dist.limit(0).select(col("origin"), col("v"), col("dist").as("delta"))
-    for (l <- levels.reverse.dropRight(1)) { // level 0 vertices get δ but send nothing
-      val wAtL = dist.where(col("dist") === l).select("origin", "v")
+    for (l <- maxLvl to 2 by -1) { // level-1 vertices (the origins) get δ but send nothing
+      val wAtL = distL.where(col("lvl") === l).select("origin", "v")
       val wDelta = wAtL.join(delta, Seq("origin", "v"), "left")
         .select(col("origin"), col("v"), coalesce(col("delta"), lit(0.0)).as("d_w"))
       val contrib = dag.join(wDelta, Seq("origin", "v"))
@@ -122,9 +132,15 @@ object Betweenness {
           (coalesce(col("delta"), lit(0.0)) + coalesce(col("inc"), lit(0.0))).as("delta"))
         .transform(Lineage.cut)
     }
+    distL.unpersist()
 
     BrandesTables(dist, sigma, delta, dag)
   }
+
+  /** Sweep-level count of the last [[brandesTables]] call (diagnostics /
+    * tests: must stay ≤ n, never ≈ #(origin,v) pairs on weighted graphs).
+    */
+  @volatile private[graft] var lastLevelCount: Int = 0
 
   /** Per-vertex betweenness (id, betweenness). Exact when `sources` is None. */
   def vertexBetweenness(

@@ -49,14 +49,94 @@ object Distances {
     reach
   }
 
+  /** Weighted all-sources distance table (origin, v, dist: double) — the
+    * same frontier relax loop as [[Betweenness.brandesTables]] step 1
+    * (`diameter(weights=...)`, `graphobject.c:13328`; golden
+    * `test_structural.py:43-47`: weighted Tree(14,3) diameter 15). Requires
+    * strictly positive weights. One join + min-aggregate per relax round;
+    * rounds ≤ the max hop count of any weighted shortest path.
+    */
+  def multiDistancesWeighted(g: LinkGraph, mode: Mode = Mode.All,
+                             sources: Option[DataFrame] = None): DataFrame = {
+    val adjRaw = (mode match {
+      case Mode.Out => g.weighted
+      case Mode.In  => g.weighted.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+      case Mode.All => g.bidirected
+    }).where(col("src") =!= col("dst"))
+    val adj = adjRaw.groupBy(col("src").as("v"), col("dst").as("nbr"))
+      .agg(min("weight").as("w"))
+      .repartition(col("v")).persist()
+    adj.count()
+    val minW = adj.agg(min("w")).head
+    require(minW.isNullAt(0) || minW.getDouble(0) > 0.0,
+      "weighted distances need strictly positive weights")
+    val src = sources.getOrElse(g.vertices).select(col("id").as("origin"))
+    var dist = src.select(col("origin"), col("origin").as("v"), lit(0.0).as("dist"))
+      .transform(Lineage.cut)
+    var frontier = dist
+    var active = true
+    while (active) {
+      val cand = frontier.join(adj, Seq("v"))
+        .select(col("origin"), col("nbr").as("v"), (col("dist") + col("w")).as("nd"))
+        .groupBy("origin", "v").agg(min("nd").as("nd"))
+      val improved = cand.join(dist.select(col("origin"), col("v"), col("dist").as("cur")),
+        Seq("origin", "v"), "left")
+        .where(col("cur").isNull || col("nd") < col("cur"))
+        .select(col("origin"), col("v"), col("nd").as("dist"))
+        .transform(Lineage.cut)
+      if (improved.isEmpty) active = false
+      else {
+        dist = dist.join(improved.select("origin", "v"), Seq("origin", "v"), "left_anti")
+          .union(improved).transform(Lineage.cut)
+        frontier = improved
+      }
+    }
+    adj.unpersist()
+    dist
+  }
+
   /** Per-vertex eccentricity: max distance to any reachable vertex (within
     * the component). Directed graphs follow edge direction by default —
     * pinned by the reference golden gdir -> [1,2,3,2]
-    * (`test_structural.py:49-57`).
+    * (`test_structural.py:49-57`). `weighted = true` routes through the
+    * weighted relax loop and returns double distances.
     */
-  def eccentricity(g: LinkGraph, modeOpt: Option[Mode] = None): DataFrame = {
+  def eccentricity(g: LinkGraph, modeOpt: Option[Mode] = None,
+                   weighted: Boolean = false): DataFrame = {
     val mode = modeOpt.getOrElse(if (g.directed) Mode.Out else Mode.All)
-    multiBfs(g, mode).groupBy(col("origin").as("id")).agg(max("dist").as("eccentricity"))
+    if (weighted)
+      multiDistancesWeighted(g, mode)
+        .groupBy(col("origin").as("id")).agg(max("dist").as("eccentricity"))
+    else
+      multiBfs(g, mode).groupBy(col("origin").as("id")).agg(max("dist").as("eccentricity"))
+  }
+
+  /** Weighted diameter (`diameter(weights=...)`, `graphobject.c:13328`). */
+  def diameterWeighted(g: LinkGraph): Double = {
+    val mode = if (g.directed) Mode.Out else Mode.All
+    val r = multiDistancesWeighted(g, mode).agg(max("dist")).head
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Weighted `farthest_points` — deterministic min-(src,dst) pick among
+    * pairs realizing the weighted diameter (`test_structural.py:46-47`).
+    */
+  def farthestPointsWeighted(g: LinkGraph): (Long, Long, Double) = {
+    val mode = if (g.directed) Mode.Out else Mode.All
+    val d = multiDistancesWeighted(g, mode)
+    val r = d.orderBy(col("dist").desc, col("origin"), col("v")).limit(1).collect()
+    if (r.isEmpty) (-1L, -1L, 0.0)
+    else (r.head.getLong(r.head.fieldIndex("origin")), r.head.getLong(r.head.fieldIndex("v")),
+      r.head.getDouble(r.head.fieldIndex("dist")))
+  }
+
+  /** Weighted mean finite pairwise distance (`average_path_length` with
+    * weights).
+    */
+  def averagePathLengthWeighted(g: LinkGraph): Double = {
+    val mode = if (g.directed) Mode.Out else Mode.All
+    val r = multiDistancesWeighted(g, mode).where(col("dist") > 0)
+    if (r.isEmpty) Double.NaN else r.agg(avg("dist")).head.getDouble(0)
   }
 
   /** Unweighted diameter: max finite distance (mode Out on directed graphs,

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *    (teleport uniform over vertices, or ∝ vertex weights), transition
   *    ∝ edge weights; no dangling redistribution (a dangling node's
   *    non-teleport mass is dropped, as in the original Infomap);
-  *  - module exit rate q_m = τ·(n−n_m)/n·Σ_{v∈m} p_v
-  *    + Σ_{u∈m, v∉m} (1−τ)·p_u·w_uv/s_u  (recorded teleportation);
+  *  - module exit rate q_m = τ·(1−T_m)·Σ_{v∈m} p_v
+  *    + Σ_{u∈m, v∉m} (1−τ)·p_u·w_uv/s_u  (recorded teleportation), with
+  *    T_m the module's teleport mass — n_m/n for uniform teleportation
+  *    (the golden-pinned case), proportional under vertex weights;
   *  - two-level map equation
   *    L = plogp(Σq) − 2Σ plogp(q_m) − Σ plogp(p_v) + Σ plogp(q_m + p_m)
   *    with plogp(x) = x·log₂x.
@@ -41,7 +43,8 @@ object Infomap {
 
   // --------------------------------------------------------------- kernel --
 
-  private final class K(val n: Int, val adj: Array[Array[(Int, Double)]], val p: Array[Double]) {
+  private final class K(val n: Int, val adj: Array[Array[(Int, Double)]], val p: Array[Double],
+                        val tele: Array[Double]) {
     val strength: Array[Double] = adj.map(_.map(_._2).sum)
     /** directed flow u -> v along an incident edge. */
     def flow(u: Int, w: Double): Double =
@@ -78,7 +81,7 @@ object Infomap {
       p = np
       it += 1
     }
-    (ids, new K(n, adj, p))
+    (ids, new K(n, adj, p, tele))
   }
 
   /** Full codelength of a membership on the kernel graph. */
@@ -90,7 +93,13 @@ object Infomap {
     val fOut = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
     for (u <- 0 until k.n; (v, w) <- k.adj(u) if memb(u) != memb(v))
       fOut(memb(u)) += k.flow(u, w)
-    val qs = mods.map(m => tau * (k.n - nM(m)).toDouble / k.n * pM(m) + fOut(m))
+    // teleport share of the exit rate: τ·(1−T_m)·p_m with T_m the module's
+    // TELEPORT-WEIGHT mass (= n_m/n when teleportation is uniform — the
+    // golden-pinned case; proportional when vertex weights are supplied,
+    // ADVICE r2: the uniform share was wrong for weighted teleportation)
+    val tM = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+    (0 until k.n).foreach(v => tM(memb(v)) += k.tele(v))
+    val qs = mods.map(m => tau * (1.0 - tM(m)) * pM(m) + fOut(m))
     val sumQ = qs.sum
     plogp(sumQ) - 2.0 * qs.map(plogp).sum - k.p.map(plogp).sum +
       mods.zip(qs).map { case (m, q) => plogp(q + pM(m)) }.sum

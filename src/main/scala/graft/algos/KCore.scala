@@ -2,6 +2,7 @@ package graft.algos
 
 import graft.core.LinkGraph
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** k-core decomposition: per-vertex coreness and the k-core subgraph.
@@ -11,45 +12,57 @@ import org.apache.spark.sql.functions._
   * k_core(3) == K4 (`test_decomposition.py:47-73`,
   * `test_structural.py:435-437`).
   *
-  * Distributed peel: for k = 1,2,...: repeatedly remove vertices with
-  * degree < k (anti-join), assigning coreness k-1... every vertex removed
-  * while peeling to k has coreness k-1? No — vertices that survive peeling at
-  * level k have coreness >= k; those removed during level-k peeling have
-  * coreness k-1 == (k-1). Implemented as nested fixpoint loops of
-  * degree-aggregate + anti-join, lineage cut per pass.
+  * Distributed algorithm: h-index fixpoint (Montresor, De Pellegrini &
+  * Miorandi, "Distributed k-core decomposition", IEEE TPDS 24(2), 2013 —
+  * public). Start from core(v) = deg(v); repeatedly set core(v) to the
+  * h-index of its neighbors' current core estimates (the largest h such
+  * that ≥ h neighbors have core ≥ h, capped at the current estimate).
+  * The sequence is monotonically non-increasing and converges to the exact
+  * coreness in a number of rounds bounded by the peel depth in practice
+  * (tens of rounds on web graphs) — versus the naive peel's
+  * O(max-coreness × peel-passes) sequential supersteps. One join + two
+  * aggregates per round; the only window is partitioned per vertex
+  * (≤ #distinct neighbor-core values ≤ degree rows per partition key).
   */
 object KCore {
 
   /** (id, coreness) for every vertex (isolated vertices get 0). */
   def coreness(g: LinkGraph): DataFrame = {
-    val spark = g.spark
-    var edges = g.bidirected.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst")).distinct().transform(graft.core.Lineage.cut)
-    var vertices = g.vertices.transform(graft.core.Lineage.cut)
-    var result = spark.range(0).select(col("id"), lit(0L).as("coreness")).limit(0)
-    var k = 1L
-    while (vertices.count() > 0) {
-      // peel everything with degree < k; repeat until stable
-      var peeling = true
-      while (peeling) {
-        val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-        val degAll = vertices.join(deg, Seq("id"), "left")
-          .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
-        val doomed = degAll.where(col("deg") < k).select("id").transform(graft.core.Lineage.cut)
-        val nDoomed = doomed.count()
-        if (nDoomed == 0) peeling = false
-        else {
-          result = result.union(doomed.select(col("id"), lit(k - 1).as("coreness"))).transform(graft.core.Lineage.cut)
-          vertices = vertices.join(doomed, Seq("id"), "left_anti").transform(graft.core.Lineage.cut)
-          edges = edges
-            .join(doomed.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-            .join(doomed.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-            .transform(graft.core.Lineage.cut)
-        }
-      }
-      k += 1
+    val adj = g.bidirected.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .select(col("src").as("v"), col("dst").as("nbr"))
+      .repartition(col("v")).persist()
+    adj.count()
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("core"))
+
+    var core = deg.transform(graft.core.Lineage.cut)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= 1000, s"h-index coreness failed to converge in $rounds rounds")
+      // neighbor core estimates, capped at own estimate (h-index ≤ own core)
+      val capped = adj
+        .join(core.select(col("v").as("nbr"), col("core").as("nc")), Seq("nbr"))
+        .join(core, Seq("v"))
+        .select(col("v"), least(col("nc"), col("core")).as("c"))
+        .groupBy("v", "c").agg(count(lit(1)).as("cnt"))
+      // ge(c) = #neighbors with capped value >= c (descending running sum);
+      // h-index = max over distinct values c of min(c, ge(c))
+      val w = Window.partitionBy("v").orderBy(col("c").desc)
+      val h = capped
+        .withColumn("ge", sum("cnt").over(w))
+        .groupBy("v").agg(max(least(col("c"), col("ge"))).as("h"))
+      val next = core.join(h, Seq("v"), "left")
+        .select(col("v"), coalesce(col("h"), lit(0L)).as("core"))
+        .transform(graft.core.Lineage.cut)
+      changed = next.join(core.select(col("v"), col("core").as("old")), Seq("v"))
+        .where(col("core") =!= col("old")).count()
+      core = next
     }
-    result
+    adj.unpersist()
+    g.vertices.join(core.select(col("v").as("id"), col("core")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("core"), lit(0L)).as("coreness"))
   }
 
   /** Vertex set of the k-core (max subgraph with min degree >= k). */

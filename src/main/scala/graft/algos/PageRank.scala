@@ -186,36 +186,53 @@ object PageRank {
     // (Chaining soft cuts across iterations nests InMemoryRelations, whose
     // plan *description* — built for every SQL-execution event — expands
     // shared subtrees and grows exponentially: observed as explainString OOM.)
+    // Tolerance mode fuses the convergence delta into the SAME job that
+    // materializes the cut: the previous rank rides along as an extra
+    // column, so the delta is a cached-scan aggregate instead of a separate
+    // shuffle join of two rank snapshots per superstep (round-2 verdict:
+    // the per-iteration driver-action count is the serial floor that caps
+    // scaling efficiency). Durable-store runs keep the two-job shape so the
+    // checkpoint schema stays (id, rank).
+    val fuseDelta = checkConvergence && store.isEmpty
     val iterTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     while (iter < maxI && delta > tol) {
       val t0 = System.currentTimeMillis()
-      val cut =
+      var msgsToFree: Option[DataFrame] = None
+      val newRanks =
         if (!hasDangling) {
-          val newRanks = resetDf.join(messages(ranks), Seq("id"), "left")
+          resetDf.join(messages(ranks), Seq("id"), "left")
             .select(col("id"),
               (lit(1.0 - damping) * col("reset")
                 + lit(damping) * coalesce(col("msg"), lit(0.0))).as("rank"))
-          Iterate.cut(newRanks, iter + 1, store, t0)
         } else {
           val msgs = graft.core.Lineage.soft(messages(ranks))
+          msgsToFree = Some(msgs)
           val msgTotal = msgs.agg(sum("msg")).head.get(0) match {
             case null      => 0.0
             case d: Double => d
           }
           val danglingMass = math.max(0.0, 1.0 - msgTotal)
-          val newRanks = resetDf.join(msgs, Seq("id"), "left")
+          resetDf.join(msgs, Seq("id"), "left")
             .select(col("id"),
               ((lit(1.0 - damping) + lit(damping * danglingMass)) * col("reset")
                 + lit(damping) * coalesce(col("msg"), lit(0.0))).as("rank"))
-          val c = Iterate.cut(newRanks, iter + 1, store, t0)
-          msgs.unpersist()
-          c
         }
+      val toCut =
+        if (fuseDelta)
+          newRanks.join(ranks.select(col("id"), col("rank").as("__old")), Seq("id"), "left")
+        else newRanks
+      val cut = Iterate.cut(toCut, iter + 1, store, t0)
+      msgsToFree.foreach(_.unpersist())
       if (checkConvergence) {
-        delta = cut.join(ranks.withColumnRenamed("rank", "old"), Seq("id"))
-          .agg(max(abs(col("rank") - col("old")))).head.getDouble(0)
+        delta =
+          if (fuseDelta)
+            cut.agg(max(abs(col("rank") - coalesce(col("__old"), col("rank")))))
+              .head.getDouble(0)
+          else
+            cut.join(ranks.withColumnRenamed("rank", "old"), Seq("id"))
+              .agg(max(abs(col("rank") - col("old")))).head.getDouble(0)
       }
-      ranks = cut
+      ranks = if (fuseDelta) cut.select("id", "rank") else cut
       iter += 1
       iterTimes += (System.currentTimeMillis() - t0) / 1000.0
     }

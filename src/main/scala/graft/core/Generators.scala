@@ -388,9 +388,28 @@ object Generators {
                     seed: Long = 42L): LinkGraph = {
     import spark.implicits._
     val directed = fitnessIn.isDefined
+    require(m <= Int.MaxValue, s"staticFitness caps m at Int.MaxValue (got $m)")
+    // up-front capacity check (ADVICE r2: the oversample-retry loop never
+    // terminates when m exceeds the realizable simple-edge count): only
+    // positive-fitness vertices can be sampled; lower-bound the capacity
+    // (directed: |out⁺|·|in⁺| − |out⁺ ∩ in⁺| ≥ |out⁺|·|in⁺| − min(...))
+    val nPos = fitness.where(col("w") > 0).count()
+    val capacity: Double = fitnessIn match {
+      case None => nPos.toDouble * (nPos - 1).toDouble / 2.0
+      case Some(fi) =>
+        val nIn = fi.where(col("w") > 0).count()
+        nPos.toDouble * nIn.toDouble - math.min(nPos, nIn).toDouble
+    }
+    require(m.toDouble <= capacity,
+      s"staticFitness: m=$m exceeds the realizable simple-edge capacity (~${capacity.toLong}) " +
+        "of the positive-fitness vertex set")
     var oversample = math.max(32L, (m * 1.6).toLong)
+    var retries = 0
     var result: DataFrame = null
     while (result == null) {
+      require(retries <= 24,
+        s"staticFitness: candidate pool plateaued below m=$m after $retries oversample " +
+          "doublings — fitness mass too concentrated to realize m simple edges in practice")
       val us = spark.range(oversample)
         .map(k => (k, u01(mix64(seed ^ (2 * k))))).toDF("k", "u")
       val vs = spark.range(oversample)
@@ -405,7 +424,7 @@ object Generators {
           (if (directed) col("b") else greatest(col("a"), col("b"))).as("dst"))
         .groupBy("src", "dst").agg(min("k").as("k"))
       if (cand.count() >= m) result = cand.orderBy("k").limit(m.toInt).select("src", "dst")
-      else oversample *= 2
+      else { oversample *= 2; retries += 1 }
     }
     LinkGraph(result, directed, None)
   }
@@ -605,5 +624,100 @@ object Generators {
       case other => throw new IllegalArgumentException(s"unknown famous graph: $other")
     }
     LinkGraph(spark, n.toLong, edges.map { case (a, b) => (a.toLong, b.toLong) }, directed = false)
+  }
+
+  // ------------------------------------- sequential growth-model kernels
+  // Forest_Fire and Recent_Degree are inherently sequential global-state
+  // samplers (each step's distribution depends on the whole graph so far),
+  // so like Infomap/CommunityKernels they run as require-gated driver
+  // kernels; the reference's own tests are structural smoke checks
+  // (`tests/test_games.py:15-23`).
+
+  val maxKernelVertices = 200000L
+
+  /** Forest_Fire(n, fw_prob, bw_factor, ambs, directed)
+    * (`graphobject.c:12582-12600`; Leskovec, Kleinberg & Faloutsos 2005,
+    * "Graphs over time" — public): each new vertex picks `ambs` uniform
+    * ambassadors and burns through the existing graph (forward spread
+    * geometric with parameter fw_prob, backward scaled by bw_factor), then
+    * links to every burned vertex. Seeded, deterministic.
+    */
+  def forestFire(spark: SparkSession, n: Long, fwProb: Double, bwFactor: Double = 0.0,
+                 ambs: Int = 1, directed: Boolean = false, seed: Long = 42L): LinkGraph = {
+    require(n <= maxKernelVertices,
+      s"forestFire is a sequential driver kernel, capped at $maxKernelVertices vertices")
+    require(fwProb >= 0.0 && fwProb < 1.0, "fw_prob must be in [0, 1)")
+    val rng = new scala.util.Random(seed)
+    val out = Array.fill(n.toInt)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val in = Array.fill(n.toInt)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // geometric: number of failures before first success with p = 1 - fwProb
+    // (igraph burns geom(1 - fw_prob) neighbors per burning vertex)
+    def geom(p: Double): Int =
+      if (p >= 1.0) 0
+      else math.min(1000, (math.log(rng.nextDouble()) / math.log(p)).toInt)
+    for (v <- 1 until n.toInt) {
+      val visited = scala.collection.mutable.Set.empty[Int]
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      val nAmb = math.min(ambs, v)
+      while (visited.size < nAmb) {
+        val a = rng.nextInt(v)
+        if (!visited(a)) { visited += a; queue.enqueue(a) }
+      }
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        val fw = geom(fwProb)
+        val bw = if (bwFactor > 0) geom(fwProb * bwFactor) else 0
+        val fwCand = rng.shuffle(out(u).filterNot(visited).distinct.toList).take(fw)
+        val bwCand = rng.shuffle(in(u).filterNot(visited).distinct.toList).take(bw)
+        (fwCand ++ bwCand).foreach { w => visited += w; queue.enqueue(w) }
+      }
+      visited.foreach { w =>
+        edges += ((v.toLong, w.toLong))
+        out(v) += w; in(w) += v
+      }
+    }
+    import spark.implicits._
+    LinkGraph(edges.toSeq.toDF("src", "dst"), directed, Some(n))
+  }
+
+  /** Recent_Degree(n, m, window, outpref, directed, power)
+    * (`graphobject.c:12711-12733`): preferential attachment where the
+    * citation probability is ∝ (degree gained in the last `window` steps)^
+    * power + zero_appeal(1). Seeded, deterministic driver kernel.
+    */
+  def recentDegree(spark: SparkSession, n: Long, m: Int, window: Int,
+                   outpref: Boolean = false, directed: Boolean = false,
+                   power: Double = 1.0, zeroAppeal: Double = 1.0,
+                   seed: Long = 42L): LinkGraph = {
+    require(n <= maxKernelVertices,
+      s"recentDegree is a sequential driver kernel, capped at $maxKernelVertices vertices")
+    val rng = new scala.util.Random(seed)
+    val nn = n.toInt
+    val recent = new Array[Double](nn) // degree gained in the window
+    // edges stamped by step so window expiry decrements recent degree
+    val byStep = Array.fill(nn)(scala.collection.mutable.ArrayBuffer.empty[(Int, Int)])
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (v <- 1 until nn) {
+      // expire the step that just left the window
+      val oldStep = v - window
+      if (oldStep >= 1) byStep(oldStep).foreach { case (_, t) =>
+        recent(t) -= 1.0
+        if (outpref) recent(oldStep) -= 1.0
+      }
+      val weights = Array.tabulate(v)(j => math.pow(math.max(0.0, recent(j)), power) + zeroAppeal)
+      val total = weights.sum
+      for (_ <- 0 until math.min(m, v)) {
+        var x = rng.nextDouble() * total
+        var t = 0
+        while (t < v - 1 && x > weights(t)) { x -= weights(t); t += 1 }
+        edges += ((v.toLong, t.toLong))
+        byStep(v) += ((v, t))
+        recent(t) += 1.0
+        if (outpref) recent(v) += 1.0
+      }
+    }
+    import spark.implicits._
+    LinkGraph(edges.toSeq.toDF("src", "dst"), directed, Some(n))
   }
 }

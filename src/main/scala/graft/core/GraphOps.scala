@@ -389,52 +389,91 @@ object GraphOps {
   /** Average-neighbor-degree (knn) per vertex and per degree class (knnk) —
     * `graphobject.c:13660`, goldens `test_structural.py:123-140`.
     * Simple graphs only (like the reference). Returns (id, degree, knn).
+    *
+    * `weighted = true` follows the reference's `knn(weights=...)` docstring
+    * (`graphobject.c:13660-13677`, igraph
+    * `igraph_avg_nearest_neighbor_degree`): vertex STRENGTH replaces degree
+    * in the calculation — knn(v) = Σ_u w_vu·s_u / s_v — while the returned
+    * `degree` column (which bins knnk) stays the ordinary degree.
     */
-  def knn(g: LinkGraph): DataFrame = {
+  def knn(g: LinkGraph, weighted: Boolean = false): DataFrame = {
     val deg = degrees(g, Mode.All, loops = false)
-    val adj = g.bidirected.select(col("src").as("id"), col("dst").as("nbr"))
-    adj.join(deg.withColumnRenamed("id", "nbr").withColumnRenamed("degree", "nbr_deg"), Seq("nbr"))
-      .groupBy("id").agg(avg("nbr_deg").as("knn"))
-      .join(deg, Seq("id"))
-      .select("id", "degree", "knn")
+    if (!weighted) {
+      val adj = g.bidirected.select(col("src").as("id"), col("dst").as("nbr"))
+      adj.join(deg.withColumnRenamed("id", "nbr").withColumnRenamed("degree", "nbr_deg"), Seq("nbr"))
+        .groupBy("id").agg(avg("nbr_deg").as("knn"))
+        .join(deg, Seq("id"))
+        .select("id", "degree", "knn")
+    } else {
+      val adj = g.bidirected.where(col("src") =!= col("dst"))
+        .select(col("src").as("id"), col("dst").as("nbr"), col("weight").as("w"))
+      val s = adj.groupBy("id").agg(sum("w").as("s"))
+      adj.join(s.select(col("id").as("nbr"), col("s").as("s_nbr")), Seq("nbr"))
+        .groupBy("id").agg(sum(col("w") * col("s_nbr")).as("num"))
+        .join(s, Seq("id"))
+        .select(col("id"), (col("num") / col("s")).as("knn"))
+        .join(deg, Seq("id"))
+        .select("id", "degree", "knn")
+    }
   }
 
   /** knnk: average knn per degree class (degree, knnk). */
-  def knnk(g: LinkGraph): DataFrame =
-    knn(g).groupBy("degree").agg(avg("knn").as("knnk"))
+  def knnk(g: LinkGraph, weighted: Boolean = false): DataFrame =
+    knn(g, weighted).groupBy("degree").agg(avg("knn").as("knnk"))
 
   /** Number of common in-neighbors (cocitation, `graphobject.c:14195`) or
     * out-neighbors (bibcoupling, `14187`) for each vertex pair that shares
     * at least one. The classic set-similarity self-join: for undirected
     * graphs both behave identically on the bidirected view.
     */
-  def cocitation(g: LinkGraph): DataFrame = {
+  def cocitation(g: LinkGraph, minCommon: Long = 1L): DataFrame = {
     // (a,b) co-cited when some u links to both: shared key = the citer (src)
     val e = (if (g.directed) g.weighted else g.bidirected).select("src", "dst").distinct()
-    pairOverlap(e.select(col("src").as("key"), col("dst").as("v")))
+    pairOverlap(e.select(col("src").as("key"), col("dst").as("v")), minCommon)
   }
 
-  def bibcoupling(g: LinkGraph): DataFrame = {
+  def bibcoupling(g: LinkGraph, minCommon: Long = 1L): DataFrame = {
     // (a,b) coupled when both cite some u: shared key = the cited (dst)
     val e = (if (g.directed) g.weighted else g.bidirected).select("src", "dst").distinct()
-    pairOverlap(e.select(col("dst").as("key"), col("src").as("v")))
+    pairOverlap(e.select(col("dst").as("key"), col("src").as("v")), minCommon)
   }
 
-  /** (key,v) pairs -> for each (v1<v2) sharing a key: overlap count. */
-  private def pairOverlap(kv: DataFrame): DataFrame = {
+  /** (key,v) pairs -> for each (v1<v2) sharing a key: overlap count.
+    * `minCommon > 1` is the web-scale pushdown: the threshold is applied as
+    * a HAVING inside the pair aggregate (partial aggregation still combines
+    * map-side), so only pairs with real overlap survive the shuffle readout
+    * — on hub-skewed graphs the 1-common-neighbor tail is the bulk of the
+    * O(Σd²) output.
+    */
+  private def pairOverlap(kv: DataFrame, minCommon: Long = 1L): DataFrame = {
     val a = kv.select(col("key"), col("v").as("a"))
     val b = kv.select(col("key"), col("v").as("b"))
-    a.join(b, Seq("key")).where(col("a") < col("b"))
+    val agg = a.join(b, Seq("key")).where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    if (minCommon > 1L) agg.where(col("common") >= minCommon) else agg
+  }
+
+  /** Per-vertex top-k restriction of a symmetric pair-similarity frame
+    * (a, b, score) — the kNN-graph builder for the web path: each vertex
+    * keeps its k highest-scoring partners (both roles), ties broken by
+    * partner id. The window is partitioned per vertex (≤ candidate-partner
+    * rows per key, never global). Output (v, u, <scoreCol>).
+    */
+  def topKSimilar(pairs: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val sym = pairs.select(col("a").as("v"), col("b").as("u"), col(scoreCol))
+      .union(pairs.select(col("b").as("v"), col("a").as("u"), col(scoreCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy(col(scoreCol).desc, col("u"))
+    sym.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
   }
 
   /** Jaccard similarity of neighbor sets for pairs with >=1 common neighbor
     * (`graphobject.c:14247`). Neighbor sets on the undirected simple view.
     */
-  def similarityJaccard(g: LinkGraph): DataFrame = {
+  def similarityJaccard(g: LinkGraph, minCommon: Long = 1L): DataFrame = {
     val e = g.bidirected.where(col("src") =!= col("dst")).select("src", "dst").distinct()
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-    val common = pairOverlap(e.select(col("dst").as("key"), col("src").as("v")))
+    val common = pairOverlap(e.select(col("dst").as("key"), col("src").as("v")), minCommon)
     common
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "dega"), Seq("a"))
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "degb"), Seq("b"))
@@ -443,10 +482,10 @@ object GraphOps {
   }
 
   /** Dice similarity: 2|A∩B| / (|A|+|B|) (`graphobject.c:14203`). */
-  def similarityDice(g: LinkGraph): DataFrame = {
+  def similarityDice(g: LinkGraph, minCommon: Long = 1L): DataFrame = {
     val e = g.bidirected.where(col("src") =!= col("dst")).select("src", "dst").distinct()
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-    val common = pairOverlap(e.select(col("dst").as("key"), col("src").as("v")))
+    val common = pairOverlap(e.select(col("dst").as("key"), col("src").as("v")), minCommon)
     common
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "dega"), Seq("a"))
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "degb"), Seq("b"))
@@ -461,14 +500,16 @@ object GraphOps {
     * Pairs (a < b) with >= 1 common neighbor on the undirected simple view.
     * Degree-1 vertices can never be common neighbors, so ln(deg) > 0.
     */
-  def similarityInverseLogWeighted(g: LinkGraph): DataFrame = {
+  def similarityInverseLogWeighted(g: LinkGraph, minCommon: Long = 1L): DataFrame = {
     val e = g.bidirected.where(col("src") =!= col("dst")).select("src", "dst").distinct()
     val deg = e.groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))
     val au = e.select(col("src").as("a"), col("dst").as("u"))
     val bu = e.select(col("src").as("b"), col("dst").as("u"))
-    au.join(bu, Seq("u")).where(col("a") < col("b"))
+    val agg = au.join(bu, Seq("u")).where(col("a") < col("b"))
       .join(deg, Seq("u"))
-      .groupBy("a", "b").agg(sum(lit(1.0) / log(col("deg").cast("double"))).as("ilw"))
+      .groupBy("a", "b").agg(sum(lit(1.0) / log(col("deg").cast("double"))).as("ilw"),
+        count(lit(1)).as("__common"))
+    (if (minCommon > 1L) agg.where(col("__common") >= minCommon) else agg).drop("__common")
   }
 
   /** k-hop neighborhood size per vertex (vertex itself included, as the

@@ -118,6 +118,28 @@ object Select {
         (col("src").isin(s1: _*) && col("dst").isin(s2: _*)) ||
           (col("src").isin(s2: _*) && col("dst").isin(s1: _*))))
 
+    /** Computed edge-metric filter — `es.select(_edge_betweenness_ge=2)`
+      * style pseudo-columns (`__init__.py:4551-4553`), mirroring
+      * [[Vs.metric]]: join a metric frame keyed by (src, dst), filter,
+      * project back. Undirected metric frames (e.g. [[
+      * graft.algos.Betweenness.edgeBetweenness]]) are canonical src < dst,
+      * so the join key canonicalizes when the graph is undirected.
+      */
+    def metric(metricDf: DataFrame, metricCol: String, op: String, value: Any): Es = {
+      val keyed =
+        if (g.directed) edges
+        else edges.withColumn("__s", least(col("src"), col("dst")))
+          .withColumn("__d", greatest(col("src"), col("dst")))
+      val m =
+        if (g.directed) metricDf
+        else metricDf.select(col("src").as("__s"), col("dst").as("__d"), col(metricCol))
+      val joinKeys = if (g.directed) Seq("src", "dst") else Seq("__s", "__d")
+      val kept = keyed.join(m, joinKeys)
+        .where(opPredicate(col(metricCol), op, value))
+        .drop(metricCol).drop("__s").drop("__d")
+      copy(edges = kept)
+    }
+
     def result: DataFrame = edges
 
     /** `es.find(...)`: first match in (src, dst) order (`__init__.py:4647`). */

@@ -100,23 +100,59 @@ object Ann {
     * (candidates are exact-confirmed).
     */
   def nearDupPairsLsh(vectors: DataFrame, threshold: Double,
-                      nBits: Int = 6, tables: Int = 8): DataFrame = {
-    val nv = vectors.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("embedding").cast("array<double>"), x => x * x), lit(0.0d), (a, v) => a + v)))
-    val cand = (0 until tables).map { t =>
-      val b = lshBuckets(nv, nBits, t)
-        .join(nv.select(col("vec_id"), col("nrm")), Seq("vec_id"))
-      b.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"), col("bucket"))
-        .join(b.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"), col("bucket")), Seq("bucket"))
+                      nBits: Int = 6, tables: Int = 8,
+                      maxBucket: Long = 1L << 20): DataFrame = {
+    // Candidate hygiene (round-2 verdict): only BARE (a, b) id pairs flow
+    // through the multi-table union and the dedup — the embedding arrays
+    // (the widest columns in the plan) are joined in exactly ONCE, after
+    // the distinct, for the exact confirm.
+    val candIds = (0 until tables).map { t =>
+      val b = cappedBuckets(lshBuckets(vectors, nBits, t)
+        .select(col("vec_id"), col("bucket")), maxBucket, t)
+      b.select(col("vec_id").as("a"), col("bucket"), col("sub"))
+        .join(b.select(col("vec_id").as("b"), col("bucket"), col("sub")), Seq("bucket", "sub"))
         .where(col("a") < col("b"))
-        .select(col("a"), col("b"), col("ea"), col("eb"), col("na"), col("nb"))
+        .select(col("a"), col("b"))
     }.reduce(_ union _).distinct()
-    cand.select(col("a"), col("b"),
-        (aggregate(zip_with(col("ea").cast("array<double>"), col("eb").cast("array<double>"),
-          (x, y) => x * y), lit(0.0d), (acc, v) => acc + v) / (col("na") * col("nb"))).as("cos"))
+    val nv = vectors.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0d), (a, v) => a + v)))
+    candIds
+      .join(nv.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na")), Seq("a"))
+      .join(nv.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+          / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.sim.Ann")
+
+  /** Bucket-width control: a near-duplicate-heavy corpus (the dedup use
+    * case) can put B members in one bucket → B² candidate pairs. Buckets
+    * wider than `maxBucket` are split into ceil(B/maxBucket) deterministic
+    * sub-buckets (seeded hash of vec_id); pairs are generated within a
+    * sub-bucket only, so the per-bucket pair count is bounded by
+    * B·maxBucket instead of B². Cross-sub-bucket pairs inside an over-full
+    * bucket are DROPPED from that table's candidates (other tables — and
+    * the exact-confirm guarantee of no false dupes — still apply); the drop
+    * is logged per the no-silent-caps rule. Output columns: vec_id, bucket,
+    * sub.
+    */
+  private def cappedBuckets(buckets: DataFrame, maxBucket: Long, table: Int): DataFrame = {
+    val sizes = buckets.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+    val over = sizes.where(col("bsz") > maxBucket)
+      .agg(count(lit(1)).as("nb"), sum("bsz").as("members")).head
+    if (!over.isNullAt(1) && over.getLong(0) > 0)
+      log.warn(s"LSH table $table: ${over.getLong(0)} bucket(s) wider than $maxBucket " +
+        s"(${over.getLong(1)} members) split into sub-buckets; cross-sub-bucket " +
+        "candidate pairs in those buckets are dropped (recall, never precision)")
+    buckets.join(sizes, Seq("bucket"))
+      .withColumn("sub",
+        when(col("bsz") > maxBucket,
+          pmod(xxhash64(lit(table.toLong), col("vec_id")), ceil(col("bsz") / maxBucket).cast("long")))
+          .otherwise(lit(0L)))
+      .select(col("vec_id"), col("bucket"), col("sub"))
   }
 
   /** Embedding-cosine dedup: near-dup pairs → connected components → keep
@@ -213,15 +249,34 @@ object Ann {
   /** ANN top-k via multi-table LSH: union candidates over `tables` hash
     * tables, exact-cosine re-rank within candidates.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 5, tables: Int = 8): DataFrame = {
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 5, tables: Int = 8,
+              maxBucket: Long = 1L << 20): DataFrame = {
+    // bare-id candidates through the union + distinct; embeddings joined in
+    // once for the re-rank (round-2 verdict). Over-full corpus buckets are
+    // down-sampled deterministically to ~maxBucket members per table (drop
+    // logged) so one hot bucket cannot produce |bucket|·|queries| pairs.
     val cand = (0 until tables).map { t =>
-      val cb = lshBuckets(corpus, nBits, t).select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
-      val qb = lshBuckets(queries, nBits, t).select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      val cbAll = lshBuckets(corpus, nBits, t).select(col("vec_id").as("neighbor_id"), col("bucket"))
+      val sizes = cbAll.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+      val over = sizes.where(col("bsz") > maxBucket)
+        .agg(count(lit(1)).as("nb"), sum("bsz").as("members")).head
+      if (!over.isNullAt(1) && over.getLong(0) > 0)
+        log.warn(s"LSH table $t: ${over.getLong(0)} corpus bucket(s) wider than $maxBucket " +
+          s"(${over.getLong(1)} members) down-sampled to ~$maxBucket candidates each " +
+          "(recall, never precision)")
+      val cb = cbAll.join(sizes, Seq("bucket"))
+        .where(col("bsz") <= maxBucket ||
+          pmod(xxhash64(lit(t.toLong), col("neighbor_id")), col("bsz")) < maxBucket)
+        .select(col("neighbor_id"), col("bucket"))
+      val qb = lshBuckets(queries, nBits, t).select(col("vec_id").as("query_id"), col("bucket"))
       cb.join(qb, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
+        .select(col("query_id"), col("neighbor_id"))
     }.reduce(_ union _).distinct()
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      cosine(col("qe").cast("array<double>"), col("ce").cast("array<double>")).as("cos"))
+    val scored = cand
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), Seq("neighbor_id"))
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe").cast("array<double>"), col("ce").cast("array<double>")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))

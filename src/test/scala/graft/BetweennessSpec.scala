@@ -97,4 +97,26 @@ class BetweennessSpec extends AnyFunSuite {
     val wc = hc(weighted = true, cutoff = Some(1.0))
     assert(math.abs(wc(1L) - 0.25) < 1e-3)
   }
+
+  test("weighted Brandes sweeps are bounded by per-origin levels, not global distinct distances") {
+    // random-ish distinct weights: every pair distance is unique globally,
+    // so the round-2 global-distinct-level sweep would need ~n^2 levels;
+    // per-origin dense_rank bounds it by <= n
+    val n = 12
+    val edges = (0 until n).flatMap { i =>
+      Seq(((i % n).toLong, ((i + 1) % n).toLong, 1.0 + 0.001 * i),
+          ((i % n).toLong, ((i + 3) % n).toLong, 2.0 + 0.013 * i))
+    }
+    val g = LinkGraph.weighted(spark, n.toLong, edges.distinct, directed = false)
+    val bw = Betweenness.vertexBetweenness(g, weighted = true).collect()
+    assert(bw.length == n)
+    assert(Betweenness.lastLevelCount <= n,
+      s"level count ${Betweenness.lastLevelCount} must be <= n=$n")
+    // cross-check against the unweighted path when weights are uniform
+    val gu = LinkGraph(spark, 5, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)), directed = false)
+    val wu = LinkGraph.weighted(spark, 5,
+      Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0)), directed = false)
+    assert(vb(gu) == Betweenness.vertexBetweenness(wu, weighted = true).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+  }
 }

@@ -107,4 +107,29 @@ class CommunitySpec extends AnyFunSuite {
     assert(math.abs(c4.rand - 0.590909) < 1e-3)
     assert(math.abs(c4.adjustedRand - (-0.04700353)) < 1e-3)
   }
+
+  test("h-index coreness matches the sequential peel on a random graph") {
+    val g = graft.core.Generators.erdosRenyiGnm(spark, 300, 900, seed = 7L)
+    val got = KCore.coreness(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force peel on the collected simple graph
+    val edges = g.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(e => e._1 != e._2).distinct
+    val ids = g.vertices.collect().map(_.getLong(0))
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    ids.foreach(i => adj(i) = scala.collection.mutable.Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    val alive = scala.collection.mutable.Set(ids: _*)
+    var k = 0L
+    while (alive.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val doomed = alive.filter(v => adj(v).count(alive) < k + 1)
+        changed = doomed.nonEmpty
+        doomed.foreach { v => core(v) = k; alive -= v }
+      }
+      k += 1
+    }
+    ids.foreach(i => assert(got(i) == core(i), s"vertex $i: got ${got(i)}, want ${core(i)}"))
+  }
 }

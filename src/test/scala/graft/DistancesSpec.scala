@@ -107,4 +107,23 @@ class DistancesSpec extends AnyFunSuite {
     // endpoints of the returned path realize the diameter
     assert(path.head == s || path.head == t)
   }
+
+  test("weighted diameter 15 + farthest points (13,6,15) on Tree(14,3) (test_structural.py:43-47)") {
+    // weights by reference edge id (edge i = (parent, i+1)):
+    val w = Seq(1.0, 1.0, 1.0, 5.0, 1.0, 5.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 5.0)
+    val edges = (1 until 14).map(i => (((i - 1) / 3).toLong, i.toLong, w(i - 1)))
+    val gw = LinkGraph.weighted(spark, 14, edges, directed = false)
+    assert(math.abs(Distances.diameterWeighted(gw) - 15.0) < 1e-9)
+    val (s, t, d) = Distances.farthestPointsWeighted(gw)
+    assert(math.abs(d - 15.0) < 1e-9)
+    assert(Set(s, t) == Set(6L, 13L))
+    // unweighted equivalence: weight-1 graph matches the BFS eccentricity
+    val ecc = TestSession.vector(Distances.eccentricity(tree14, weighted = true), "eccentricity")
+    val eccB = TestSession.longVector(Distances.eccentricity(tree14), "eccentricity")
+    ecc.toSeq.zip(eccB.toSeq).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // weighted average path length on a weighted path graph: 0-1 (w 2), 1-2 (w 3)
+    // pairwise dists: 2, 3, 5 (x2 directions collapsed by mode=All avg) -> mean 10/3
+    val p = LinkGraph.weighted(spark, 3, Seq((0L, 1L, 2.0), (1L, 2L, 3.0)), directed = false)
+    assert(math.abs(Distances.averagePathLengthWeighted(p) - 10.0 / 3) < 1e-9)
+  }
 }

@@ -200,4 +200,51 @@ class GeneratorsSpec extends AnyFunSuite {
     assert(GraphOps.degrees(gi, Mode.All).collect()
       .sortBy(_.getLong(0)).map(_.getLong(1).toInt).toSeq === degrees)
   }
+
+  test("staticFitness rejects unrealizable m up front (ADVICE r2: no infinite oversample loop)") {
+    import spark.implicits._
+    val fit = Seq((0L, 1.0), (1L, 1.0), (2L, 1.0)).toDF("id", "w")
+    // 3 positive-fitness vertices -> capacity 3 simple undirected edges
+    intercept[IllegalArgumentException] {
+      Generators.staticFitness(spark, m = 4, fitness = fit)
+    }
+    // zero-fitness vertices don't count toward capacity
+    val fit2 = Seq((0L, 1.0), (1L, 1.0), (2L, 0.0)).toDF("id", "w")
+    intercept[IllegalArgumentException] {
+      Generators.staticFitness(spark, m = 2, fitness = fit2)
+    }
+    // realizable m still works
+    assert(Generators.staticFitness(spark, m = 3, fitness = fit).ecount() == 3)
+  }
+
+  test("Forest_Fire smoke: valid growth graph, deterministic (test_games.py:15-19)") {
+    val g = Generators.forestFire(spark, 100, 0.1)
+    assert(!g.directed && g.vcount() == 100)
+    val e = g.edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // growth model: every edge points from a newer to an older vertex
+    assert(e.forall { case (s, d) => s > d })
+    assert(e.length >= 99, "every non-root vertex links to >= 1 ambassador")
+    val gd = Generators.forestFire(spark, 100, 0.1, directed = true)
+    assert(gd.directed)
+    // determinism
+    val e2 = Generators.forestFire(spark, 100, 0.1).edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.toSeq == e2.toSeq)
+    // higher burn probability spreads wider -> more edges
+    val hot = Generators.forestFire(spark, 100, 0.6).ecount()
+    assert(hot > g.ecount())
+  }
+
+  test("Recent_Degree smoke: m edges per step within the window model (test_games.py:21-23)") {
+    val g = Generators.recentDegree(spark, 100, 5, 10)
+    assert(g.vcount() == 100)
+    val e = g.edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.forall { case (s, d) => s > d })
+    // vertex v adds min(m, v) edges
+    assert(e.length == (1 until 100).map(v => math.min(5, v)).sum)
+    // determinism
+    val e2 = Generators.recentDegree(spark, 100, 5, 10).edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.toSeq == e2.toSeq)
+  }
 }

@@ -106,7 +106,44 @@ class LeidenSpec extends AnyFunSuite {
       val ls = (0 until k).map(i => labels(c * k + i)).distinct
       assert(ls.size === 1, s"clique $c split: $ls")
     }
-    assert(labels.distinct.size >= nc / 2, "cliques should not all collapse")
+    // with aggregate node weights carried through contraction (ADVICE r2),
+    // merging two 6-cliques across a weight-1 ring edge has CPM gain
+    // 1 − 0.5·6·6 < 0 — the clique partition is EXACTLY recovered
+    assert(labels.distinct.size === nc, "CPM γ=0.5 must recover exactly the cliques")
+  }
+
+  test("contraction loop terminates above threshold without driver materialization (no-shrink case)") {
+    // 60 disjoint weight-1 edges = 120 vertices, seqThreshold 50: level-0
+    // collapses each edge to one community (γ=0.1 → gain 0.9) but the 60
+    // isolated super-nodes can never merge, so nAgg (60) stays above the
+    // threshold and never shrinks — the loop must detect the stall and
+    // return the move-phase labels instead of collecting or spinning
+    val m = 60
+    val edges = (0 until m).map(i => ((2 * i).toLong, (2 * i + 1).toLong, 1.0))
+    val g = LinkGraph.weighted(spark, (2 * m).toLong, edges, directed = false)
+    val labels = memb(Leiden.communityLeiden(g, Leiden.CPM, resolution = 0.1,
+      nIterations = 1, seqThreshold = 50L))
+    assert(labels.distinct.size === m)
+    for (i <- 0 until m) assert(labels(2 * i) === labels(2 * i + 1), s"pair $i split")
+  }
+
+  test("aggregate-level CPM penalty uses community sizes (two bridged cliques above threshold)") {
+    // two 8-cliques bridged by ONE weight-1 edge, plus 30 disjoint pairs to
+    // push the graph above seqThreshold 40. Correct aggregate node weights
+    // (8) price the merge at 1 − 0.1·8·8 = −5.4 → cliques stay separate;
+    // the pre-fix nw=1 derivation priced it at 1 − 0.1 = +0.9 → over-merge.
+    val k = 8
+    val cliq = for (c <- 0 until 2; i <- 0 until k; j <- i + 1 until k)
+      yield ((c * k + i).toLong, (c * k + j).toLong, 1.0)
+    val bridge = Seq((0L, (k + 0).toLong, 1.0))
+    val base = 2 * k
+    val pairs = (0 until 30).map(i => ((base + 2 * i).toLong, (base + 2 * i + 1).toLong, 1.0))
+    val g = LinkGraph.weighted(spark, (base + 60).toLong, cliq ++ bridge ++ pairs, directed = false)
+    val labels = memb(Leiden.communityLeiden(g, Leiden.CPM, resolution = 0.1,
+      nIterations = 1, seqThreshold = 40L))
+    assert((0 until k).map(labels(_)).distinct.size === 1, "clique A split")
+    assert((k until 2 * k).map(labels(_)).distinct.size === 1, "clique B split")
+    assert(labels(0) !== labels(k), "bridged cliques must NOT merge under size-aware CPM")
   }
 
   test("n_iterations=2 default matches -1 result on a stable graph") {

@@ -146,4 +146,26 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(0L) === 3L) // 0 seen in all three edges
     assert(rows(3L) === 1L)
   }
+
+  test("es.select computed-metric filter (_edge_betweenness_ge style, __init__.py:4551-4553)") {
+    import org.apache.spark.sql.functions.col
+    // path 0-1-2-3: edge betweenness [3, 4, 3]
+    val g = graft.core.LinkGraph(spark, 4, Seq((0L, 1L), (1L, 2L), (2L, 3L)), directed = false)
+    val ebm = graft.algos.Betweenness.edgeBetweenness(g)
+    val kept = graft.ops.Select.es(g).metric(ebm, "betweenness", "ge", 4.0).result
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 2L)))
+    // directed graphs key the metric on (src, dst) directly
+    val gd = graft.core.LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L)), directed = true)
+    val ebd = graft.algos.Betweenness.edgeBetweenness(gd)
+    val keptD = graft.ops.Select.es(gd).metric(ebd, "betweenness", "gt", 1.5).result
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0->1 carries paths {0->1, 0->2}; 1->2 carries {1->2, 0->2} -> both 2.0
+    assert(keptD == Set((0L, 1L), (1L, 2L)))
+    // chained with structural selectors
+    val both = graft.ops.Select.es(g).metric(ebm, "betweenness", "ge", 3.0)
+      .incident(Seq(0L)).result.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both == Set((0L, 1L)))
+  }
 }

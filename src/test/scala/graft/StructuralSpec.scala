@@ -119,4 +119,61 @@ class StructuralSpec extends AnyFunSuite {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
     assert(q((0L, 0L)) == 10L && q((1L, 1L)) == 10L && q((0L, 1L)) == 1L)
   }
+
+  test("weighted knn: strength replaces degree (graphobject.c:13660-13677 docstring)") {
+    // simplified DegreeTests.g with weights [1,2,3,4,5] by edge:
+    // s = [7, 9, 5, 9]; knn_w = [(1*9+2*5+4*9)/7, (1*7+3*5+5*9)/9,
+    //                            (2*7+3*9)/5, (4*7+5*9)/9]
+    val gw = LinkGraph.weighted(spark, 4,
+      Seq((0L, 1L, 1.0), (0L, 2L, 2.0), (1L, 2L, 3.0), (0L, 3L, 4.0), (1L, 3L, 5.0)),
+      directed = false)
+    val knnW = TestSession.vector(GraphOps.knn(gw, weighted = true), "knn")
+    val want = Seq(55.0 / 7, 67.0 / 9, 41.0 / 5, 73.0 / 9)
+    knnW.toSeq.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // the degree column (knnk binning) stays the ORDINARY degree
+    assert(TestSession.longVector(GraphOps.knn(gw, weighted = true), "degree").toSeq
+      == Seq(3L, 3L, 2L, 2L))
+    // uniform weights degenerate to... strength == degree, so knn_w uses
+    // degree values again but weighted by 1: equals unweighted knn
+    val knnU = TestSession.vector(GraphOps.knn(g5), "knn")
+    val knnW1 = TestSession.vector(GraphOps.knn(g5, weighted = true), "knn")
+    knnU.toSeq.zip(knnW1.toSeq).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("similarity minCommon pushdown + per-vertex top-k (web-path variants)") {
+    // g5: jaccard full emits every pair with >=1 common neighbor
+    val full = GraphOps.similarityJaccard(g5).collect()
+    val thresh = GraphOps.similarityJaccard(g5, minCommon = 2L).collect()
+    // pairs with >= 2 common neighbors form a strict subset with identical scores
+    assert(thresh.length < full.length && thresh.nonEmpty)
+    val fullMap = full.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    thresh.foreach { r =>
+      assert(math.abs(fullMap((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-12)
+    }
+    // cocitation minCommon agrees with a post-filter of the full result
+    val cocFull = GraphOps.cocitation(gdir).where(org.apache.spark.sql.functions.col("common") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cocMin = GraphOps.cocitation(gdir, minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cocFull == cocMin)
+    // ILW minCommon: subset with identical scores
+    val ilwFull = GraphOps.similarityInverseLogWeighted(g5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ilwMin = GraphOps.similarityInverseLogWeighted(g5, minCommon = 2L).collect()
+    assert(ilwMin.length < ilwFull.size && ilwMin.nonEmpty)
+    ilwMin.foreach { r =>
+      assert(math.abs(ilwFull((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-12)
+    }
+    // top-k: every vertex keeps at most k partners, and they are its best
+    val pairs = GraphOps.similarityJaccard(g5)
+    val topk = GraphOps.topKSimilar(pairs, "jaccard", 2).collect()
+    val perV = topk.groupBy(_.getLong(0))
+    assert(perV.values.forall(_.length <= 2))
+    val sym = full.flatMap(r => Seq((r.getLong(0), r.getLong(1), r.getDouble(2)),
+      (r.getLong(1), r.getLong(0), r.getDouble(2))))
+    perV.foreach { case (v, rows) =>
+      val best = sym.filter(_._1 == v).sortBy(t => (-t._3, t._2)).take(2).map(t => (t._2, t._3)).toSet
+      assert(rows.map(r => (r.getLong(1), r.getDouble(2))).toSet == best, s"vertex $v top-k mismatch")
+    }
+  }
 }
