@@ -85,7 +85,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "16000000").toLong
+    // 64M vertices / 640M edges: large enough that the parallel SpMV
+    // dominates the per-superstep serial floor (measured size series in
+    // BENCH.md — at 16M the grid kernel runs 0.21 s/iter and scheduling/
+    // localCheckpoint overhead caps every ratio; at 64M the uncontended
+    // 2->8 pair clears the >=0.8 target, while 8->32 stays capped by the
+    // single socket's shared memory bandwidth — both are reported)
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "64000000").toLong
     val benchIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "6").toInt
 
     // --- section 1: representative operator timings on the sf tables ------

@@ -47,9 +47,18 @@ object Generators {
   def erdosRenyiGnm(spark: SparkSession, n: Long, m: Long,
                     directed: Boolean = false, seed: Long = 42L): LinkGraph = {
     import spark.implicits._
+    // same guard as staticFitness (ADVICE r2): without it the retry loop
+    // never terminates when m exceeds the simple-graph capacity
+    val capacity = if (directed) n * (n - 1) else n * (n - 1) / 2
+    require(m <= capacity,
+      s"erdosRenyiGnm: m=$m exceeds the simple-graph capacity $capacity for n=$n")
+    require(m <= Int.MaxValue, s"erdosRenyiGnm caps m at Int.MaxValue (got $m)")
     var oversample = math.max(16L, (m * 1.5).toLong)
+    var retries = 0
     var result: DataFrame = null
     while (result == null) {
+      require(retries <= 40,
+        s"erdosRenyiGnm: candidate pool plateaued below m=$m after $retries doublings")
       val cand = spark.range(oversample).map { k =>
         val a = java.lang.Long.remainderUnsigned(mix64(seed ^ (2 * k)), n)
         val b = java.lang.Long.remainderUnsigned(mix64(seed ^ (2 * k + 1)), n)
@@ -61,7 +70,7 @@ object Generators {
           (if (directed) col("b") else greatest(col("a"), col("b"))).as("dst"))
         .groupBy("src", "dst").agg(min("k").as("k"))
       if (cand.count() >= m) result = cand.orderBy("k").limit(m.toInt).select("src", "dst")
-      else oversample *= 2
+      else { oversample *= 2; retries += 1 }
     }
     LinkGraph(result, directed, Some(n))
   }
@@ -602,12 +611,72 @@ object Generators {
   }
 
   /** Famous named graphs (`graphobject.c:12569`) — the ones the reference
-    * test-suite leans on. Edge lists are public-domain graph data.
+    * test-suite leans on, plus the standard catalog entries constructible
+    * from public-domain graph data (LCF notation for the cubic ones,
+    * classical constructions otherwise). Remaining catalog names
+    * (Folkman, Herschel, Meredith, Nonline, Noperfectmatching, Robertson,
+    * Smallestcyclicgroup, Thomassen, Tutte, Uniquely3colorable, Walther)
+    * are documented exclusions: their published edge tables are not
+    * available in this sandbox and guessing them would be worse than
+    * erroring.
     */
   def famous(spark: SparkSession, name: String): LinkGraph = {
+    name.toLowerCase match {
+      // cubic graphs with standard LCF notation
+      case "dodecahedral" | "dodecahedron" =>
+        return lcf(spark, Seq(10, 7, 4, -4, -7, 10, -4, 7, -7, 4), 2)
+      case "franklin" => return lcf(spark, Seq(5, -5), 6)
+      case "frucht" =>
+        return lcf(spark, Seq(-5, -2, -4, 2, 5, -2, 2, 5, -2, -5, 4, 2), 1)
+      case "heawood" => return lcf(spark, Seq(5, -5), 7)
+      case "levi" => return lcf(spark, Seq(-13, -9, 7, -7, 9, 13), 5)
+      case "mcgee" => return lcf(spark, Seq(12, 7, -7), 8)
+      case "pappus" => return lcf(spark, Seq(5, 7, -7, 7, -7, -5), 3)
+      case _ =>
+    }
     val (n, edges) = name.toLowerCase match {
       case "bull" => (5, Seq((0, 1), (0, 2), (1, 2), (1, 3), (2, 4)))
       case "house" => (5, Seq((0, 1), (0, 2), (1, 3), (2, 3), (2, 4), (3, 4)))
+      case "housex" => (5, Seq((0, 1), (0, 2), (1, 3), (2, 3), (2, 4), (3, 4),
+        (0, 3), (1, 2)))
+      case "diamond" => (4, Seq((0, 1), (0, 2), (1, 2), (1, 3), (2, 3)))
+      case "tetrahedral" | "tetrahedron" =>
+        (4, Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)))
+      case "cubical" => (8, Seq((0, 1), (1, 2), (2, 3), (3, 0),
+        (4, 5), (5, 6), (6, 7), (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)))
+      case "octahedral" | "octahedron" =>
+        // K_{2,2,2}: all pairs except the three antipodal ones
+        (6, (for { i <- 0 until 6; j <- i + 1 until 6
+                   if !(j == i + 1 && i % 2 == 0) } yield (i, j)).toSeq)
+      case "icosahedral" | "icosahedron" =>
+        // apex 0, upper ring 1-5, lower ring 6-10, antapex 11
+        (12, (1 to 5).map(i => (0, i)) ++
+          (1 to 5).map(i => (i, 1 + i % 5)) ++
+          (6 to 10).map(i => (i, 6 + (i - 5) % 5)) ++
+          (6 to 10).map(i => (i, 11)) ++
+          (1 to 5).flatMap(i => Seq((i, i + 5), (i, 6 + i % 5))))
+      case "chvatal" => (12, Seq((0, 1), (0, 4), (0, 6), (0, 9), (1, 2), (1, 5),
+        (1, 7), (2, 3), (2, 6), (2, 8), (3, 4), (3, 7), (3, 9), (4, 5), (4, 8),
+        (5, 10), (5, 11), (6, 10), (6, 11), (7, 8), (7, 11), (8, 10), (9, 10),
+        (9, 11)))
+      case "coxeter" =>
+        // three heptagrams {7/1},{7/2},{7/3} (a=0-6, b=7-13, c=14-20) plus a
+        // 7-vertex hub (21-27) spoked to matching positions — the classical
+        // construction; 28 vertices, 42 edges, 3-regular, girth 7
+        val a = (0 until 7).map(i => (i, (i + 1) % 7))
+        val b = (0 until 7).map(i => (7 + i, 7 + (i + 2) % 7))
+        val c = (0 until 7).map(i => (14 + i, 14 + (i + 3) % 7))
+        val spokes = (0 until 7).flatMap(i => Seq((21 + i, i), (21 + i, 7 + i), (21 + i, 14 + i)))
+        (28, a ++ b ++ c ++ spokes)
+      case "grotzsch" =>
+        // Mycielskian of C5: cycle 0-4, shadows 5-9, apex 10
+        val cyc = (0 until 5).map(i => (i, (i + 1) % 5))
+        val shadow = (0 until 5).flatMap(i => Seq((5 + i, (i + 1) % 5), (5 + i, (i + 4) % 5)))
+        val apex = (0 until 5).map(i => (10, 5 + i))
+        (11, cyc ++ shadow ++ apex)
+      case "krackhardt_kite" => (10, Seq((0, 1), (0, 2), (0, 3), (0, 5), (1, 3),
+        (1, 4), (1, 6), (2, 3), (2, 5), (3, 4), (3, 5), (3, 6), (4, 6), (5, 6),
+        (5, 7), (6, 7), (7, 8), (8, 9)))
       case "petersen" => (10, Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 0),
         (0, 5), (1, 6), (2, 7), (3, 8), (4, 9),
         (5, 7), (7, 9), (9, 6), (6, 8), (8, 5)))

@@ -85,6 +85,45 @@ class GeneratorsSpec extends AnyFunSuite {
     assert(math.abs(q - 0.08) < 1e-7)
   }
 
+  test("Famous catalog: structural invariants of the expanded named graphs") {
+    import graft.algos.{Distances, Triangles}
+    // (name, n, m, regular-degree or -1, triangles or -1, diameter or -1)
+    val cases = Seq(
+      ("diamond", 4L, 5L, -1, 2L, 2L),
+      ("tetrahedral", 4L, 6L, 3, 4L, 1L),
+      ("cubical", 8L, 12L, 3, 0L, 3L),
+      ("octahedral", 6L, 12L, 4, 8L, 2L),
+      ("icosahedral", 12L, 30L, 5, 20L, 3L),
+      ("dodecahedral", 20L, 30L, 3, 0L, 5L),
+      ("chvatal", 12L, 24L, 4, 0L, 2L),
+      ("coxeter", 28L, 42L, 3, 0L, 4L),
+      ("grotzsch", 11L, 20L, -1, 0L, 2L),
+      ("krackhardt_kite", 10L, 18L, -1, -1L, 4L),
+      ("housex", 5L, 8L, -1, 5L, 2L),
+      ("franklin", 12L, 18L, 3, 0L, 3L),
+      ("frucht", 12L, 18L, 3, -1L, -1L),
+      ("heawood", 14L, 21L, 3, 0L, 3L),
+      ("levi", 30L, 45L, 3, 0L, 4L),
+      ("mcgee", 24L, 36L, 3, 0L, 4L),
+      ("pappus", 18L, 27L, 3, 0L, 4L))
+    cases.foreach { case (name, n, m, reg, tri, diam) =>
+      val g = Generators.famous(spark, name)
+      assert(g.vcount() == n, s"$name vcount")
+      assert(g.ecount() == m, s"$name ecount")
+      if (reg > 0) {
+        val deg = GraphOps.degrees(g, Mode.All).collect().map(_.getLong(1))
+        assert(deg.forall(_ == reg), s"$name not $reg-regular")
+      }
+      if (tri >= 0) assert(Triangles.count(g) == tri, s"$name triangles")
+      if (diam >= 0) assert(Distances.diameter(g) == diam, s"$name diameter")
+    }
+    // aliases resolve to the same shape
+    assert(Generators.famous(spark, "dodecahedron").ecount() == 30)
+    assert(Generators.famous(spark, "octahedron").ecount() == 12)
+    assert(Generators.famous(spark, "tetrahedron").ecount() == 6)
+    intercept[IllegalArgumentException](Generators.famous(spark, "no_such_graph"))
+  }
+
   test("GRG: cell-join edges match brute-force distance pairs exactly") {
     import org.apache.spark.sql.functions._
     val (g, pts) = Generators.grg(spark, 300, 0.1, seed = 11L)
