@@ -147,6 +147,27 @@ object Bench {
       }
       rep += 1
     }
+    // --- section 3: iterations-to-convergence wall (north metric names it:
+    // "edges/sec per PageRank iteration (and iterations-to-1e-6-convergence
+    // wall time)"). One tolerance-mode run at full parallelism on the same
+    // synthetic graph; the convergence delta is fused into the rank-cut job.
+    val convJson =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")) ""
+      else {
+        val s = session(cpus)
+        try {
+          val edges = synthEdges(s, benchN, avgDeg = 10, partitions = math.max(cpus * 2, 16)).persist()
+          val g = LinkGraph(edges, directed = true, Some(benchN))
+          g.ecount()
+          val t0 = System.nanoTime()
+          val r = PageRank.run(g, tol = 1e-6, maxIter = 200,
+            strategy = PageRank.GridBlocks(sys.env.getOrElse("SPARK_GRAFT_GRID_P", "32").toInt))
+          val wall = (System.nanoTime() - t0) / 1e9
+          edges.unpersist()
+          s""","convergence":{"tol":1e-6,"iterations":${r.iterations},"wall_sec":${"%.2f".format(wall)},"final_delta":${"%.3e".format(r.delta)}}"""
+        } finally s.stop()
+      }
+
     val hi = levels.last
     val epsHi = m / mins(hi)
     val qJson = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
@@ -158,7 +179,11 @@ object Bench {
       s""""efficiency_${a}_to_$b":${"%.3f".format((mins(a) / mins(b)) / (b.toDouble / a))}"""
     }.mkString(",")
     val json =
-      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.0f".format(epsHi)},"unit":"edges/sec/iter","queries":$qJson,"sf":"$sfDir","total_query_sec":${"%.2f".format(total)},"scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,$secJson,$meanJson,$epsJson,$effJson,"note":"${levels.head}->${levels(1)} holds per-core bandwidth constant (the N->4N cluster-node analog, each node bringing its own memory bandwidth); higher pairs additionally contend the single socket's shared bandwidth; sec_per_iter_* are steady-state minima (robust timing), mean_* the steady-state means"}}"""
+      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.0f".format(epsHi)},"unit":"edges/sec/iter","queries":$qJson,"sf":"$sfDir","total_query_sec":${"%.2f".format(total)},"scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,$secJson,$meanJson,$epsJson,$effJson,"note":"${
+        if (levels.take(2) == Seq(2, 8))
+          "2->8 holds per-core bandwidth constant (the N->4N cluster-node analog, each node bringing its own memory bandwidth); higher pairs additionally contend the single socket's shared bandwidth; "
+        else ""
+      }sec_per_iter_* are steady-state minima (robust timing), mean_* the steady-state means"}$convJson}"""
     println(json)
     // belt-and-braces for the driver's parser: also drop the line in a file
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")

@@ -45,18 +45,19 @@ object Centrality {
     while (iter < cap && (fixedIters.isDefined || delta > tol)) {
       val y = adj.join(x, adj("src") === x("id"))
         .groupBy(col("dst").as("id")).agg(sum(col("weight") * col("v")).as("y"))
+      // previous value rides as `old` (x is already joined for the shift
+      // term) so the convergence delta is a scan, not a join per iteration
       val yAll = vertices.join(y, Seq("id"), "left").join(x, Seq("id"))
-        .select(col("id"), (coalesce(col("y"), lit(0.0)) + lit(shift) * col("v")).as("y"))
+        .select(col("id"), (coalesce(col("y"), lit(0.0)) + lit(shift) * col("v")).as("y"),
+          col("v").as("old"))
         .transform(Lineage.cut)
       val norm = math.sqrt(yAll.agg(sum(col("y") * col("y"))).head.getDouble(0))
       if (norm == 0.0) { iter = cap; delta = 0.0 } // zero vector: no edges
       else {
         lambda = norm - shift // ||(A+I)x|| with ||x||=1 -> λ1 + shift
-        val xNew = yAll.select(col("id"), (col("y") / norm).as("v")).transform(Lineage.cut)
         if (fixedIters.isEmpty)
-          delta = xNew.join(x.withColumnRenamed("v", "old"), Seq("id"))
-            .agg(max(abs(col("v") - col("old")))).head.getDouble(0)
-        x = xNew
+          delta = yAll.agg(max(abs(col("y") / norm - col("old")))).head.getDouble(0)
+        x = yAll.select(col("id"), (col("y") / norm).as("v")).transform(Lineage.cut)
         iter += 1
       }
     }

@@ -37,16 +37,19 @@ object Components {
       val t0 = System.currentTimeMillis()
       val nbrMin = adj.join(labels, adj("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr_comp"))
+      // pre-round label rides as `old` so the convergence count is a scan
+      // of the checkpointed frame, not a shuffle join per round
       val step1 = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          col("comp").as("old"))
       // pointer jumping: comp <- comp(comp)
       val jump = step1.select(col("id").as("jid"), col("comp").as("jcomp"))
       val step2 = step1.join(jump, step1("comp") === jump("jid"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+        .select(col("id"), least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"),
+          col("old"))
       val cut = Iterate.cut(step2, iter + 1, store, t0)
-      changed = cut.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .where(col("comp") =!= col("old")).count()
-      labels = cut
+      changed = cut.where(col("comp") =!= col("old")).count()
+      labels = cut.select("id", "comp")
       iter += 1
     }
     adj.unpersist()
@@ -107,11 +110,11 @@ object Components {
           val msg = remainingE.join(colors, remainingE("src") === colors("id"))
             .groupBy(col("dst").as("id")).agg(max(col("color")).as("in_color"))
           val next = colors.join(msg, Seq("id"), "left")
-            .select(col("id"), greatest(col("color"), coalesce(col("in_color"), col("color"))).as("color"))
+            .select(col("id"), greatest(col("color"), coalesce(col("in_color"), col("color"))).as("color"),
+              col("color").as("old"))
             .transform(graft.core.Lineage.cut)
-          changed = next.join(colors.withColumnRenamed("color", "old"), Seq("id"))
-            .where(col("color") =!= col("old")).count()
-          colors = next
+          changed = next.where(col("color") =!= col("old")).count()
+          colors = next.select("id", "color")
         }
         // --- backward reach from roots, restricted to same color
         // root r: color(r) == r. SCC(r) = {v: color(v)==r and v ->* r}.

@@ -53,12 +53,13 @@ object KCore {
       val h = capped
         .withColumn("ge", sum("cnt").over(w))
         .groupBy("v").agg(max(least(col("c"), col("ge"))).as("h"))
+      // old estimate rides as a column: the convergence count is a scan of
+      // the checkpointed frame, not a shuffle join per round
       val next = core.join(h, Seq("v"), "left")
-        .select(col("v"), coalesce(col("h"), lit(0L)).as("core"))
+        .select(col("v"), coalesce(col("h"), lit(0L)).as("core"), col("core").as("old"))
         .transform(graft.core.Lineage.cut)
-      changed = next.join(core.select(col("v"), col("core").as("old")), Seq("v"))
-        .where(col("core") =!= col("old")).count()
-      core = next
+      changed = next.where(col("core") =!= col("old")).count()
+      core = next.select("v", "core")
     }
     adj.unpersist()
     g.vertices.join(core.select(col("v").as("id"), col("core")), Seq("id"), "left")

@@ -66,13 +66,17 @@ object LabelProp {
       case None =>
         g.vertices.select(col("id"), col("id").as("label"))
     }
+    // `old` (label one step back) and `p2` (two steps back) ride as columns
+    // so the convergence + oscillation counts are ONE scan of the
+    // checkpointed frame — no shuffle joins against previous states
     var labels = (fixedDf match {
       case Some(f) => start.join(f, Seq("id"), "left")
         .select(col("id"), col("label"), coalesce(col("is_fixed"), lit(false)).as("is_fixed"))
       case None => start.withColumn("is_fixed", lit(false))
-    }).transform(graft.core.Lineage.cut)
+    }).withColumn("old", lit(null).cast("long"))
+      .withColumn("p2", lit(null).cast("long"))
+      .transform(graft.core.Lineage.cut)
 
-    var prev: DataFrame = null // for 2-cycle oscillation guard
     var iter = 0
     var changed = 1L
     val iterCap = fixedIters.getOrElse(maxIter)
@@ -100,26 +104,21 @@ object LabelProp {
         .select(col("id"),
           when(col("is_fixed") || col("new_label").isNull, col("label"))
             .otherwise(col("new_label")).as("label"),
-          col("is_fixed"))
+          col("is_fixed"),
+          col("label").as("old"), // one step back
+          col("old").as("p2"))    // two steps back
       val cut = Iterate.cut(next, iter + 1, store, t0)
       if (fixedIters.isEmpty) {
-        // ONE job for both convergence and the 2-cycle oscillation guard:
-        // count diffs vs the previous state and vs the state two steps ago
-        // in the same aggregation over the cached cut
-        val base = cut.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        if (prev != null) {
-          val r = base.join(prev.select(col("id"), col("label").as("p2")), Seq("id"))
-            .agg(
-              sum(when(!(col("label") <=> col("old")), 1L).otherwise(0L)).as("ch"),
-              sum(when(!(col("label") <=> col("p2")), 1L).otherwise(0L)).as("osc"))
-            .head
-          changed = r.getLong(0)
-          if (changed > 0 && r.getLong(1) == 0) changed = 0 // frozen 2-cycle
-        } else {
-          changed = base.where(!(col("label") <=> col("old"))).count()
-        }
+        // ONE scan job for both convergence and the 2-cycle oscillation
+        // guard (p2 null in the first two iterations -> counts as diff,
+        // so the freeze can't trigger before a genuine 2-cycle exists)
+        val r = cut.agg(
+          sum(when(!(col("label") <=> col("old")), 1L).otherwise(0L)).as("ch"),
+          sum(when(!(col("label") <=> col("p2")), 1L).otherwise(0L)).as("osc"))
+          .head
+        changed = r.getLong(0)
+        if (changed > 0 && r.getLong(1) == 0) changed = 0 // frozen 2-cycle
       }
-      prev = labels
       labels = cut
       iter += 1
     }

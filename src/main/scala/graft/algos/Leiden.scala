@@ -425,16 +425,17 @@ object Leiden {
       val mayMove =
         if (fixedSweeps.isDefined) pmod(col("id"), lit(2L)) === lit((sweep % 2).toLong)
         else pmod(xxhash64(lit(43L), lit(sweep), col("id")), lit(2L)) === 0L
+      // old label rides as a column so the convergence count below is a
+      // scan of the checkpointed frame, not a shuffle join per sweep
       val next = base.join(best, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           when(mayMove && col("gain").isNotNull && col("gain") > col("stay_gain") + 1e-12,
             col("clabel")).otherwise(col("label")).as("label"))
         .transform(Lineage.cut)
       lastMoves = moves
       if (fixedSweeps.isEmpty)
-        moves = next.join(memb.select(col("id"), col("label").as("old")), Seq("id"))
-          .where(col("label") =!= col("old")).count()
-      memb = next
+        moves = next.where(col("label") =!= col("old")).count()
+      memb = next.select("id", "label")
       sweep += 1
     }
     nb.unpersist(); e.unpersist(); commParent.foreach(_.unpersist())
