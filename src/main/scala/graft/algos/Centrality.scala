@@ -90,15 +90,20 @@ object Centrality {
       val aRaw = e.join(hub, e("src") === hub("id"))
         .groupBy(col("dst").as("id")).agg(sum(col("weight") * col("h")).as("x"))
       val aNorm = normalize(vertices, aRaw)
-      // hub = sum of authority scores of out-neighbors
+      // hub = sum of authority scores of out-neighbors; the old hub score
+      // rides through the normalization join so the convergence delta is a
+      // scan of the checkpointed frame, not a join per iteration
       val a2 = aNorm.select(col("id").as("aid"), col("v").as("a2"))
       val hRaw = e.join(a2, e("dst") === a2("aid"))
         .groupBy(e("src").as("id")).agg(sum(col("weight") * col("a2")).as("x"))
-      val hNorm = normalize(vertices, hRaw)
+      val hAll = vertices.join(hRaw, Seq("id"), "left").join(hub, Seq("id"))
+        .select(col("id"), coalesce(col("x"), lit(0.0)).as("x"), col("h").as("old"))
+        .transform(Lineage.cut)
+      val hn = math.sqrt(hAll.agg(sum(col("x") * col("x"))).head.getDouble(0))
+      val hd = if (hn == 0) 1.0 else hn
       if (fixedIters.isEmpty)
-        delta = hNorm.join(hub.withColumnRenamed("h", "old"), Seq("id"))
-          .agg(max(abs(col("v") - col("old")))).head.getDouble(0)
-      hub = hNorm.withColumnRenamed("v", "h")
+        delta = hAll.agg(max(abs(col("x") / hd - col("old")))).head.getDouble(0)
+      hub = hAll.select(col("id"), (col("x") / hd).as("h")).transform(Lineage.cut)
       auth = aNorm.withColumnRenamed("v", "a")
       iter += 1
     }

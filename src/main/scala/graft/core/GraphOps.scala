@@ -292,7 +292,14 @@ object GraphOps {
     * Shape: one symmetrize-aggregate, one self-join on the shared contact,
     * one squared-sum aggregate — all shuffles on vertex keys.
     */
-  def constraint(g: LinkGraph): DataFrame = {
+  /** @param maxPivotDegree web-scale path: exclude shared contacts q with
+    *        degree above the cap from the indirect-strength self-join — the
+    *        p⋈p pivot fan-out is quadratic in pivot degree, and a super-hub's
+    *        per-edge proportional strengths p_qj ≈ 1/deg(q) contribute
+    *        negligibly to Σ_q p_iq·p_qj. Approximation; the drop is logged.
+    *        None (default) = Burt's exact formula.
+    */
+  def constraint(g: LinkGraph, maxPivotDegree: Option[Int] = None): DataFrame = {
     val e = g.weighted.where(col("src") =!= col("dst"))
     val sym = e.select(col("src").as("i"), col("dst").as("j"), col("weight"))
       .union(e.select(col("dst").as("i"), col("src").as("j"), col("weight")))
@@ -303,8 +310,19 @@ object GraphOps {
     p.count()
     // indirect strength via shared contact q: Σ_q p_iq · p_qj  (q != i, j by
     // construction: p has no self rows; exclude j == i)
+    val pivotSide = maxPivotDegree match {
+      case None => p
+      case Some(cap) =>
+        val deg = p.groupBy("i").agg(count(lit(1)).as("d"))
+        val dropped = deg.where(col("d") > cap).count()
+        if (dropped > 0)
+          org.slf4j.LoggerFactory.getLogger("graft.core.GraphOps").warn(
+            s"constraint: $dropped pivot vertex(es) with degree > $cap excluded " +
+              "from the indirect-strength join (approximation, drop logged per the no-silent-caps rule)")
+        p.join(deg.where(col("d") <= cap).select("i"), Seq("i"), "left_semi")
+    }
     val ind = p.alias("a")
-      .join(p.alias("b"), col("a.j") === col("b.i"))
+      .join(pivotSide.alias("b"), col("a.j") === col("b.i"))
       .where(col("a.i") =!= col("b.j"))
       .groupBy(col("a.i").as("i"), col("b.j").as("j"))
       .agg(sum(col("a.p") * col("b.p")).as("ind"))

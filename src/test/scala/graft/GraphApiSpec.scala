@@ -150,6 +150,24 @@ class GraphApiSpec extends AnyFunSuite {
     assert(iso(2L).isNaN)
   }
 
+  test("constraint maxPivotDegree: exact when cap >= max degree; hub-capped approximation bounded") {
+    // lollipop: K4 on 0-3 plus a hub 0 wired to 4 leaves — hub degree 7
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)) ++
+      (4L to 7L).map(v => (0L, v))
+    val g = LinkGraph(spark, 8, edges, directed = false)
+    val exact = GraphOps.constraint(g).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val same = GraphOps.constraint(g, maxPivotDegree = Some(10))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (v, c) => assert(math.abs(same(v) - c) < 1e-12, s"cap>=maxdeg changed $v") }
+    // cap below the hub's degree: only indirect paths THROUGH the hub are
+    // dropped -> capped constraint <= exact everywhere, K4-internal pivots
+    // (degree 4 <= cap) still counted
+    val capped = GraphOps.constraint(g, maxPivotDegree = Some(4))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (v, c) => assert(capped(v) <= c + 1e-12, s"capped exceeded exact at $v") }
+    assert(capped(1L) < exact(1L)) // K4 members lose the hub pivot's contribution
+  }
+
   test("has_multiple: undirected collapse, loops not multi (graphobject.c:12299)") {
     assert(!GraphOps.hasMultiple(LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L)), directed = false)))
     // (0,1) and (1,0) are the SAME undirected edge -> multi
