@@ -184,6 +184,8 @@ object SparkEntry {
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))),
     "q_bridges" -> ((s, dir) => graft.ops.Extras.bridges(Tables.bridgeGraph(s, dir), md5Tags = true)
       .select(col("src"), col("dst"))),
+    "q_articulation" -> ((s, dir) =>
+      Biconnected.blocksDF(Tables.bridgeGraph(s, dir))._2.select(col("id"))),
     "q_linegraph" -> ((s, dir) => {
       val g = LinkGraph(Tables.eventsGraph(s, dir).weighted
         .select("src", "dst").distinct(), directed = true, None)
@@ -420,6 +422,32 @@ FROM h$k h JOIN a$k a ON a.id = h.id""")
        |SELECT LEAST(p.v, p.parent) AS src, GREATEST(p.v, p.parent) AS dst
        |FROM par p JOIN subx s ON s.a = p.v WHERE s.sx = 0""".stripMargin
 
+  /** Articulation points of the bridge graph by first principles (not by
+    * re-deriving Tarjan-Vishkin): v is an articulation point iff deleting v
+    * raises the number of connected components among the remaining
+    * vertices. One transitive-closure CTE per (excluded vertex, vertex)
+    * pair — quadratic, fine at oracle scale, and entirely independent of
+    * the Spark side's spanning-forest/aux-graph derivation.
+    */
+  private def articulationSql: String =
+    s"""WITH RECURSIVE ev AS (SELECT DISTINCT user_id AS u FROM events),
+       |be AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM (
+       |  SELECT u // 2 AS s, u AS d FROM ev WHERE u > 0
+       |  UNION ALL SELECT u - 1, u FROM ev WHERE u > 0 AND u % 7 = 0)),
+       |ue AS MATERIALIZED (SELECT u AS a, v AS b FROM be UNION ALL SELECT v, u FROM be),
+       |verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM ue),
+       |reach AS (SELECT id AS a, id AS b FROM verts
+       |  UNION SELECT r.a, ue.b FROM reach r JOIN ue ON ue.a = r.b),
+       |ncomp AS (SELECT COUNT(DISTINCT c) AS n FROM
+       |  (SELECT a, MIN(b) AS c FROM reach GROUP BY a)),
+       |xr AS (SELECT x.id AS ex, w.id AS a, w.id AS b
+       |  FROM verts x JOIN verts w ON w.id <> x.id
+       |  UNION SELECT r.ex, r.a, ue.b FROM xr r JOIN ue ON ue.a = r.b
+       |  WHERE ue.b <> r.ex),
+       |xn AS (SELECT ex, COUNT(DISTINCT c) AS n FROM
+       |  (SELECT ex, a, MIN(b) AS c FROM xr GROUP BY ex, a) GROUP BY ex)
+       |SELECT xn.ex AS id FROM xn, ncomp WHERE xn.n > ncomp.n""".stripMargin
+
   /** Unrolled fixed-sweep Louvain local-move phase on the co-part graph
     * (id-parity scheduling, min-label ties, canonical dense relabel) —
     * mirrors `Louvain.localMove(fixedSweeps=k)` + `canonicalizeMembership`.
@@ -643,6 +671,7 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
     "q_louvain" -> louvainSql(4),
     "q_leiden" -> leidenSql(4, 0.5),
     "q_bridges" -> bridgesSql,
+    "q_articulation" -> articulationSql,
     "q_pages_pagerank" -> pagerankSql(10,
       """pg AS (SELECT UNNEST(RANGE(0, 1000)) AS i),
         |e AS MATERIALIZED (SELECT i AS src, (i * 31 + 7 * jj.j + 1) % 1000 AS dst,
