@@ -143,50 +143,62 @@ object PageRankGrid {
 
   /** Build the static grid from an out-edge view (src, dst, weight).
     * One shuffle of the edge table, then per-partition pack + sort.
+    *
+    * `unweighted = true` (statically known, e.g. the edge table has no
+    * weight column) ships BARE packed keys through the shuffle — the
+    * per-edge constant 1.0 would otherwise add 8 bytes/edge to the one
+    * O(E) shuffle of the build (≈5 GB at 640M edges, and the dominant
+    * term of a cold-start-to-convergence wall).
     */
-  def build(spark: SparkSession, edges: DataFrame, n: Long, p0: Int): Grid = {
+  def build(spark: SparkSession, edges: DataFrame, n: Long, p0: Int,
+            unweighted: Boolean = false): Grid = {
     val p = math.max(p0, ((n + Mask24) / (Mask24 + 1)).toInt)
     require(p <= (1 << 16), s"grid block count $p exceeds 16-bit packed range")
     val stride = (((n max 1L) + p - 1) / p).toInt
     val part = new HashPartitioner(p)
     import spark.implicits._
 
-    // (sb, packedKey, w): integral DIV/% keep Long precision (no doubles)
-    val keyed = edges
-      .select(
-        expr(s"CAST(src DIV $stride AS INT)").as("sb"),
-        expr(s"shiftleft(dst DIV $stride, 48) + shiftleft(dst % $stride, 24) + (src % $stride)").as("key"),
-        coalesce(col("weight"), lit(1.0)).as("w"))
-      .as[(Int, Long, Double)].rdd
-      .map(t => (t._1, (t._2, t._3)))
-      .partitionBy(part)
+    // (sb, packedKey[, w]): integral DIV/% keep Long precision (no doubles)
+    val sbCol = expr(s"CAST(src DIV $stride AS INT)").as("sb")
+    val keyCol = expr(
+      s"shiftleft(dst DIV $stride, 48) + shiftleft(dst % $stride, 24) + (src % $stride)").as("key")
 
-    val cells = keyed.mapPartitionsWithIndex({ (sb, it) =>
-      var keys = new Array[Long](1024)
-      var ws = new Array[Double](1024)
-      var m = 0
-      var allOne = true
-      while (it.hasNext) {
-        val (_, (k, w)) = it.next()
-        if (m == keys.length) {
-          keys = java.util.Arrays.copyOf(keys, m * 2)
-          ws = java.util.Arrays.copyOf(ws, m * 2)
-        }
-        keys(m) = k; ws(m) = w
-        if (w != 1.0) allOne = false
-        m += 1
-      }
-      keys = java.util.Arrays.copyOf(keys, m)
-      ws = if (allOne) null else java.util.Arrays.copyOf(ws, m)
-      if (ws == null) java.util.Arrays.sort(keys) else sortPair(keys, ws, 0, m - 1)
-      val offsets = new Array[Int](p + 1)
-      var i = 0
-      while (i < m) { offsets(((keys(i) >>> 48) & 0xFFFF).toInt + 1) += 1; i += 1 }
-      i = 0
-      while (i < p) { offsets(i + 1) += offsets(i); i += 1 }
-      Iterator.single(CellsBlock(sb, offsets, keys, ws))
-    }, preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cells = (if (unweighted) {
+      edges.select(sbCol, keyCol).as[(Int, Long)].rdd
+        .partitionBy(part)
+        .mapPartitionsWithIndex({ (sb, it) =>
+          var keys = new Array[Long](1024)
+          var m = 0
+          while (it.hasNext) {
+            val (_, k) = it.next()
+            if (m == keys.length) keys = java.util.Arrays.copyOf(keys, m * 2)
+            keys(m) = k; m += 1
+          }
+          Iterator.single(finishCells(p, sb, keys, null, m, allOne = true))
+        }, preservesPartitioning = true)
+    } else {
+      edges.select(sbCol, keyCol, coalesce(col("weight"), lit(1.0)).as("w"))
+        .as[(Int, Long, Double)].rdd
+        .map(t => (t._1, (t._2, t._3)))
+        .partitionBy(part)
+        .mapPartitionsWithIndex({ (sb, it) =>
+          var keys = new Array[Long](1024)
+          var ws = new Array[Double](1024)
+          var m = 0
+          var allOne = true
+          while (it.hasNext) {
+            val (_, (k, w)) = it.next()
+            if (m == keys.length) {
+              keys = java.util.Arrays.copyOf(keys, m * 2)
+              ws = java.util.Arrays.copyOf(ws, m * 2)
+            }
+            keys(m) = k; ws(m) = w
+            if (w != 1.0) allOne = false
+            m += 1
+          }
+          Iterator.single(finishCells(p, sb, keys, ws, m, allOne))
+        }, preservesPartitioning = true)
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // inverse out-strength per source block (0.0 = dangling)
     val invW = edges
@@ -208,6 +220,22 @@ object PageRankGrid {
 
     cells.count(); invW.count()
     new Grid(n, p, stride, cells, invW, part)
+  }
+
+  /** Trim, sort and index one source block's packed cells (executor-side;
+    * only primitives/arrays cross the closure boundary).
+    */
+  private def finishCells(p: Int, sb: Int, keys0: Array[Long], ws0: Array[Double],
+                          m: Int, allOne: Boolean): CellsBlock = {
+    val keys = java.util.Arrays.copyOf(keys0, m)
+    val ws = if (allOne || ws0 == null) null else java.util.Arrays.copyOf(ws0, m)
+    if (ws == null) java.util.Arrays.sort(keys) else sortPair(keys, ws, 0, m - 1)
+    val offsets = new Array[Int](p + 1)
+    var i = 0
+    while (i < m) { offsets(((keys(i) >>> 48) & 0xFFFF).toInt + 1) += 1; i += 1 }
+    i = 0
+    while (i < p) { offsets(i + 1) += offsets(i); i += 1 }
+    CellsBlock(sb, offsets, keys, ws)
   }
 
   /** Dual-array quicksort: sort `keys[lo..hi]` carrying `vals` along. */
@@ -255,7 +283,10 @@ object PageRankGrid {
             s"GridBlocks needs dense ids in [0, $n); use graft.core.Ids.assignDense first")
       }
     val p = if (p0 > 0) p0 else autoP(spark, n)
-    val grid = build(spark, g.outView, n, p)
+    // no weight column on the base table => outView's weight is the literal
+    // 1.0 the view adds; ship bare packed keys through the build shuffle
+    val grid = build(spark, g.outView, n, p,
+      unweighted = !g.edges.columns.contains("weight"))
     try runOnGrid(spark, grid, damping, tol, maxIter, reset, fixedIters, store, initial, startIter)
     finally grid.unpersist()
   }
