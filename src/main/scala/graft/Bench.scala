@@ -92,7 +92,11 @@ object Bench {
     // 2->8 pair clears the >=0.8 target, while 8->32 stays capped by the
     // single socket's shared memory bandwidth — both are reported)
     val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "64000000").toLong
-    val benchIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "6").toInt
+    // 10 steady-state iterations per (round, level) cell: the timed loop is
+    // a tiny fraction of cell cost (corpus gen + grid build dominate), so
+    // extra min-samples are nearly free and tighten the level minima that
+    // the efficiency ratio is built from
+    val benchIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "10").toInt
 
     // --- section 1: representative operator timings on the sf tables ------
     val headline =
@@ -128,19 +132,25 @@ object Bench {
     // adaptive repetitions: alternate levels until one full round improves
     // no level's min by >5% (noise epochs on this host can shadow an entire
     // session, so a fixed rep count under-samples the true compute cost)
-    val repCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
+    val repCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
       .split(",").map(_.trim.toInt).toSeq
     val mins = scala.collection.mutable.Map(levels.map(_ -> Double.PositiveInfinity): _*)
     val means = scala.collection.mutable.Map(levels.map(_ -> Double.PositiveInfinity): _*)
+    val series = scala.collection.mutable.Map(levels.map(_ -> Vector.empty[Double]): _*)
     var m = 0L
     var rep = 0
     var improved = true
-    while (rep < repCap && (rep < 2 || improved)) {
+    // at least 3 alternating rounds: noise epochs on this shared host last
+    // minutes, so stopping after a flat round 2 under-samples the true
+    // per-level minima (observed: a full run whose local[8] never left a
+    // slow epoch); beyond round 3 the >5%-improvement rule governs
+    while (rep < repCap && (rep < 3 || improved)) {
       improved = false
       levels.foreach { p =>
         val (s, mean, edges) = prSecPerIter(p, benchN, avgDeg = 10, benchIters)
         m = edges
+        series(p) = series(p) :+ s
         if (s < mins(p) * 0.95) improved = true
         if (s < mins(p)) mins(p) = s
         if (mean < means(p)) means(p) = mean
@@ -175,11 +185,16 @@ object Bench {
     val secJson = levels.map(p => s""""sec_per_iter_local$p":${"%.3f".format(mins(p))}""").mkString(",")
     val meanJson = levels.map(p => s""""mean_sec_per_iter_local$p":${"%.3f".format(means(p))}""").mkString(",")
     val epsJson = levels.map(p => s""""eps_local$p":${"%.0f".format(m / mins(p))}""").mkString(",")
+    // full per-round min series (seconds/iter) — lets a reader audit the
+    // noise spread behind the headline minima instead of trusting them
+    val seriesJson = levels.map(p =>
+      s""""local$p":[${series(p).map(v => "%.3f".format(v)).mkString(",")}]""")
+      .mkString(""""round_min_sec":{""", ",", "},")
     val effJson = levels.sliding(2).map { case Seq(a, b) =>
       s""""efficiency_${a}_to_$b":${"%.3f".format((mins(a) / mins(b)) / (b.toDouble / a))}"""
     }.mkString(",")
     val json =
-      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.0f".format(epsHi)},"unit":"edges/sec/iter","queries":$qJson,"sf":"$sfDir","total_query_sec":${"%.2f".format(total)},"scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,$secJson,$meanJson,$epsJson,$effJson,"note":"${
+      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.0f".format(epsHi)},"unit":"edges/sec/iter","queries":$qJson,"sf":"$sfDir","total_query_sec":${"%.2f".format(total)},"scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,$secJson,$meanJson,$epsJson,$seriesJson$effJson,"note":"${
         if (levels.take(2) == Seq(2, 8))
           "2->8 holds per-core bandwidth constant (the N->4N cluster-node analog, each node bringing its own memory bandwidth); higher pairs additionally contend the single socket's shared bandwidth; "
         else ""

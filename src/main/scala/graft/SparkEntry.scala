@@ -226,6 +226,33 @@ object SparkEntry {
     "q_hits" -> ((s, dir) => Centrality.hits(GraphOps.simplify(Tables.eventsGraph(s, dir)), fixedIters = Some(20))
       .select(col("id"), round(col("hub"), 6).as("hub"), round(col("authority"), 6).as("authority"))),
 
+    // --- reachability / components / mixing / personalization ---
+    "q_subcomponent" -> ((s, dir) => Paths.subcomponent(Tables.eventsGraph(s, dir), 0L, Mode.In)
+      .select(col("id"))),
+    "q_giant" -> ((s, dir) => Components.giant(Tables.eventsGraph(s, dir)).select(col("id"))),
+    "q_assort_nominal" -> ((s, dir) => {
+      val g = Tables.eventsGraph(s, dir)
+      val types = g.vertices.select(col("id"), (col("id") % 7).as("type"))
+      GraphOps.assortativityNominal(g, types)
+        .select(round(col("assortativity"), 6).as("assort_nominal"))
+    }),
+    "q_radius" -> ((s, dir) => {
+      import s.implicits._
+      Seq(Distances.radius(Tables.eventsGraph(s, dir), Some(Mode.All))).toDF("radius")
+    }),
+    "q_topk_jaccard" -> ((s, dir) => GraphOps.topKSimilar(
+      GraphOps.similarityJaccard(Tables.eventsGraph(s, dir)), "jaccard", 3)
+      .select(col("v"), col("u"), round(col("jaccard"), 6).as("jaccard"))),
+    "q_ppr" -> ((s, dir) => {
+      // personalized PageRank: reset mass on vertices with id % 10 == 0
+      // (recomputable in DuckDB); fixed 15 iterations, damping 0.85
+      val g = Tables.eventsGraph(s, dir)
+      val reset = g.vertices.select(col("id"),
+        when(col("id") % 10 === 0, lit(1.0)).otherwise(lit(0.0)).as("reset"))
+      PageRank.run(g, reset = Some(reset), fixedIters = Some(15))
+        .ranks.select(col("id"), round(col("rank"), 6).as("pagerank"))
+    }),
+
     // --- text / dedup (documents) ---
     "q_dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.read(s, dir, "documents"))
       .select(col("hash"), col("n_dupes"), col("keep_id"))),
@@ -312,6 +339,32 @@ object SparkEntry {
 m$i AS MATERIALIZED (SELECT l.dst AS id, SUM(l.p * r.r) AS msg FROM links l JOIN r${i - 1} r ON l.src = r.id GROUP BY l.dst),
 s$i AS (SELECT COALESCE(SUM(msg), 0) AS t FROM m$i),
 r$i AS MATERIALIZED (SELECT v.id, ((${1 - d} + $d * GREATEST(1.0 - (SELECT t FROM s$i), 0)) * (1.0 / (SELECT n FROM nn))) + $d * COALESCE(m.msg, 0) AS r FROM $vTable v LEFT JOIN m$i m ON v.id = m.id)""")
+    }
+    sb.append(s"\nSELECT id, ROUND(r, 6) AS pagerank FROM r$k")
+    sb.toString
+  }
+
+  /** Unrolled k-iteration personalized PageRank (reset mass on id % 10 == 0)
+    * — mirrors [[graft.algos.PageRank]]'s reset path exactly: normalized
+    * reset vector, uniform 1/n initial ranks, dangling mass redistributed
+    * proportionally to the reset distribution.
+    */
+  private def pprSql(k: Int, damping: Double = 0.85): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $E,\n")
+    sb.append("outd AS MATERIALIZED (SELECT src, SUM(weight) AS ow FROM e GROUP BY src),\n")
+    sb.append("le AS (SELECT src, dst, SUM(weight) AS w FROM e GROUP BY src, dst),\n")
+    sb.append("links AS MATERIALIZED (SELECT le.src, le.dst, le.w / o.ow AS p FROM le JOIN outd o ON le.src = o.src),\n")
+    sb.append("nn AS (SELECT COUNT(*) AS n FROM v),\n")
+    sb.append("rw AS (SELECT id, CASE WHEN id % 10 = 0 THEN 1.0 ELSE 0.0 END AS w FROM v),\n")
+    sb.append("rz AS MATERIALIZED (SELECT id, w / (SELECT SUM(w) FROM rw) AS reset FROM rw),\n")
+    sb.append("r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM v)")
+    val d = damping
+    for (i <- 1 to k) {
+      sb.append(s""",
+m$i AS MATERIALIZED (SELECT l.dst AS id, SUM(l.p * r.r) AS msg FROM links l JOIN r${i - 1} r ON l.src = r.id GROUP BY l.dst),
+s$i AS (SELECT COALESCE(SUM(msg), 0) AS t FROM m$i),
+r$i AS MATERIALIZED (SELECT v.id, (${1 - d} + $d * GREATEST(1.0 - (SELECT t FROM s$i), 0)) * rz.reset + $d * COALESCE(m.msg, 0) AS r FROM v JOIN rz ON rz.id = v.id LEFT JOIN m$i m ON v.id = m.id)""")
     }
     sb.append(s"\nSELECT id, ROUND(r, 6) AS pagerank FROM r$k")
     sb.toString
@@ -784,6 +837,57 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |  JOIN ue y ON x.b = y.b AND x.a < y.a GROUP BY x.a, y.a)
          |SELECT c.a, c.b, ROUND(c.common * 1.0 / (da.deg + db.deg - c.common), 6) AS jaccard
          |FROM com c JOIN degj da ON da.a = c.a JOIN degj db ON db.a = c.b""".stripMargin,
+    "q_topk_jaccard" ->
+      s"""WITH $E,
+         |ue AS (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         |degj AS (SELECT a, COUNT(*) AS deg FROM ue GROUP BY a),
+         |com AS (SELECT x.a AS a, y.a AS b, COUNT(*) AS common FROM ue x
+         |  JOIN ue y ON x.b = y.b AND x.a < y.a GROUP BY x.a, y.a),
+         |jac AS (SELECT c.a, c.b, c.common * 1.0 / (da.deg + db.deg - c.common) AS j
+         |  FROM com c JOIN degj da ON da.a = c.a JOIN degj db ON db.a = c.b),
+         |sym AS (SELECT a AS v, b AS u, j FROM jac UNION ALL SELECT b, a, j FROM jac),
+         |rk AS (SELECT v, u, j, ROW_NUMBER() OVER (PARTITION BY v ORDER BY j DESC, u) AS rn FROM sym)
+         |SELECT v, u, ROUND(j, 6) AS jaccard FROM rk WHERE rn <= 3""".stripMargin,
+    "q_subcomponent" ->
+      s"""WITH RECURSIVE $E,
+         |de AS (SELECT DISTINCT src, dst FROM e),
+         |r AS (SELECT CAST(0 AS BIGINT) AS id
+         |  UNION SELECT de.src FROM r JOIN de ON de.dst = r.id)
+         |SELECT id FROM r""".stripMargin,
+    "q_giant" ->
+      s"""WITH RECURSIVE $E,
+         |ue AS (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         |reach AS (SELECT id AS a, id AS b FROM v
+         |  UNION SELECT r.a, ue.b FROM reach r JOIN ue ON ue.a = r.b),
+         |cmp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a),
+         |top AS (SELECT comp FROM (SELECT comp, COUNT(*) AS sz FROM cmp
+         |  GROUP BY comp ORDER BY sz DESC, comp LIMIT 1))
+         |SELECT id FROM cmp WHERE comp = (SELECT comp FROM top)""".stripMargin,
+    "q_assort_nominal" ->
+      s"""WITH $E,
+         |te AS MATERIALIZED (SELECT src % 7 AS ts, dst % 7 AS td FROM e),
+         |mm AS (SELECT COUNT(*) * 1.0 AS m FROM te),
+         |eii AS (SELECT COUNT(*) / (SELECT m FROM mm) AS x FROM te WHERE ts = td),
+         |ai AS (SELECT ts, COUNT(*) / (SELECT m FROM mm) AS a FROM te GROUP BY ts),
+         |bi AS (SELECT td AS ts, COUNT(*) / (SELECT m FROM mm) AS b FROM te GROUP BY td),
+         |ab AS (SELECT SUM(COALESCE(a, 0) * COALESCE(b, 0)) AS x FROM ai FULL JOIN bi USING (ts))
+         |SELECT ROUND(((SELECT x FROM eii) - (SELECT x FROM ab)) / (1 - (SELECT x FROM ab)), 6)
+         |  AS assort_nominal""".stripMargin,
+    "q_radius" ->
+      s"""WITH RECURSIVE $E,
+         |ue AS (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         |r AS (SELECT id AS a, id AS b, CAST(0 AS BIGINT) AS d FROM v
+         |  UNION SELECT r.a, ue.b, r.d + 1 FROM r JOIN ue ON ue.a = r.b WHERE r.d < 40),
+         |md AS (SELECT a, b, MIN(d) AS d FROM r GROUP BY a, b),
+         |ecc AS (SELECT a, MAX(d) AS ecc FROM md GROUP BY a)
+         |SELECT MIN(ecc) AS radius FROM ecc""".stripMargin,
+    "q_ppr" -> pprSql(15),
     "q_neighborhood2" ->
       s"""WITH $E,
          |ue AS (SELECT DISTINCT a, b FROM (

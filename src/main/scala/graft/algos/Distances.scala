@@ -148,8 +148,8 @@ object Distances {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
-  def radius(g: LinkGraph): Long = {
-    val ecc = eccentricity(g)
+  def radius(g: LinkGraph, modeOpt: Option[Mode] = None): Long = {
+    val ecc = eccentricity(g, modeOpt)
     val r = ecc.agg(min("eccentricity")).head
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
