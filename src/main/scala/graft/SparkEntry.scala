@@ -274,6 +274,9 @@ object SparkEntry {
       .select(col("a"), col("b"), col("jaccard"))),
     "q_minhash_cand" -> ((s, dir) => TextOps.minhashCandidates(Tables.read(s, dir, "documents"),
       md5Mode = true).select(col("a"), col("b"))),
+    "q_dedup_near_e2e" -> ((s, dir) => TextOps.dedupNearMinhash(Tables.read(s, dir, "documents"),
+      threshold = 0.5, md5Mode = true)
+      .select(col("doc_id"), col("cluster"), col("keep").cast("long").as("keep"))),
     "q_simhash" -> ((s, dir) => TextOps.simhashPairs(Tables.read(s, dir, "documents"), maxDist = 6)
       .select(col("a"), col("b"), col("dist"))),
     "q_langid" -> ((s, dir) => TextOps.langId(Tables.read(s, dir, "documents"))
@@ -755,6 +758,29 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |  FROM sg GROUP BY doc_id, seed // 2)
         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bd x JOIN bd y
         |ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id""".stripMargin,
+    "q_dedup_near_e2e" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |sh AS MATERIALIZED (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        |    RANGE(1, LEN(toks) - 1), i -> ARRAY_TO_STRING(toks[i:i+2], ' ')))) AS sh FROM tk),
+        |sg AS MATERIALIZED (SELECT doc_id, sd.seed, MIN(MD5(sd.seed::VARCHAR || '|' || sh)) AS h
+        |  FROM sh CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS seed) sd GROUP BY doc_id, sd.seed),
+        |bd AS MATERIALIZED (SELECT doc_id, seed // 2 AS band, MD5(STRING_AGG(h, '|' ORDER BY seed)) AS bh
+        |  FROM sg GROUP BY doc_id, seed // 2),
+        |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bd x JOIN bd y
+        |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |com AS (SELECT c.a, c.b, COUNT(*) AS common FROM cand c
+        |  JOIN sh p ON p.doc_id = c.a JOIN sh q ON q.doc_id = c.b AND q.sh = p.sh
+        |  GROUP BY c.a, c.b),
+        |cp AS MATERIALIZED (SELECT com.a, com.b FROM com
+        |  JOIN sz za ON za.doc_id = com.a JOIN sz zb ON zb.doc_id = com.b
+        |  WHERE common * 1.0 / (za.sz + zb.sz - common) >= 0.5),
+        |ue AS (SELECT a, b FROM cp UNION SELECT b, a FROM cp),
+        |reach AS (SELECT doc_id AS a, doc_id AS b FROM documents
+        |  UNION SELECT r.a, ue.b FROM reach r JOIN ue ON ue.a = r.b)
+        |SELECT a AS doc_id, MIN(b) AS cluster,
+        |  CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM reach GROUP BY a""".stripMargin,
     "q_simhash" ->
       """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
         |th AS MATERIALIZED (SELECT doc_id, MD5(t) AS h FROM tok),

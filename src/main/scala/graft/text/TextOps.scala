@@ -128,6 +128,35 @@ object TextOps {
       .distinct()
   }
 
+  /** End-to-end MinHash near-duplicate dedup — the full training-corpus
+    * document-dedup pipeline: LSH band candidates ([[minhashCandidates]]) →
+    * exact n-gram Jaccard confirm on the CANDIDATE pairs only (shingle
+    * arrays are joined in exactly once, after the candidate `distinct` —
+    * never the quadratic all-pairs shingle self-join of [[jaccardPairs]]) →
+    * connected components over the confirmed dupe graph → one row per
+    * document with its dedup cluster (min reachable doc_id) and a keep
+    * flag. This is the 100 TB shape: every shuffle is bounded by
+    * bands × docs (bucketing) or by the confirmed-pair graph (WCC); a
+    * missed LSH collision costs recall, never a false dupe.
+    */
+  def dedupNearMinhash(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 8,
+                       threshold: Double = 0.5, md5Mode: Boolean = false): DataFrame = {
+    val cand = minhashCandidates(docs, n, k, bands, md5Mode)
+    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val confirmed = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .where(size(array_intersect(col("sha"), col("shb"))).cast("double")
+        / size(array_union(col("sha"), col("shb"))) >= threshold)
+      .select(col("a"), col("b"))
+    val g = graft.core.LinkGraph(
+      confirmed.select(col("a").as("src"), col("b").as("dst")), directed = false)
+    val comp = graft.algos.Components.wcc(g)
+    docs.select(col("doc_id").as("id")).join(comp, Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("comp"), col("id")).as("cluster"))
+      .withColumn("keep", col("doc_id") === col("cluster"))
+  }
+
   /** SimHash fingerprint as four 16-bit chunks (c0..c3; c0 = bits 0-15).
     * Per token the 64-bit hash is the first 16 hex chars of md5(token)
     * (engine-portable — the DuckDB oracle recomputes it digit-wise); per

@@ -31,6 +31,47 @@ class TextSpec extends AnyFunSuite {
     assert(exact.subsetOf(cand), s"missed ${exact -- cand}")
   }
 
+  test("end-to-end minhash dedup: transitive clusters, keep-min, singletons survive") {
+    val five = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),   // exact dupe of 10
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  // near-dupe of 10/11
+      (13L, "totally unrelated words about spark shuffles and parquet files"),
+      (14L, "short doc"))                                                  // no shingles (n=3)
+      .toDF("doc_id", "text")
+    val d = TextOps.dedupNearMinhash(five, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(d(10L) === ((10L, true)))
+    assert(d(11L) === ((10L, false)))
+    assert(d(12L) === ((10L, false))) // confirmed near-dupe joins the cluster
+    assert(d(13L) === ((13L, true)))
+    assert(d(14L) === ((14L, true))) // shingle-less doc keeps itself
+  }
+
+  test("end-to-end minhash dedup never merges below-threshold pairs (no false dupes)") {
+    // LSH may propose spurious candidates; the exact-Jaccard confirm must
+    // reject them — every non-trivial cluster must contain only pairs the
+    // exact jaccardPairs ground truth also reports at the same threshold
+    val d = TextOps.dedupNearMinhash(docs, threshold = 0.5)
+    val exact = TextOps.jaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val merged = d.where(!col("keep"))
+      .select(col("cluster"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // union-find over the exact ground-truth pairs: every merged doc must
+    // be in the same exact component as its cluster root (confirmed edges
+    // are a subset of exact edges, so the closure must be too)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exact.foreach { case (a, b) => parent(find(a)) = find(b) }
+    merged.foreach { case (c, m) =>
+      assert(find(c) == find(m), s"merged ($c, $m) not connected in exact ground truth")
+    }
+  }
+
   test("simhash: identical docs distance 0; near-dups low distance") {
     val two = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
