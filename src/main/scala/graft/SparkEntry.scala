@@ -277,6 +277,11 @@ object SparkEntry {
     "q_dedup_near_e2e" -> ((s, dir) => TextOps.dedupNearMinhash(Tables.read(s, dir, "documents"),
       threshold = 0.5, md5Mode = true)
       .select(col("doc_id"), col("cluster"), col("keep").cast("long").as("keep"))),
+    "q_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(Tables.read(s, dir, "documents"),
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0))
+      .select(col("doc_id"), col("stratum"))),
+    "q_pack_shards" -> ((s, dir) => TextOps.packShards(Tables.read(s, dir, "documents"), budget = 2000L)
+      .select(col("doc_id"), col("n_tokens"), col("shard"))),
     "q_simhash" -> ((s, dir) => TextOps.simhashPairs(Tables.read(s, dir, "documents"), maxDist = 6)
       .select(col("a"), col("b"), col("dist"))),
     "q_langid" -> ((s, dir) => TextOps.langId(Tables.read(s, dir, "documents"))
@@ -781,6 +786,22 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |SELECT a AS doc_id, MIN(b) AS cluster,
         |  CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM reach GROUP BY a""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang, MD5('42|' || doc_id::VARCHAR) AS hx FROM documents),
+        |u AS (SELECT doc_id, lang,
+        |  ((STRPOS('0123456789abcdef', SUBSTR(hx, 1, 1)) - 1) * 4096
+        | + (STRPOS('0123456789abcdef', SUBSTR(hx, 2, 1)) - 1) * 256
+        | + (STRPOS('0123456789abcdef', SUBSTR(hx, 3, 1)) - 1) * 16
+        | + (STRPOS('0123456789abcdef', SUBSTR(hx, 4, 1)) - 1)) / 65536.0 AS u FROM h)
+        |SELECT doc_id, lang AS stratum FROM u
+        |WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |  WHEN 'fr' THEN 1.0 ELSE 0.0 END""".stripMargin,
+    "q_pack_shards" ->
+      """WITH t AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens FROM documents),
+        |p AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER
+        |  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(FLOOR(lo / 2000.0) AS BIGINT) AS shard FROM p""".stripMargin,
     "q_simhash" ->
       """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
         |th AS MATERIALIZED (SELECT doc_id, MD5(t) AS h FROM tok),

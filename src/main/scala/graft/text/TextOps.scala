@@ -225,6 +225,44 @@ object TextOps {
     docs.select(col("doc_id"), array_max(array(scores: _*)).getField("lang").as("pred_lang"))
   }
 
+  /** Deterministic stratified sampling — the corpus-subsampling step of a
+    * training-data pipeline (per-language / per-source quotas). Keeps a
+    * document iff a seeded uniform in [0,1) derived from md5(seed|doc_id)
+    * falls under its stratum's fraction; strata absent from `fractions`
+    * are dropped. Pure per-row Column arithmetic: a scan with zero
+    * shuffles, trivially correct at any scale, reproducible in any engine
+    * (the DuckDB oracle recomputes the identical md5-derived uniform).
+    */
+  def stratifiedSample(docs: DataFrame, fractions: Map[String, Double],
+                       seed: Long = 42L, strataCol: String = "lang"): DataFrame = {
+    // 16-bit uniform from the first 4 hex chars of the seeded md5 —
+    // granularity 1/65536 is ample for corpus sampling fractions
+    val u = conv(substring(md5(concat_ws("|", lit(seed.toString), col("doc_id"))), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+    val fcol = fractions.toSeq.sortBy(_._1).foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.where(u < fcol).select(col("doc_id"), col(strataCol).as("stratum"))
+  }
+
+  /** Token-budget shard packing — assign documents to training shards so
+    * each shard holds ~`budget` tokens, preserving doc_id order (the
+    * sequence-packing shard layout of an LLM data pipeline). The exclusive
+    * prefix sum of token counts comes from the distributed
+    * partition-offset pattern ([[graft.core.Generators.prefixWeights]] —
+    * range partition + per-partition offsets, NO single-partition global
+    * Window), so the assignment is a distributed sort plus one tiny
+    * driver-side offset table at any scale.
+    */
+  def packShards(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "shard token budget must be positive")
+    val toks = docs.select(col("doc_id").as("id"),
+      size(tokens(col("text"))).cast("double").as("w"))
+    graft.core.Generators.prefixWeights(toks)
+      .select(col("id").as("doc_id"), col("w").cast("long").as("n_tokens"),
+        floor(col("lo") / budget.toDouble).cast("long").as("shard"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): min md5 over
     * character 8-gram windows — cheap containment-dup detector. md5 keeps
     * the fingerprint reproducible in any engine (the DuckDB oracle computes

@@ -72,6 +72,49 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sampling: deterministic, per-stratum rate honored, unlisted strata dropped") {
+    val fr = Map("en" -> 0.5, "de" -> 0.25)
+    val s1 = TextOps.stratifiedSample(docs, fr).collect().map(_.getLong(0)).toSet
+    val s2 = TextOps.stratifiedSample(docs, fr).collect().map(_.getLong(0)).toSet
+    assert(s1 === s2) // same seed -> identical sample
+    val byLang = TextOps.stratifiedSample(docs, fr)
+      .groupBy("stratum").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only listed strata appear; realized rate within 4 sigma of the target
+    assert(byLang.keySet.subsetOf(fr.keySet))
+    fr.foreach { case (lang, f) =>
+      val n = totals(lang).toDouble
+      val got = byLang.getOrElse(lang, 0L).toDouble
+      assert(math.abs(got - f * n) <= 4 * math.sqrt(f * (1 - f) * n) + 1,
+        s"$lang: got $got of $n at fraction $f")
+    }
+    // different seed -> different sample (w.h.p.)
+    val s3 = TextOps.stratifiedSample(docs, fr, seed = 7L).collect().map(_.getLong(0)).toSet
+    assert(s1 != s3)
+  }
+
+  test("shard packing: doc order preserved, shards dense from 0, budget respected") {
+    val budget = 1500L
+    val out = TextOps.packShards(docs, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.length == docs.count())
+    // shard ids start at 0 and never decrease in doc order
+    assert(out.head._3 == 0L)
+    out.sliding(2).foreach { case Array((_, _, s1), (_, _, s2)) => assert(s2 >= s1) }
+    // every shard stays within budget + one document (never splits a doc)
+    val byShard = out.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    val maxDoc = out.map(_._2).max
+    byShard.foreach { case (s, tot) =>
+      assert(tot <= budget + maxDoc, s"shard $s holds $tot tokens")
+    }
+    // exclusive-prefix-sum definition: recompute driver-side and compare
+    var acc = 0.0
+    out.foreach { case (_, t, s) =>
+      assert(s == math.floor(acc / budget).toLong)
+      acc += t
+    }
+  }
+
   test("simhash: identical docs distance 0; near-dups low distance") {
     val two = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
