@@ -73,6 +73,19 @@ object Plans {
     dump("embedding near-dup LSH (1 table)",
       graft.sim.Ann.nearDupPairsLsh(
         Tables.read(spark, dir, "embeddings"), 0.45, nBits = 4, tables = 1))
+
+    // round-3 pipeline ops: the document-dedup / corpus-prep hot paths
+    // end-to-end minhash dedup: band bucket joins + ONE shingle-array join
+    // after the candidate distinct (never the all-pairs shingle self-join)
+    dump("minhash dedup end-to-end (cand → confirm → wcc)",
+      graft.text.TextOps.dedupNearMinhash(Tables.read(spark, dir, "documents")))
+    // stratified sampling: a pure scan — no Exchange at all
+    dump("stratified sampling (zero-shuffle scan)",
+      graft.text.TextOps.stratifiedSample(
+        Tables.read(spark, dir, "documents"), Map("en" -> 0.5, "de" -> 0.25)))
+    // shard packing: range partition + per-partition offsets, no global Window
+    dump("token-budget shard packing (distributed prefix sum)",
+      graft.text.TextOps.packShards(Tables.read(spark, dir, "documents"), 2000L))
     spark.stop()
   }
 }

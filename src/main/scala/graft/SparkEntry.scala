@@ -277,6 +277,8 @@ object SparkEntry {
     "q_dedup_near_e2e" -> ((s, dir) => TextOps.dedupNearMinhash(Tables.read(s, dir, "documents"),
       threshold = 0.5, md5Mode = true)
       .select(col("doc_id"), col("cluster"), col("keep").cast("long").as("keep"))),
+    "q_vocab_top" -> ((s, dir) => TextOps.vocabTop(Tables.read(s, dir, "documents"), 100)
+      .select(col("token"), col("freq"))),
     "q_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(Tables.read(s, dir, "documents"),
       Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0))
       .select(col("doc_id"), col("stratum"))),
@@ -786,6 +788,10 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |SELECT a AS doc_id, MIN(b) AS cluster,
         |  CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM reach GROUP BY a""".stripMargin,
+    "q_vocab_top" ->
+      """WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+        |SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+        |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
     "q_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang, MD5('42|' || doc_id::VARCHAR) AS hx FROM documents),
         |u AS (SELECT doc_id, lang,

@@ -225,6 +225,17 @@ object TextOps {
     docs.select(col("doc_id"), array_max(array(scores: _*)).getField("lang").as("pred_lang"))
   }
 
+  /** Top-k token vocabulary by corpus frequency — the vocabulary-building
+    * scan of a tokenizer-training pipeline. One explode + hash aggregate
+    * (map-side combined) then a top-k; ties broken by token so the result
+    * is deterministic. The aggregate output is |vocab|-sized, not
+    * corpus-sized, so the final ordering sorts a small table.
+    */
+  def vocabTop(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(k)
+
   /** Deterministic stratified sampling — the corpus-subsampling step of a
     * training-data pipeline (per-language / per-source quotas). Keeps a
     * document iff a seeded uniform in [0,1) derived from md5(seed|doc_id)

@@ -72,6 +72,14 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab top-k: frequency-ordered, deterministic ties, counts match brute force") {
+    val three = Seq((1L, "a b a c"), (2L, "b a"), (3L, "c d d")).toDF("doc_id", "text")
+    val v = TextOps.vocabTop(three, 3).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 2L))) // freq-2 tie: b,c kept, d cut by token order
+    val all = TextOps.vocabTop(three, 10).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(all == Map("a" -> 3L, "b" -> 2L, "c" -> 2L, "d" -> 2L))
+  }
+
   test("stratified sampling: deterministic, per-stratum rate honored, unlisted strata dropped") {
     val fr = Map("en" -> 0.5, "de" -> 0.25)
     val s1 = TextOps.stratifiedSample(docs, fr).collect().map(_.getLong(0)).toSet
