@@ -170,6 +170,14 @@ object SparkEntry {
     }),
     "q_assortativity" -> ((s, dir) => scalar(s, "assortativity",
       GraphOps.assortativityDegree(Tables.eventsGraph(s, dir)))),
+    "q_motifs3" -> ((s, dir) => {
+      import s.implicits._
+      // undirected size-3 motif census on the co-purchase graph; rows are
+      // the CONNECTED isoclasses only (2 = path, 3 = triangle in the
+      // engine's Graph.Isoclass(3, _, directed=false) enumeration)
+      Motifs.motifs3(Tables.copartGraph(s, dir)).zipWithIndex
+        .collect { case (Some(c), i) => (i.toLong, c) }.toDF("isoclass", "cnt")
+    }),
     "q_triad_census" -> ((s, dir) => {
       val c = Triads.triadCensus(Tables.eventsGraph(s, dir))
       val schema = org.apache.spark.sql.types.StructType(Triads.classNames.map(n =>
@@ -239,6 +247,11 @@ object SparkEntry {
     "q_radius" -> ((s, dir) => {
       import s.implicits._
       Seq(Distances.radius(Tables.eventsGraph(s, dir), Some(Mode.All))).toDF("radius")
+    }),
+    "q_girth" -> ((s, dir) => {
+      import s.implicits._
+      // bridge graph (tree + chords): sparse with non-trivial girth
+      Seq(Distances.girth(Tables.bridgeGraph(s, dir)).getOrElse(-1L)).toDF("girth")
     }),
     "q_topk_jaccard" -> ((s, dir) => GraphOps.topKSimilar(
       GraphOps.similarityJaccard(Tables.eventsGraph(s, dir)), "jaccard", 3)
@@ -941,6 +954,30 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |ecc AS (SELECT a, MAX(d) AS ecc FROM md GROUP BY a)
          |SELECT MIN(ecc) AS radius FROM ecc""".stripMargin,
     "q_ppr" -> pprSql(15),
+    "q_girth" ->
+      s"""WITH RECURSIVE ev AS (SELECT DISTINCT user_id AS u FROM events),
+         |be AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM (
+         |  SELECT u // 2 AS s, u AS d FROM ev WHERE u > 0
+         |  UNION ALL SELECT u - 1, u FROM ev WHERE u > 0 AND u % 7 = 0)),
+         |ue AS MATERIALIZED (SELECT u AS a, v AS b FROM be UNION ALL SELECT v, u FROM be),
+         |verts AS (SELECT DISTINCT a AS id FROM ue),
+         |bf AS (SELECT id AS o, id AS vx, 0 AS d FROM verts
+         |  UNION SELECT bf.o, ue.b, bf.d + 1 FROM bf JOIN ue ON ue.a = bf.vx WHERE bf.d < 64),
+         |md AS MATERIALIZED (SELECT o, vx, MIN(d) AS d FROM bf GROUP BY o, vx),
+         |par AS MATERIALIZED (SELECT m.o, m.vx, COUNT(*) AS np FROM md m
+         |  JOIN ue ON ue.a = m.vx JOIN md mp ON mp.o = m.o AND mp.vx = ue.b AND mp.d = m.d - 1
+         |  GROUP BY m.o, m.vx),
+         |oddc AS (SELECT 2 * da.d + 1 AS len FROM be
+         |  JOIN md da ON da.vx = be.u
+         |  JOIN md db ON db.o = da.o AND db.vx = be.v AND db.d = da.d),
+         |evenc AS (SELECT da.d + db.d + 1 AS len FROM be
+         |  JOIN md da ON da.vx = be.u
+         |  JOIN md db ON db.o = da.o AND db.vx = be.v AND ABS(da.d - db.d) = 1
+         |  JOIN par p ON p.o = da.o
+         |    AND p.vx = CASE WHEN da.d > db.d THEN be.u ELSE be.v END
+         |  WHERE p.np >= 2)
+         |SELECT COALESCE(CAST(MIN(len) AS BIGINT), -1) AS girth
+         |FROM (SELECT len FROM oddc UNION ALL SELECT len FROM evenc)""".stripMargin,
     "q_neighborhood2" ->
       s"""WITH $E,
          |ue AS (SELECT DISTINCT a, b FROM (
@@ -967,6 +1004,16 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |SELECT COUNT(*) AS triangles FROM pe e1
          |JOIN pe e2 ON e2.src = e1.src AND e2.dst > e1.dst
          |JOIN pe e3 ON e3.src = e1.dst AND e3.dst = e2.dst""".stripMargin,
+    "q_motifs3" ->
+      s"""WITH $P,
+         |ue AS (SELECT src AS a FROM pe UNION ALL SELECT dst FROM pe),
+         |deg AS (SELECT a, COUNT(*) AS d FROM ue GROUP BY a),
+         |w AS (SELECT COALESCE(SUM(d * (d - 1) / 2), 0) AS wedges FROM deg),
+         |t AS (SELECT COUNT(*) AS tri FROM pe e1
+         |  JOIN pe e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |  JOIN pe e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+         |SELECT CAST(2 AS BIGINT) AS isoclass, CAST(wedges - 3 * tri AS BIGINT) AS cnt FROM w, t
+         |UNION ALL SELECT CAST(3 AS BIGINT), CAST(tri AS BIGINT) FROM t""".stripMargin,
     "q_tri_pervertex" ->
       s"""WITH $P,
          |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM pe e1

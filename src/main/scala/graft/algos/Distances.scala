@@ -157,6 +157,64 @@ object Distances {
   /** `farthest_points` (`graphobject.c:13356`): one extremal pair realizing
     * the diameter plus the distance — deterministic min-(src,dst) pick.
     */
+  /** `girth()` (`graphobject.c:1725`, `igraph_girth`): length of the
+    * shortest cycle on the undirected simple view (directed graphs are
+    * treated as undirected; self-loops and multiple edges are ignored —
+    * the reference's published semantics). None for forests.
+    *
+    * Distributed shape: the all-origins BFS table (one frontier join per
+    * level, [[multiBfs]]) plus two joins. For origin o and undirected
+    * simple edge (u,v): equal-level endpoints close an odd cycle
+    * 2·d(o,u)+1; adjacent-level endpoints close an even candidate
+    * d(o,u)+d(o,v)+1, valid only when the deeper endpoint has ≥2 BFS
+    * parents (with a unique parent the edge lies on every shortest path
+    * and the closed walk degenerates — counting it would undercount).
+    * The min over origins × edges is exact: from any origin ON a shortest
+    * cycle the closing edge realizes its length (cycle distances equal
+    * graph distances, else a shorter cycle exists), and every valid
+    * candidate's closed walk traverses its edge exactly once, so it
+    * contains a genuine cycle no longer than the candidate.
+    *
+    * `maxOrigins` caps the BFS source set (seeded-hash sample) for large
+    * graphs — the result is then an upper bound (exact whenever a sampled
+    * origin lies on a shortest cycle), the documented estimator trade-off.
+    */
+  def girth(g: LinkGraph, maxOrigins: Option[Int] = None): Option[Long] = {
+    val ue = g.weighted.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct().persist()
+    if (ue.isEmpty) { ue.unpersist(); return None }
+    val und = LinkGraph(ue.select(col("a").as("src"), col("b").as("dst")), directed = false)
+    val sources = maxOrigins.map { k =>
+      und.vertices.select(col("id"), xxhash64(lit(42L), col("id")).as("h"))
+        .orderBy("h").limit(k).select("id")
+    }
+    val dist = multiBfs(und, Mode.All, sources).persist()
+    dist.count()
+    val adj = und.bidirected.select(col("src").as("v"), col("dst").as("nbr")).distinct()
+    // BFS parent multiplicity of each (origin, v): neighbors one level closer
+    val dn = dist.select(col("origin"), col("v").as("nbr"), col("dist").as("dn"))
+    val parents = dist.join(adj, Seq("v"))
+      .join(dn, Seq("origin", "nbr"))
+      .where(col("dn") === col("dist") - 1)
+      .groupBy("origin", "v").agg(count(lit(1)).as("np"))
+    val da = dist.select(col("origin"), col("v").as("a"), col("dist").as("da"))
+    val db = dist.select(col("origin"), col("v").as("b"), col("dist").as("db"))
+    val cand = ue.join(da, Seq("a")).join(db, Seq("origin", "b"))
+    val odd = cand.where(col("da") === col("db"))
+      .select((col("da") * 2 + 1).as("len"))
+    val even = cand.where(abs(col("da") - col("db")) === 1)
+      .select(col("origin"),
+        when(col("da") > col("db"), col("a")).otherwise(col("b")).as("v"),
+        (col("da") + col("db") + 1).as("len"))
+      .join(parents, Seq("origin", "v"))
+      .where(col("np") >= 2)
+      .select("len")
+    val r = odd.union(even).agg(min("len")).head
+    dist.unpersist(); ue.unpersist()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
   def farthestPoints(g: LinkGraph): (Long, Long, Long) = {
     val mode = if (g.directed) Mode.Out else Mode.All
     val d = multiBfs(g, mode)

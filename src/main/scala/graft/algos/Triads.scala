@@ -39,7 +39,7 @@ object Triads {
     * 201 A<->B<->C; 120D A<-B->C,A<->C; 120U A->B<-C,A<->C;
     * 120C A->B->C,A<->C; 210 A->B<->C,A<->C; 300 complete.
     */
-  private val reps: Seq[Seq[(Int, Int)]] = Seq(
+  private[algos] val reps: Seq[Seq[(Int, Int)]] = Seq(
     Seq(),
     Seq((0, 1)),
     Seq((0, 1), (1, 0)),

@@ -126,4 +126,55 @@ class DistancesSpec extends AnyFunSuite {
     val p = LinkGraph.weighted(spark, 3, Seq((0L, 1L, 2.0), (1L, 2L, 3.0)), directed = false)
     assert(math.abs(Distances.averagePathLengthWeighted(p) - 10.0 / 3) < 1e-9)
   }
+
+  test("girth: rings exact (odd + even), K4=3, Petersen=5, chord shortens, forests None") {
+    assert(Distances.girth(LinkGraph.ring(spark, 5)) === Some(5L))
+    assert(Distances.girth(LinkGraph.ring(spark, 6)) === Some(6L))
+    assert(Distances.girth(LinkGraph.full(spark, 4)) === Some(3L))
+    assert(Distances.girth(graft.core.Generators.famous(spark, "petersen")) === Some(5L))
+    // 6-ring + chord (0,3): shortest cycle 0-1-2-3-0 of length 4
+    val chord = LinkGraph(spark, 6,
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L), (0L, 3L)), directed = false)
+    assert(Distances.girth(chord) === Some(4L))
+    assert(Distances.girth(LinkGraph.tree(spark, 14, 3)) === None)
+    // loops and multi-edges ignored (reference semantics): still a forest
+    val loopy = LinkGraph(spark, 3, Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 2L)), directed = true)
+    assert(Distances.girth(loopy) === None)
+    // directed graphs treated as undirected: a directed 4-cycle has girth 4
+    val dring = LinkGraph(spark, 4, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)), directed = true)
+    assert(Distances.girth(dring) === Some(4L))
+  }
+
+  test("girth matches brute-force on random sparse graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 9
+      val edges = (for {
+        i <- 0 until n; j <- i + 1 until n if rnd.nextDouble() < 0.22
+      } yield (i.toLong, j.toLong)).toSeq
+      val g = LinkGraph(spark, n.toLong, edges, directed = false)
+      // brute force: BFS from each vertex in the graph minus each edge
+      val adj = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
+      edges.foreach { case (a, b) => adj(a.toInt) += b.toInt; adj(b.toInt) += a.toInt }
+      def bfsDist(s: Int, skip: (Int, Int)): Array[Int] = {
+        val d = Array.fill(n)(-1); d(s) = 0
+        val q = scala.collection.mutable.Queue(s)
+        while (q.nonEmpty) {
+          val x = q.dequeue()
+          adj(x).foreach { y =>
+            val blocked = (x == skip._1 && y == skip._2) || (x == skip._2 && y == skip._1)
+            if (!blocked && d(y) < 0) { d(y) = d(x) + 1; q += y }
+          }
+        }
+        d
+      }
+      // girth = min over edges e of (dist in G\e between endpoints) + 1
+      val cycles = edges.flatMap { case (a, b) =>
+        val d = bfsDist(a.toInt, (a.toInt, b.toInt))
+        if (d(b.toInt) >= 0) Some(d(b.toInt) + 1L) else None
+      }
+      val want = if (cycles.isEmpty) None else Some(cycles.min)
+      assert(Distances.girth(g) === want, s"trial $trial edges=$edges")
+    }
+  }
 }

@@ -43,6 +43,45 @@ class TriadsSpec extends AnyFunSuite {
     assert(mixed.values.sum == 20) // C(6,3)
   }
 
+  test("motifs3 directed: matches brute-force induced-triple classification") {
+    import graft.algos.Motifs
+    import graft.core.Catalog
+    val rnd = new scala.util.Random(7)
+    val edges = for {
+      i <- 0 until 7; j <- 0 until 7 if i != j && rnd.nextDouble() < 0.3
+    } yield (i.toLong, j.toLong)
+    val g = LinkGraph(spark, 7L, edges, directed = true)
+    val got = Motifs.motifs3(g)
+    assert(got.size == 16 && got.count(_.isDefined) == 13) // 3 disconnected classes
+    val exp = Array.fill(16)(0L)
+    for (a <- 0L until 7L; b <- a + 1 until 7; c <- b + 1 until 7) {
+      val ids = Seq(a, b, c)
+      val sub = edges.filter { case (x, y) => ids.contains(x) && ids.contains(y) }
+        .map { case (x, y) => (ids.indexOf(x).toLong, ids.indexOf(y).toLong) }
+      exp(Catalog.isoclassOf(LinkGraph(spark, 3L, sub, directed = true))) += 1
+    }
+    got.zipWithIndex.foreach { case (o, i) =>
+      o.foreach(cnt => assert(cnt == exp(i), s"isoclass $i: $cnt vs ${exp(i)}"))
+    }
+    // motifs_randesu_no: total connected triples == brute-force count
+    val bruteConnected = got.zipWithIndex.collect { case (Some(_), i) => exp(i) }.sum
+    assert(Motifs.motifs3Count(g) == bruteConnected)
+  }
+
+  test("motifs3 undirected: path/triangle counts and stable isoclass indices") {
+    import graft.algos.Motifs
+    // square + one diagonal: triangles = 2 (012, 023? vertices 0-3, edges
+    // ring 0-1-2-3-0 plus 0-2): triangles {0,1,2} and {0,2,3}; induced
+    // paths = wedges - 3*tri: degrees (3,2,3,2) -> 3+1+3+1=8 wedges -> 2
+    val g = LinkGraph(spark, 4L,
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)), directed = false)
+    val m = Motifs.motifs3(g)
+    assert(m.size == 4)
+    assert(m(0).isEmpty && m(1).isEmpty) // empty / single-edge: disconnected
+    assert(m(2).contains(2L)) // induced paths
+    assert(m(3).contains(2L)) // triangles
+  }
+
   test("inverse-log-weighted similarity: shared hub weighted by 1/ln(deg)") {
     // 0 and 1 share neighbors 2 (deg 3) and 3 (deg 2)
     val g = LinkGraph(spark, 5,
