@@ -586,18 +586,27 @@ object GraphOps {
 
   // ---- set operations (operators.py:13-451; `graphobject.c:15513-15521`) --
 
+  /** Edge set for the set operators: undirected edges are canonicalized to
+    * (min, max) first so (u,v) and (v,u) are the same edge across operands
+    * (the reference's undirected semantics, `operators.py:261-451`).
+    */
+  private def setOpEdges(g: LinkGraph): DataFrame = {
+    val e = g.weighted.select("src", "dst")
+    (if (g.directed) e
+     else e.select(least(col("src"), col("dst")).as("src"),
+       greatest(col("src"), col("dst")).as("dst"))).distinct()
+  }
+
   /** Edge-set union of two graphs over a shared id space. */
   def union(a: LinkGraph, b: LinkGraph): LinkGraph =
-    LinkGraph(a.weighted.select("src", "dst").union(b.weighted.select("src", "dst")).distinct(),
+    LinkGraph(setOpEdges(a).union(setOpEdges(b)).distinct(),
       a.directed, maxN(a, b))
 
   def intersection(a: LinkGraph, b: LinkGraph): LinkGraph =
-    LinkGraph(a.weighted.select("src", "dst").distinct()
-      .intersect(b.weighted.select("src", "dst").distinct()), a.directed, maxN(a, b))
+    LinkGraph(setOpEdges(a).intersect(setOpEdges(b)), a.directed, maxN(a, b))
 
   def difference(a: LinkGraph, b: LinkGraph): LinkGraph =
-    LinkGraph(a.weighted.select("src", "dst").distinct()
-      .except(b.weighted.select("src", "dst").distinct()), a.directed, a.numVertices)
+    LinkGraph(setOpEdges(a).except(setOpEdges(b)), a.directed, a.numVertices)
 
   /** Disjoint union: b's ids offset by a.n (`operators.py:13-81`). */
   def disjointUnion(a: LinkGraph, b: LinkGraph): LinkGraph = {

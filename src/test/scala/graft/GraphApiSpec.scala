@@ -178,4 +178,24 @@ class GraphApiSpec extends AnyFunSuite {
     assert(GraphOps.hasMultiple(LinkGraph(spark, 2, Seq((0L, 1L), (0L, 1L)), directed = true)))
     assert(!GraphOps.hasMultiple(LinkGraph(spark, 2, Seq((0L, 1L), (1L, 0L)), directed = true)))
   }
+
+  test("set operators: directed edge-set semantics (operators.py:84-451)") {
+    val a = LinkGraph(spark, 4, Seq((0L, 1L), (1L, 2L), (2L, 3L)), directed = true)
+    val b = LinkGraph(spark, 4, Seq((1L, 2L), (3L, 2L)), directed = true)
+    def es(g: LinkGraph) = g.weighted.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(es(GraphOps.union(a, b)) == Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 2L)))
+    assert(es(GraphOps.intersection(a, b)) == Set((1L, 2L)))
+    assert(es(GraphOps.difference(a, b)) == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("set operators: undirected graphs match edges regardless of stored orientation") {
+    val a = LinkGraph(spark, 4, Seq((0L, 1L), (1L, 2L)), directed = false)
+    val b = LinkGraph(spark, 4, Seq((1L, 0L), (2L, 3L)), directed = false) // (1,0) == (0,1)
+    def es(g: LinkGraph) = g.weighted.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(es(GraphOps.intersection(a, b)) == Set((0L, 1L)))
+    assert(es(GraphOps.union(a, b)) == Set((0L, 1L), (1L, 2L), (2L, 3L)))
+    assert(es(GraphOps.difference(a, b)) == Set((1L, 2L)))
+  }
 }
