@@ -145,6 +145,18 @@ class DistancesSpec extends AnyFunSuite {
     assert(Distances.girth(dring) === Some(4L))
   }
 
+  test("girth sampled-origin estimator: exact on vertex-transitive graphs, upper bound otherwise") {
+    // every ring vertex lies on the unique shortest cycle -> any origin is exact
+    assert(Distances.girth(LinkGraph.ring(spark, 6), maxOrigins = Some(1)) === Some(6L))
+    // 5-ring with a pendant path: sampling may pick a path vertex, but the
+    // estimate can never undercut the true girth
+    val g = LinkGraph(spark, 8,
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L), (0L, 5L), (5L, 6L), (6L, 7L)),
+      directed = false)
+    Distances.girth(g, maxOrigins = Some(2)).foreach(est => assert(est >= 5L))
+    assert(Distances.girth(g) === Some(5L))
+  }
+
   test("girth matches brute-force on random sparse graphs") {
     val rnd = new scala.util.Random(11)
     for (trial <- 0 until 3) {
