@@ -4,19 +4,29 @@ import graft.algos.PageRank
 import graft.core.LinkGraph
 import graft.ingest.Pages
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): prints ONE JSON line.
   *
-  * Two sections:
+  * Sections:
   *  1. `queries`: wall seconds for representative SparkEntry queries on
   *     SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS threads.
   *  2. `scaling`: the BASELINE.json north metric — PageRank edges/sec per
   *     power iteration on the deterministic synthetic power-law web graph
-  *     (seed 42, FIXTURES.md §4), run at local[8] and local[32] on the
-  *     IDENTICAL input (pure function of (seed,id) — no data movement
-  *     between runs), plus throughput scaling efficiency
-  *     = (eps_32 / eps_8) / 4, the sandbox stand-in for N -> 4N executors.
+  *     (seed 42, FIXTURES.md §4), run at local[2] / local[8] / local[32] on
+  *     the IDENTICAL input (materialized once as parquet — every level reads
+  *     the same bytes), plus throughput scaling efficiency
+  *     = (eps_8 / eps_2) / 4, the sandbox stand-in for N -> 4N executors.
+  *  3. `convergence`: tolerance-mode wall to 1e-6 at full parallelism.
+  *
+  * Artifact hygiene (round-3 verdict #2): every run writes
+  * `target/bench/BENCH_RUN_<stamp>.json` (untracked); the tracked
+  * `BENCH_LAST.json` is only written when SPARK_GRAFT_BENCH_PROMOTE=1 —
+  * a smoke run leaves the working tree clean.
+  *
+  * Modes: SPARK_GRAFT_BENCH_ONLY=scaling skips section 1+3;
+  * SPARK_GRAFT_BENCH_ONLY=queries skips 2+3; SPARK_GRAFT_BENCH_QUERIES
+  * (comma list) restricts section 1 to a subset, SPARK_GRAFT_BENCH_QREPS
+  * sets its repetitions (default 2, min-of-reps reported).
   */
 object Bench {
 
@@ -50,19 +60,38 @@ object Bench {
     s
   }
 
-  /** PageRank steady-state seconds/iteration at a given parallelism (fresh
-    * session): per-iteration wall times come from the loop itself; the first
-    * two iterations (JIT/codegen/cache warmup) are dropped.
+  /** Materialize the scaling corpus ONCE as parquet at full parallelism.
+    * Every scaling cell then reads the identical bytes — a stronger
+    * same-input guarantee than re-deriving from (seed, id), and it removes
+    * the dominant cell cost (regenerating 640M Zipf edges at local[2]),
+    * which is what limited how many alternating noise-rejection rounds fit
+    * in a bench budget (round-3 verdict #1).
     */
-  private def prSecPerIter(cpus: Int, n: Long, avgDeg: Int, iters: Int): (Double, Double, Long) = {
+  def corpusParquet(n: Long, avgDeg: Int, genCpus: Int): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft-bench-corpus-n$n-d$avgDeg.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val s = session(genCpus)
+      try synthEdges(s, n, avgDeg, partitions = math.max(genCpus * 2, 16))
+        .write.mode("overwrite").parquet(path)
+      finally s.stop()
+    }
+    path
+  }
+
+  /** PageRank steady-state seconds/iteration at a given parallelism (fresh
+    * session reading the shared parquet corpus): per-iteration wall times
+    * come from the loop itself; the first two iterations (JIT/codegen/cache
+    * warmup) are dropped. The grid build re-partitions the edge table into
+    * the same fixed block layout at every level, so the timed job (RDD
+    * graph, partitioning, shuffle layout) is identical — only the thread
+    * count varies, which is the scaling claim being evidenced.
+    */
+  private def prSecPerIter(cpus: Int, n: Long, corpus: String, iters: Int): (Double, Double, Long) = {
     val spark = session(cpus)
     try {
-      val edges = synthEdges(spark, n, avgDeg, partitions = math.max(cpus * 2, 16)).persist()
+      val edges = spark.read.parquet(corpus)
       val g = LinkGraph(edges, directed = true, Some(n))
-      val m = g.ecount() // also materializes the edge cache
-      // the partition/block count is FIXED across parallelism levels so the
-      // job (RDD graph, partitioning, shuffle layout) is identical — only
-      // the thread count varies, which is the scaling claim being evidenced
+      val m = g.ecount() // parquet row-count: metadata-only, no scan
       val strategy = sys.env.getOrElse("SPARK_GRAFT_STRATEGY", "grid") match {
         case "csr"  => PageRank.CsrBlocks(32)
         case "hub"  => PageRank.HubBroadcast(10000)
@@ -76,7 +105,6 @@ object Bench {
       // the true compute cost (standard robust-timing practice), the mean is
       // kept for comparability with round-1 numbers (ADVICE r2).
       val r = PageRank.run(g, fixedIters = Some(iters + 2), strategy = strategy)
-      edges.unpersist()
       val steady = r.perIterSec.drop(2)
       (steady.min, steady.sum / steady.size, m)
     } finally spark.stop()
@@ -85,38 +113,47 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
     // 64M vertices / 640M edges: large enough that the parallel SpMV
     // dominates the per-superstep serial floor (measured size series in
     // BENCH.md — at 16M the grid kernel runs 0.21 s/iter and scheduling/
-    // localCheckpoint overhead caps every ratio; at 64M the uncontended
+    // localCheckpoint overhead caps every ratio; at 64M+ the uncontended
     // 2->8 pair clears the >=0.8 target, while 8->32 stays capped by the
     // single socket's shared memory bandwidth — both are reported)
     val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "64000000").toLong
     // 10 steady-state iterations per (round, level) cell: the timed loop is
-    // a tiny fraction of cell cost (corpus gen + grid build dominate), so
+    // a small fraction of cell cost (corpus read + grid build dominate), so
     // extra min-samples are nearly free and tighten the level minima that
     // the efficiency ratio is built from
     val benchIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "10").toInt
 
     // --- section 1: representative operator timings on the sf tables ------
-    val headline =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")) Seq.empty[String]
-      else Seq("q_pagerank", "q_wcc", "q_triangles", "q_local_cc",
-        "q_lpa", "q_louvain", "q_leiden", "q_dedup_exact", "q_minhash_cand",
-        "q_simhash", "q_embed_dedup_lsh", "q_ann_brute", "q_ann_lsh")
-    // best-of-2 per query: single-shot walls swing up to 7x on this shared
-    // host (GC epochs + neighbor noise); the min is the reproducible cost
-    val spark = session(cpus)
-    val results = headline.map { name =>
-      val walls = (0 until (if (headline.isEmpty) 0 else 2)).map { _ =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    val headline: Seq[String] =
+      if (only == "scaling") Seq.empty
+      else sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+        case Some(qs) => qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        case None => Seq("q_pagerank", "q_wcc", "q_triangles", "q_local_cc",
+          "q_lpa", "q_louvain", "q_leiden", "q_dedup_exact", "q_minhash_cand",
+          "q_simhash", "q_embed_dedup_lsh", "q_ann_brute", "q_ann_lsh")
       }
-      name -> walls.min
-    }
-    spark.stop()
+    // best-of-qReps per query: single-shot walls swing up to 7x on this
+    // shared host (GC epochs + neighbor noise); the min is the reproducible
+    // cost
+    val qReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QREPS", "2").toInt
+    val results =
+      if (headline.isEmpty) Seq.empty[(String, Double)]
+      else {
+        val spark = session(cpus)
+        try headline.map { name =>
+          val walls = (0 until qReps).map { _ =>
+            val t0 = System.nanoTime()
+            try { SparkEntry.queries(name)(spark, sfDir).count() }
+            catch { case _: Throwable => -1L }
+            (System.nanoTime() - t0) / 1e9
+          }
+          name -> walls.min
+        } finally spark.stop()
+      }
 
     // --- section 2: PageRank throughput at N and 4N parallelism -----------
     // Methodology: alternating repetitions per level, MIN of steady-state
@@ -129,78 +166,97 @@ object Bench {
     //  - 8 -> 32 threads: saturates this single socket's shared memory
     //    bandwidth at the top level — the intra-node ceiling, reported for
     //    honesty, not the cluster-scaling claim.
-    // adaptive repetitions: alternate levels until one full round improves
-    // no level's min by >5% (noise epochs on this host can shadow an entire
-    // session, so a fixed rep count under-samples the true compute cost)
+    // Round count is adaptive on TWO conditions (round-3 verdict #1: a
+    // single noise epoch poisoned one level's whole series in the driver's
+    // run): keep alternating until (a) a full round stops improving any
+    // level's min by >5%, AND (b) every level's min is CORROBORATED — its
+    // best two round-mins agree within 6% (one lucky/unlucky epoch cannot
+    // set a level's headline). At least minRounds rounds, at most repCap.
+    val skipScaling = only == "queries"
     val repCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
+    val minRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_ROUNDS", "4").toInt
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
       .split(",").map(_.trim.toInt).toSeq
     val mins = scala.collection.mutable.Map(levels.map(_ -> Double.PositiveInfinity): _*)
     val means = scala.collection.mutable.Map(levels.map(_ -> Double.PositiveInfinity): _*)
     val series = scala.collection.mutable.Map(levels.map(_ -> Vector.empty[Double]): _*)
     var m = 0L
-    var rep = 0
-    var improved = true
-    // at least 3 alternating rounds: noise epochs on this shared host last
-    // minutes, so stopping after a flat round 2 under-samples the true
-    // per-level minima (observed: a full run whose local[8] never left a
-    // slow epoch); beyond round 3 the >5%-improvement rule governs
-    while (rep < repCap && (rep < 3 || improved)) {
-      improved = false
-      levels.foreach { p =>
-        val (s, mean, edges) = prSecPerIter(p, benchN, avgDeg = 10, benchIters)
-        m = edges
-        series(p) = series(p) :+ s
-        if (s < mins(p) * 0.95) improved = true
-        if (s < mins(p)) mins(p) = s
-        if (mean < means(p)) means(p) = mean
+    if (!skipScaling) {
+      val corpus = corpusParquet(benchN, avgDeg = 10, genCpus = cpus)
+      def corroborated(p: Int): Boolean = {
+        val s = series(p).sorted
+        s.size >= 2 && s(1) <= s(0) * 1.06
       }
-      rep += 1
+      var rep = 0
+      var improved = true
+      while (rep < repCap &&
+        (rep < minRounds || improved || !levels.forall(corroborated))) {
+        improved = false
+        levels.foreach { p =>
+          val (s, mean, edges) = prSecPerIter(p, benchN, corpus, benchIters)
+          m = edges
+          series(p) = series(p) :+ s
+          if (s < mins(p) * 0.95) improved = true
+          if (s < mins(p)) mins(p) = s
+          if (mean < means(p)) means(p) = mean
+        }
+        rep += 1
+      }
     }
     // --- section 3: iterations-to-convergence wall (north metric names it:
     // "edges/sec per PageRank iteration (and iterations-to-1e-6-convergence
     // wall time)"). One tolerance-mode run at full parallelism on the same
-    // synthetic graph; the convergence delta is fused into the rank-cut job.
+    // corpus; the convergence delta is fused into the rank-cut job.
     val convJson =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("scaling")) ""
+      if (only.nonEmpty) ""
       else {
+        val corpus = corpusParquet(benchN, avgDeg = 10, genCpus = cpus)
         val s = session(cpus)
         try {
-          val edges = synthEdges(s, benchN, avgDeg = 10, partitions = math.max(cpus * 2, 16)).persist()
-          val g = LinkGraph(edges, directed = true, Some(benchN))
+          val g = LinkGraph(s.read.parquet(corpus), directed = true, Some(benchN))
           g.ecount()
           val t0 = System.nanoTime()
           val r = PageRank.run(g, tol = 1e-6, maxIter = 200,
             strategy = PageRank.GridBlocks(sys.env.getOrElse("SPARK_GRAFT_GRID_P", "32").toInt))
           val wall = (System.nanoTime() - t0) / 1e9
-          edges.unpersist()
           s""","convergence":{"tol":1e-6,"iterations":${r.iterations},"wall_sec":${"%.2f".format(wall)},"final_delta":${"%.3e".format(r.delta)}}"""
         } finally s.stop()
       }
 
-    val hi = levels.last
-    val epsHi = m / mins(hi)
     val qJson = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val secJson = levels.map(p => s""""sec_per_iter_local$p":${"%.3f".format(mins(p))}""").mkString(",")
-    val meanJson = levels.map(p => s""""mean_sec_per_iter_local$p":${"%.3f".format(means(p))}""").mkString(",")
-    val epsJson = levels.map(p => s""""eps_local$p":${"%.0f".format(m / mins(p))}""").mkString(",")
-    // full per-round min series (seconds/iter) — lets a reader audit the
-    // noise spread behind the headline minima instead of trusting them
-    val seriesJson = levels.map(p =>
-      s""""local$p":[${series(p).map(v => "%.3f".format(v)).mkString(",")}]""")
-      .mkString(""""round_min_sec":{""", ",", "},")
-    val effJson = levels.sliding(2).map { case Seq(a, b) =>
-      s""""efficiency_${a}_to_$b":${"%.3f".format((mins(a) / mins(b)) / (b.toDouble / a))}"""
-    }.mkString(",")
+    val scalingJson =
+      if (skipScaling) """"scaling":{}"""
+      else {
+        val secJson = levels.map(p => s""""sec_per_iter_local$p":${"%.3f".format(mins(p))}""").mkString(",")
+        val meanJson = levels.map(p => s""""mean_sec_per_iter_local$p":${"%.3f".format(means(p))}""").mkString(",")
+        val epsJson = levels.map(p => s""""eps_local$p":${"%.0f".format(m / mins(p))}""").mkString(",")
+        // full per-round min series (seconds/iter) — lets a reader audit the
+        // noise spread behind the headline minima instead of trusting them
+        val seriesJson = levels.map(p =>
+          s""""local$p":[${series(p).map(v => "%.3f".format(v)).mkString(",")}]""")
+          .mkString(""""round_min_sec":{""", ",", "},")
+        val effJson = levels.sliding(2).map { case Seq(a, b) =>
+          s""""efficiency_${a}_to_$b":${"%.3f".format((mins(a) / mins(b)) / (b.toDouble / a))}"""
+        }.mkString(",")
+        s""""scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,$secJson,$meanJson,$epsJson,$seriesJson$effJson,"note":"${
+          if (levels.take(2) == Seq(2, 8))
+            "2->8 holds per-core bandwidth constant (the N->4N cluster-node analog, each node bringing its own memory bandwidth); higher pairs additionally contend the single socket's shared bandwidth; "
+          else ""
+        }all levels read the identical parquet corpus; sec_per_iter_* are corroborated steady-state minima (robust timing), mean_* the steady-state means"}"""
+      }
+    val value = if (skipScaling) 0L else (m / mins(levels.last)).toLong
     val json =
-      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.0f".format(epsHi)},"unit":"edges/sec/iter","queries":$qJson,"sf":"$sfDir","total_query_sec":${"%.2f".format(total)},"scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,$secJson,$meanJson,$epsJson,$seriesJson$effJson,"note":"${
-        if (levels.take(2) == Seq(2, 8))
-          "2->8 holds per-core bandwidth constant (the N->4N cluster-node analog, each node bringing its own memory bandwidth); higher pairs additionally contend the single socket's shared bandwidth; "
-        else ""
-      }sec_per_iter_* are steady-state minima (robust timing), mean_* the steady-state means"}$convJson}"""
+      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":$value,"unit":"edges/sec/iter","queries":$qJson,"sf":"$sfDir","total_query_sec":${"%.2f".format(total)},$scalingJson$convJson}"""
     println(json)
-    // belt-and-braces for the driver's parser: also drop the line in a file
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+    // every run lands in an UNTRACKED per-run file; the tracked
+    // BENCH_LAST.json is only touched on explicit promotion, so smoke runs
+    // leave the working tree clean (round-3 verdict #2)
+    val stamp = args.headOption.getOrElse(System.currentTimeMillis.toString)
+    val outDir = java.nio.file.Paths.get("target", "bench")
+    java.nio.file.Files.createDirectories(outDir)
+    java.nio.file.Files.writeString(outDir.resolve(s"BENCH_RUN_$stamp.json"), json + "\n")
+    if (sys.env.get("SPARK_GRAFT_BENCH_PROMOTE").contains("1"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
   }
 }

