@@ -952,7 +952,9 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |  UNION SELECT r.a, ue.b, r.d + 1 FROM r JOIN ue ON ue.a = r.b WHERE r.d < 40),
          |md AS (SELECT a, b, MIN(d) AS d FROM r GROUP BY a, b),
          |ecc AS (SELECT a, MAX(d) AS ecc FROM md GROUP BY a)
-         |SELECT MIN(ecc) AS radius FROM ecc""".stripMargin,
+         |SELECT MIN(ecc) AS radius FROM ecc
+         |UNION ALL SELECT * FROM (SELECT CAST(-999 AS BIGINT) AS radius
+         |  FROM md WHERE d >= 40 LIMIT 1)""".stripMargin,
     "q_ppr" -> pprSql(15),
     "q_girth" ->
       s"""WITH RECURSIVE ev AS (SELECT DISTINCT user_id AS u FROM events),
@@ -977,7 +979,9 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |    AND p.vx = CASE WHEN da.d > db.d THEN be.u ELSE be.v END
          |  WHERE p.np >= 2)
          |SELECT COALESCE(CAST(MIN(len) AS BIGINT), -1) AS girth
-         |FROM (SELECT len FROM oddc UNION ALL SELECT len FROM evenc)""".stripMargin,
+         |FROM (SELECT len FROM oddc UNION ALL SELECT len FROM evenc)
+         |UNION ALL SELECT * FROM (SELECT CAST(-999 AS BIGINT) AS girth
+         |  FROM md WHERE d >= 64 LIMIT 1)""".stripMargin,
     "q_neighborhood2" ->
       s"""WITH $E,
          |ue AS (SELECT DISTINCT a, b FROM (

@@ -18,10 +18,33 @@ import org.apache.spark.sql.functions._
   */
 object Distances {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.algos.Distances")
+
+  /** Exact all-origins sweeps are O(n·m) work and O(n·reach) state. Like
+    * the sequential community kernels' `maxKernelVertices`, this cap stops
+    * a default `eccentricity()`/`diameter()`/`girth()` call from
+    * accidentally launching an n·m job on a web-scale corpus (round-3
+    * verdict #5). Escapes: pass a bounded `sources` set to the multi-BFS
+    * entry points, `maxOrigins` to [[girth]], or use the HyperBall
+    * approximations ([[neighborhoodFunction]] / [[eccentricityApprox]] /
+    * [[pathLengthHistApprox]]) — the documented 10^12-scale substitutes.
+    */
+  val maxExactOrigins = 200000L
+
+  private def guardAllOrigins(g: LinkGraph, what: String): Unit = {
+    val n = g.vcount()
+    require(n <= maxExactOrigins,
+      s"$what from ALL origins is O(n·m) — capped at $maxExactOrigins origins ($n vertices). " +
+        "Pass a bounded source set (multiBfs/multiDistancesWeighted `sources`, girth `maxOrigins`) " +
+        "or use the HyperBall approximations (neighborhoodFunction/eccentricityApprox/pathLengthHistApprox) at scale")
+  }
+
   /** All-pairs (origin, v, dist) reachability table from every vertex in
-    * `sources` (defaults to all vertices). Undirected uses mode=All.
+    * `sources` (defaults to all vertices — guarded by [[maxExactOrigins]]).
+    * Undirected uses mode=All.
     */
   def multiBfs(g: LinkGraph, mode: Mode = Mode.All, sources: Option[DataFrame] = None): DataFrame = {
+    if (sources.isEmpty) guardAllOrigins(g, "exact BFS")
     val adj = (mode match {
       case Mode.Out => g.weighted
       case Mode.In  => g.weighted.select(col("dst").as("src"), col("src").as("dst"))
@@ -58,6 +81,7 @@ object Distances {
     */
   def multiDistancesWeighted(g: LinkGraph, mode: Mode = Mode.All,
                              sources: Option[DataFrame] = None): DataFrame = {
+    if (sources.isEmpty) guardAllOrigins(g, "exact weighted distance sweep")
     val adjRaw = (mode match {
       case Mode.Out => g.weighted
       case Mode.In  => g.weighted.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
@@ -178,35 +202,58 @@ object Distances {
     * `maxOrigins` caps the BFS source set (seeded-hash sample) for large
     * graphs — the result is then an upper bound (exact whenever a sampled
     * origin lies on a shortest cycle), the documented estimator trade-off.
+    * Above [[maxExactOrigins]] vertices a default call auto-samples
+    * [[girthDefaultSampleOrigins]] origins (logged) instead of launching
+    * the O(n·m) exact sweep; pass `maxOrigins = Some(n)` to force exact.
     */
+  val girthDefaultSampleOrigins = 4096
+
   def girth(g: LinkGraph, maxOrigins: Option[Int] = None): Option[Long] = {
     val ue = g.weighted.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct().persist()
     if (ue.isEmpty) { ue.unpersist(); return None }
     val und = LinkGraph(ue.select(col("a").as("src"), col("b").as("dst")), directed = false)
-    val sources = maxOrigins.map { k =>
+    val effOrigins = maxOrigins.orElse {
+      val n = und.vcount()
+      if (n > maxExactOrigins) {
+        log.warn(s"girth: $n vertices > $maxExactOrigins — sampling " +
+          s"$girthDefaultSampleOrigins BFS origins; the result is an UPPER BOUND " +
+          "(exact when a sampled origin lies on a shortest cycle). " +
+          "Pass maxOrigins = Some(vcount) to force the exact O(n·m) sweep.")
+        Some(girthDefaultSampleOrigins)
+      } else None
+    }
+    val sources = effOrigins.map { k =>
       und.vertices.select(col("id"), xxhash64(lit(42L), col("id")).as("h"))
         .orderBy("h").limit(k).select("id")
     }
     val dist = multiBfs(und, Mode.All, sources).persist()
     dist.count()
-    val adj = und.bidirected.select(col("src").as("v"), col("dst").as("nbr")).distinct()
-    // BFS parent multiplicity of each (origin, v): neighbors one level closer
-    val dn = dist.select(col("origin"), col("v").as("nbr"), col("dist").as("dn"))
-    val parents = dist.join(adj, Seq("v"))
-      .join(dn, Seq("origin", "nbr"))
-      .where(col("dn") === col("dist") - 1)
-      .groupBy("origin", "v").agg(count(lit(1)).as("np"))
     val da = dist.select(col("origin"), col("v").as("a"), col("dist").as("da"))
     val db = dist.select(col("origin"), col("v").as("b"), col("dist").as("db"))
     val cand = ue.join(da, Seq("a")).join(db, Seq("origin", "b"))
     val odd = cand.where(col("da") === col("db"))
       .select((col("da") * 2 + 1).as("len"))
-    val even = cand.where(abs(col("da") - col("db")) === 1)
+    val evenCand = cand.where(abs(col("da") - col("db")) === 1)
       .select(col("origin"),
         when(col("da") > col("db"), col("a")).otherwise(col("b")).as("v"),
         (col("da") + col("db") + 1).as("len"))
+    // BFS parent multiplicity — but ONLY for the deeper endpoints of
+    // adjacent-level candidate edges (round-3 ADVICE: the previous
+    // all-(origin, v) computation spent the job's dominant shuffle on rows
+    // that were immediately discarded; the semi-join shrinks the parent
+    // join's left side to candidate endpoints, which matters most on the
+    // sampled-origin estimator path this targets)
+    val need = evenCand.select("origin", "v").distinct()
+    val adj = und.bidirected.select(col("src").as("v"), col("dst").as("nbr")).distinct()
+    val dn = dist.select(col("origin"), col("v").as("nbr"), col("dist").as("dn"))
+    val parents = dist.join(need, Seq("origin", "v"), "left_semi")
+      .join(adj, Seq("v"))
+      .join(dn, Seq("origin", "nbr"))
+      .where(col("dn") === col("dist") - 1)
+      .groupBy("origin", "v").agg(count(lit(1)).as("np"))
+    val even = evenCand
       .join(parents, Seq("origin", "v"))
       .where(col("np") >= 2)
       .select("len")

@@ -35,6 +35,21 @@ class DistancesSpec extends AnyFunSuite {
     assert(Distances.radius(tree14) == 3)
   }
 
+  test("all-origins guard: exact sweeps refuse > maxExactOrigins vertices; bounded sources escape") {
+    // n is declared, not materialized — the require fires before any job
+    val big = LinkGraph(spark, Distances.maxExactOrigins + 1,
+      Seq((0L, 1L), (1L, 2L)), directed = false)
+    val e1 = intercept[IllegalArgumentException](Distances.multiBfs(big))
+    assert(e1.getMessage.contains("O(n·m)"))
+    val e2 = intercept[IllegalArgumentException](Distances.multiDistancesWeighted(big))
+    assert(e2.getMessage.contains("O(n·m)"))
+    // the documented escape: a bounded source set runs fine on the same graph
+    import spark.implicits._
+    val d = Distances.multiBfs(big, sources = Some(Seq(0L).toDF("id")))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
   test("topological sort: layers give a valid order; cycle -> not a DAG (test_structural.py:511-519)") {
     val dag = LinkGraph(spark, 5,
       Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)), directed = true)
@@ -157,35 +172,62 @@ class DistancesSpec extends AnyFunSuite {
     assert(Distances.girth(g) === Some(5L))
   }
 
-  test("girth matches brute-force on random sparse graphs") {
+  /** Brute-force girth: min over edges e of (dist in G\e between e's
+    * endpoints) + 1.
+    */
+  private def bruteGirth(n: Int, edges: Seq[(Long, Long)]): Option[Long] = {
+    val adj = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
+    edges.foreach { case (a, b) => adj(a.toInt) += b.toInt; adj(b.toInt) += a.toInt }
+    def bfsDist(s: Int, skip: (Int, Int)): Array[Int] = {
+      val d = Array.fill(n)(-1); d(s) = 0
+      val q = scala.collection.mutable.Queue(s)
+      while (q.nonEmpty) {
+        val x = q.dequeue()
+        adj(x).foreach { y =>
+          val blocked = (x == skip._1 && y == skip._2) || (x == skip._2 && y == skip._1)
+          if (!blocked && d(y) < 0) { d(y) = d(x) + 1; q += y }
+        }
+      }
+      d
+    }
+    val cycles = edges.flatMap { case (a, b) =>
+      val d = bfsDist(a.toInt, (a.toInt, b.toInt))
+      if (d(b.toInt) >= 0) Some(d(b.toInt) + 1L) else None
+    }
+    if (cycles.isEmpty) None else Some(cycles.min)
+  }
+
+  test("girth matches brute-force on random sparse graphs across densities") {
+    // round-3 ADVICE: the even-cycle parent-multiplicity guard's failure
+    // modes need specific structures — sweep several densities so sparse
+    // (long-cycle) and denser (triangle-rich) regimes are both hit
     val rnd = new scala.util.Random(11)
-    for (trial <- 0 until 3) {
+    var trial = 0
+    for (p <- Seq(0.15, 0.22, 0.30, 0.40); _ <- 0 until 4) {
       val n = 9
       val edges = (for {
-        i <- 0 until n; j <- i + 1 until n if rnd.nextDouble() < 0.22
+        i <- 0 until n; j <- i + 1 until n if rnd.nextDouble() < p
       } yield (i.toLong, j.toLong)).toSeq
       val g = LinkGraph(spark, n.toLong, edges, directed = false)
-      // brute force: BFS from each vertex in the graph minus each edge
-      val adj = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
-      edges.foreach { case (a, b) => adj(a.toInt) += b.toInt; adj(b.toInt) += a.toInt }
-      def bfsDist(s: Int, skip: (Int, Int)): Array[Int] = {
-        val d = Array.fill(n)(-1); d(s) = 0
-        val q = scala.collection.mutable.Queue(s)
-        while (q.nonEmpty) {
-          val x = q.dequeue()
-          adj(x).foreach { y =>
-            val blocked = (x == skip._1 && y == skip._2) || (x == skip._2 && y == skip._1)
-            if (!blocked && d(y) < 0) { d(y) = d(x) + 1; q += y }
-          }
-        }
-        d
-      }
-      // girth = min over edges e of (dist in G\e between endpoints) + 1
-      val cycles = edges.flatMap { case (a, b) =>
-        val d = bfsDist(a.toInt, (a.toInt, b.toInt))
-        if (d(b.toInt) >= 0) Some(d(b.toInt) + 1L) else None
-      }
-      val want = if (cycles.isEmpty) None else Some(cycles.min)
+      assert(Distances.girth(g) === bruteGirth(n, edges), s"trial $trial p=$p edges=$edges")
+      trial += 1
+    }
+  }
+
+  test("girth matches brute-force on random bipartite graphs (even cycles only)") {
+    // bipartite graphs have no odd cycles, so every shortest cycle exercises
+    // the adjacent-level candidate path and its >=2-BFS-parents validity
+    // guard directly (round-3 ADVICE: the guard's unique-parent rejection
+    // must never discard a genuine shortest even cycle)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 6) {
+      val nl = 4; val nr = 5; val n = nl + nr
+      val edges = (for {
+        i <- 0 until nl; j <- nl until n if rnd.nextDouble() < 0.45
+      } yield (i.toLong, j.toLong)).toSeq
+      val g = LinkGraph(spark, n.toLong, edges, directed = false)
+      val want = bruteGirth(n, edges)
+      want.foreach(w => assert(w % 2 == 0, "bipartite girth must be even"))
       assert(Distances.girth(g) === want, s"trial $trial edges=$edges")
     }
   }

@@ -68,6 +68,51 @@ class TriadsSpec extends AnyFunSuite {
     assert(Motifs.motifs3Count(g) == bruteConnected)
   }
 
+  test("motifs3 directed: isoclass numbering frozen (MAN triad -> index) + fixed-digraph motif vector") {
+    // round-3 ADVICE #1: the brute-force parity test classifies triples with
+    // the same Catalog the engine uses, so it cannot catch an enumeration
+    // change. This golden FREEZES the engine's canonical numbering — any
+    // Catalog enumeration change fails loudly here. (The reference igraph
+    // library's own isoclass tables are not available in this sandbox — its
+    // C core is an absent submodule — so the pin is to the engine's
+    // documented self-consistent enumeration, the same contract the
+    // reference's motif vector has with its own tables.)
+    import graft.core.Catalog
+    import graft.algos.Motifs
+    def iso(edges: (Long, Long)*): Int =
+      Catalog.isoclassOf(LinkGraph(spark, 3L, edges, directed = true))
+    val frozen = Seq(
+      "003" -> iso() -> 0, "012" -> iso((0L, 1L)) -> 1,
+      "021D" -> iso((1L, 0L), (1L, 2L)) -> 2,
+      "102" -> iso((0L, 1L), (1L, 0L)) -> 3,
+      "021C" -> iso((0L, 1L), (1L, 2L)) -> 4,
+      "021U" -> iso((0L, 1L), (2L, 1L)) -> 5,
+      "111U" -> iso((0L, 1L), (1L, 0L), (1L, 2L)) -> 6,
+      "030T" -> iso((0L, 1L), (0L, 2L), (1L, 2L)) -> 7,
+      "111D" -> iso((0L, 1L), (1L, 0L), (2L, 1L)) -> 8,
+      "030C" -> iso((0L, 1L), (1L, 2L), (2L, 0L)) -> 9,
+      "120U" -> iso((0L, 1L), (2L, 1L), (0L, 2L), (2L, 0L)) -> 10,
+      "201" -> iso((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)) -> 11,
+      "120C" -> iso((0L, 1L), (1L, 2L), (0L, 2L), (2L, 0L)) -> 12,
+      "120D" -> iso((1L, 0L), (1L, 2L), (0L, 2L), (2L, 0L)) -> 13,
+      "210" -> iso((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L)) -> 14,
+      "300" -> iso((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L), (2L, 0L)) -> 15)
+    frozen.foreach { case ((man, got), want) =>
+      assert(got == want, s"triad $man: isoclass $got, frozen golden $want")
+    }
+    // fixed digraph, hand-classified (all 10 triples independently assigned
+    // a MAN class by inspection): 030C {0,1,2}; 021D {0,1,4}; 111U {0,2,3}
+    // and {2,3,4}; 021C {0,2,4}; 021U {0,3,4}; 111D {1,2,3}; disconnected
+    // {0,1,3},{1,2,4},{1,3,4}
+    val g = LinkGraph(spark, 5L,
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 2L), (3L, 4L), (0L, 4L)),
+      directed = true)
+    val want: Seq[Option[Long]] = Seq(None, None, Some(1L), None, Some(1L),
+      Some(1L), Some(2L), Some(0L), Some(1L), Some(1L), Some(0L), Some(0L),
+      Some(0L), Some(0L), Some(0L), Some(0L))
+    assert(Motifs.motifs3(g) == want)
+  }
+
   test("motifs3 undirected: path/triangle counts and stable isoclass indices") {
     import graft.algos.Motifs
     // square + one diagonal: triangles = 2 (012, 023? vertices 0-3, edges
