@@ -58,16 +58,58 @@ object Components {
     labels
   }
 
-  /** SCC by the coloring algorithm (Orzan): repeat {trim trivial SCCs;
-    * forward max-id coloring to fixpoint; backward reach from each color root
-    * within its color class => one SCC per root; peel}. Expressed entirely as
-    * join/groupBy supersteps with lineage cuts. Exact; matches the
-    * reference's `clusters(mode="strong")` up to relabeling.
+  /** Max-id propagation to fixpoint over `edges` (src -> dst) WITH pointer
+    * jumping: after each neighbor-max round, `color(v) <- max(color(v),
+    * color(color(v)))`. The jump is sound for reachability colorings —
+    * `color(v) = c` means c relates to v (reaches v / is reached by v, per
+    * edge orientation) and `color(c) = d` means d relates to c, so d relates
+    * to v by transitivity. Turns O(diameter) rounds into ~O(log diameter),
+    * the same shortcutting [[wcc]] uses.
+    */
+  private def maxColor(verts: DataFrame, edges: DataFrame): DataFrame = {
+    var colors = verts.select(col("id"), col("id").as("color"))
+      .transform(graft.core.Lineage.cut)
+    var changed = 1L
+    while (changed > 0) {
+      val msg = edges.join(colors, edges("src") === colors("id"))
+        .groupBy(col("dst").as("id")).agg(max(col("color")).as("in_color"))
+      val step1 = colors.join(msg, Seq("id"), "left")
+        .select(col("id"),
+          greatest(col("color"), coalesce(col("in_color"), col("color"))).as("color"),
+          col("color").as("old"))
+      val jump = step1.select(col("id").as("jid"), col("color").as("jcolor"))
+      val step2 = step1.join(jump, step1("color") === jump("jid"), "left")
+        .select(col("id"),
+          greatest(col("color"), coalesce(col("jcolor"), col("color"))).as("color"),
+          col("old"))
+        .transform(graft.core.Lineage.cut)
+      changed = step2.where(col("color") =!= col("old")).count()
+      colors = step2.select("id", "color")
+    }
+    colors
+  }
+
+  /** SCC by forward+backward max-coloring with partition splitting.
     *
-    * Scale note: good on web graphs after trimming (giant SCC + tendrils);
-    * worst case (long chains) degrades to O(n) rounds — the documented
-    * mitigation is the trim phase, which removes tendril chains one whole
-    * pass per round.
+    * Per round: (1) one trim pass (no-in / no-out vertices are singleton
+    * SCCs); (2) pointer-jumped max colorings `cf(v)` = max id reaching v and
+    * `cb(v)` = max id reachable from v; (3) every class `{v : cf(v) = cb(v)
+    * = c}` is EXACTLY the SCC of c — c reaches the class and the class
+    * reaches c, so c itself is inside it — peel all such classes at once
+    * (the SCC of the globally maximal id always qualifies, so every round
+    * makes progress); (4) delete every edge whose endpoints disagree on the
+    * (cf, cb) pair — SCC-mates share both colors, so no intra-SCC edge is
+    * lost, and the remaining graph splits into independent subproblems that
+    * all advance inside the same DataFrames on subsequent rounds.
+    *
+    * Expressed entirely as join/groupBy supersteps with lineage cuts. Exact;
+    * matches the reference's `clusters(mode="strong")` up to relabeling.
+    *
+    * Scale note: chains — the O(n)-round worst case of the round-3 coloring
+    * implementation (SCCChainSpec pins this) — now resolve in ~2 rounds: the
+    * colorings converge in O(log n) jumped rounds, the (cf, cb) pairs of a
+    * chain are all distinct, so the split deletes every chain edge and the
+    * next trim pass clears the vertices wholesale.
     */
   def scc(g: LinkGraph, maxRounds: Int = 200): DataFrame = {
     require(g.directed, "scc requires a directed graph")
@@ -81,74 +123,52 @@ object Components {
 
     while (remainingV.count() > 0 && rounds < maxRounds) {
       rounds += 1
-      // --- trim: vertices with no in- or no out-edges are singleton SCCs
-      var trimmed = true
-      while (trimmed) {
-        val hasOut = remainingE.select(col("src").as("id")).distinct()
-        val hasIn = remainingE.select(col("dst").as("id")).distinct()
-        val trivial = remainingV
-          .join(hasOut, Seq("id"), "left_anti")
-          .union(remainingV.join(hasIn, Seq("id"), "left_anti"))
-          .distinct().transform(graft.core.Lineage.cut)
-        val nTrivial = trivial.count()
-        if (nTrivial == 0) trimmed = false
-        else {
-          result = result.union(trivial.select(col("id"), col("id").as("comp"))).transform(graft.core.Lineage.cut)
-          remainingV = remainingV.join(trivial, Seq("id"), "left_anti").transform(graft.core.Lineage.cut)
-          remainingE = remainingE
-            .join(trivial.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-            .join(trivial.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-            .select("src", "dst").transform(graft.core.Lineage.cut)
-        }
+      // --- trim (one pass): no in- or no out-edges => singleton SCC. The
+      // coloring + split below handles chains of trivial vertices in bulk,
+      // so a single pass suffices — no inner fixpoint loop.
+      val hasOut = remainingE.select(col("src").as("id")).distinct()
+      val hasIn = remainingE.select(col("dst").as("id")).distinct()
+      val trivial = remainingV
+        .join(hasOut, Seq("id"), "left_anti")
+        .union(remainingV.join(hasIn, Seq("id"), "left_anti"))
+        .distinct().transform(graft.core.Lineage.cut)
+      if (!trivial.isEmpty) {
+        result = result.union(trivial.select(col("id"), col("id").as("comp"))).transform(graft.core.Lineage.cut)
+        remainingV = remainingV.join(trivial, Seq("id"), "left_anti").transform(graft.core.Lineage.cut)
+        remainingE = remainingE
+          .join(trivial.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .join(trivial.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+          .select("src", "dst").transform(graft.core.Lineage.cut)
       }
-      if (remainingV.count() == 0) { /* done */ }
-      else {
-        // --- forward coloring: color(v) = max id that reaches v (incl. v)
-        var colors = remainingV.select(col("id"), col("id").as("color")).transform(graft.core.Lineage.cut)
-        var changed = 1L
-        while (changed > 0) {
-          val msg = remainingE.join(colors, remainingE("src") === colors("id"))
-            .groupBy(col("dst").as("id")).agg(max(col("color")).as("in_color"))
-          val next = colors.join(msg, Seq("id"), "left")
-            .select(col("id"), greatest(col("color"), coalesce(col("in_color"), col("color"))).as("color"),
-              col("color").as("old"))
-            .transform(graft.core.Lineage.cut)
-          changed = next.where(col("color") =!= col("old")).count()
-          colors = next.select("id", "color")
-        }
-        // --- backward reach from roots, restricted to same color
-        // root r: color(r) == r. SCC(r) = {v: color(v)==r and v ->* r}.
-        var reached = colors.where(col("color") === col("id"))
-          .select(col("id"), col("color")).transform(graft.core.Lineage.cut)
-        var frontier = reached
-        var grew = 1L
-        while (grew > 0) {
-          // predecessors u of frontier v with same color
-          val pred = remainingE.join(frontier.withColumnRenamed("id", "dst"), Seq("dst"))
-            .select(col("src").as("id"), col("color"))
-            .join(colors.withColumnRenamed("color", "vcolor"), Seq("id"))
-            .where(col("color") === col("vcolor"))
-            .select(col("id"), col("color"))
-            .distinct()
-          val fresh = pred.join(reached.select("id"), Seq("id"), "left_anti").transform(graft.core.Lineage.cut)
-          grew = fresh.count()
-          if (grew > 0) reached = reached.union(fresh).transform(graft.core.Lineage.cut)
-          frontier = fresh
-        }
-        // label SCC by min id within it (stable labels)
-        val sccLabel = reached.groupBy("color").agg(min("id").as("comp"))
-        val found = reached.join(sccLabel, Seq("color")).select(col("id"), col("comp"))
+      if (remainingV.count() > 0) {
+        val cf = maxColor(remainingV, remainingE)
+        val cb = maxColor(remainingV,
+          remainingE.select(col("dst").as("src"), col("src").as("dst")))
+        val pairs = cf.join(cb.withColumnRenamed("color", "bcolor"), Seq("id"))
+          .select(col("id"), col("color").as("cf"), col("bcolor").as("cb"))
+          .transform(graft.core.Lineage.cut)
+        // --- peel: cf == cb = c <=> v is in SCC(c)
+        val done = pairs.where(col("cf") === col("cb"))
+        val lbl = done.groupBy("cf").agg(min("id").as("comp"))
+        val found = done.join(lbl, Seq("cf")).select(col("id"), col("comp"))
           .transform(graft.core.Lineage.cut)
         result = result.union(found).transform(graft.core.Lineage.cut)
-        remainingV = remainingV.join(found.select("id"), Seq("id"), "left_anti").transform(graft.core.Lineage.cut)
-        remainingE = remainingE
+        remainingV = remainingV.join(found.select("id"), Seq("id"), "left_anti")
+          .transform(graft.core.Lineage.cut)
+        // --- split: keep only edges whose endpoints share the (cf, cb) pair
+        // (intra-SCC edges always do), minus anything touching a peeled SCC
+        val sPairs = pairs.select(col("id").as("src"), col("cf").as("scf"), col("cb").as("scb"))
+        val dPairs = pairs.select(col("id").as("dst"), col("cf").as("dcf"), col("cb").as("dcb"))
+        remainingE = remainingE.join(sPairs, Seq("src")).join(dPairs, Seq("dst"))
+          .where(col("scf") === col("dcf") && col("scb") === col("dcb"))
+          .select("src", "dst")
           .join(found.select(col("id").as("src")), Seq("src"), "left_anti")
           .join(found.select(col("id").as("dst")), Seq("dst"), "left_anti")
           .transform(graft.core.Lineage.cut)
       }
     }
-    // deep SCC chains can exhaust the round budget (one peel per layer);
-    // returning a membership that's missing vertices would be silently wrong
+    // exhausting the round budget would mean a membership that's silently
+    // missing vertices — refuse instead
     require(remainingV.count() == 0, s"scc did not converge in $maxRounds rounds")
     result
   }

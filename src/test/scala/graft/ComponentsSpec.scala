@@ -51,6 +51,51 @@ class ComponentsSpec extends AnyFunSuite {
     assert(m == Seq(0L, 0L, 0L, 3L, 3L, 3L))
   }
 
+  test("SCC chain robustness: 1M-vertex descending path resolves in <=4 rounds (round-3 verdict #8)") {
+    // the descending path (every edge high id -> low id) was the O(n)-round
+    // worst case of the previous coloring implementation: one color class,
+    // one peel per round. The pair-split algorithm must clear it in ~2
+    // rounds — maxRounds = 4 IS the assertion (scc throws past it).
+    import org.apache.spark.sql.functions._
+    val n = 1000000L
+    val edges = spark.range(1L, n).select(col("id").as("src"), (col("id") - 1).as("dst"))
+    val g = LinkGraph(edges, directed = true, Some(n))
+    val m = Components.scc(g, maxRounds = 4)
+    // all singletons: every label distinct
+    assert(m.select("comp").distinct().count() == n)
+  }
+
+  test("SCC chain robustness: ascending path + random sparse digraph parity vs round bound") {
+    import org.apache.spark.sql.functions._
+    val n = 100000L
+    val asc = spark.range(0L, n - 1).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    assert(Components.scc(LinkGraph(asc, directed = true, Some(n)), maxRounds = 4)
+      .select("comp").distinct().count() == n)
+    // mixed structure: cycles chained in DESCENDING id order (each round-3
+    // color class spanned multiple SCCs) — still a handful of rounds
+    val cyc = (0 until 40).flatMap { c =>
+      val base = c * 5L
+      (0 until 5).map(i => (base + i, base + (i + 1) % 5)) :+ ((c * 5L + 204L) % 200L, base)
+    }.distinct
+    val g2 = LinkGraph(spark, 200L, cyc.map { case (a, b) => (a, b) }, directed = true)
+    val m2 = TestSession.longVector(Components.scc(g2, maxRounds = 8), "comp")
+    // each 5-block is one SCC labeled by its min id — unless the chord wiring
+    // merged blocks; verify against the defining property via mutual reach on
+    // the driver (200 vertices)
+    val adj = Array.fill(200)(scala.collection.mutable.Set.empty[Int])
+    cyc.foreach { case (a, b) => adj(a.toInt) += b.toInt }
+    def reach(s: Int): Set[Int] = {
+      val seen = scala.collection.mutable.Set(s)
+      val q = scala.collection.mutable.Queue(s)
+      while (q.nonEmpty) { val x = q.dequeue(); adj(x).foreach(y => if (seen.add(y)) q += y) }
+      seen.toSet
+    }
+    val r = (0 until 200).map(reach)
+    for (i <- 0 until 200; j <- 0 until 200)
+      assert((m2(i) == m2(j)) == (r(i).contains(j) && r(j).contains(i)),
+        s"scc membership disagrees with mutual reachability at ($i,$j)")
+  }
+
   test("SCC refines WCC (property)") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (4L, 5L), (5L, 4L), (6L, 6L))
     val g = LinkGraph(spark, 8, edges, directed = true)
