@@ -253,6 +253,12 @@ object SparkEntry {
       // bridge graph (tree + chords): sparse with non-trivial girth
       Seq(Distances.girth(Tables.bridgeGraph(s, dir)).getOrElse(-1L)).toDF("girth")
     }),
+    "q_cliques4" -> ((s, dir) => Cliques.cliques(Tables.copartGraph(s, dir), 4, 4)
+      .select(element_at(col("clique"), 1).as("va"), element_at(col("clique"), 2).as("vb"),
+        element_at(col("clique"), 3).as("vc"), element_at(col("clique"), 4).as("vd"))),
+    "q_maxclique3" -> ((s, dir) => Cliques.maximalCliques(Tables.copartGraph(s, dir), 3, 3)
+      .select(element_at(col("clique"), 1).as("va"), element_at(col("clique"), 2).as("vb"),
+        element_at(col("clique"), 3).as("vc"))),
     "q_topk_jaccard" -> ((s, dir) => GraphOps.topKSimilar(
       GraphOps.similarityJaccard(Tables.eventsGraph(s, dir)), "jaccard", 3)
       .select(col("v"), col("u"), round(col("jaccard"), 6).as("jaccard"))),
@@ -1008,6 +1014,25 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |SELECT COUNT(*) AS triangles FROM pe e1
          |JOIN pe e2 ON e2.src = e1.src AND e2.dst > e1.dst
          |JOIN pe e3 ON e3.src = e1.dst AND e3.dst = e2.dst""".stripMargin,
+    "q_cliques4" ->
+      s"""WITH $P
+         |SELECT e1.src AS va, e1.dst AS vb, e2.dst AS vc, e3.dst AS vd
+         |FROM pe e1
+         |JOIN pe e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |JOIN pe e3 ON e3.src = e1.src AND e3.dst > e2.dst
+         |JOIN pe e4 ON e4.src = e1.dst AND e4.dst = e2.dst
+         |JOIN pe e5 ON e5.src = e1.dst AND e5.dst = e3.dst
+         |JOIN pe e6 ON e6.src = e2.dst AND e6.dst = e3.dst""".stripMargin,
+    "q_maxclique3" ->
+      s"""WITH $P,
+         |bi AS (SELECT src AS a, dst AS b FROM pe UNION ALL SELECT dst, src FROM pe),
+         |tri AS (SELECT e1.src AS va, e1.dst AS vb, e2.dst AS vc FROM pe e1
+         |  JOIN pe e2 ON e2.src = e1.src AND e2.dst > e1.dst
+         |  JOIN pe e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+         |SELECT va, vb, vc FROM tri t
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM bi x JOIN bi y ON y.a = x.a JOIN bi z ON z.a = x.a
+         |  WHERE x.b = t.va AND y.b = t.vb AND z.b = t.vc)""".stripMargin,
     "q_motifs3" ->
       s"""WITH $P,
          |ue AS (SELECT src AS a FROM pe UNION ALL SELECT dst FROM pe),

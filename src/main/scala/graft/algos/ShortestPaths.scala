@@ -88,6 +88,113 @@ object ShortestPaths {
         coalesce(col("dist"), lit(Double.PositiveInfinity)).as("dist"))
   }
 
+  /** `get_all_shortest_paths(v, to, weights, mode)`
+    * (`graphobject.c:13546`; goldens `test_structural.py:646-702`): EVERY
+    * shortest path from `source` to each target, as (target,
+    * path array<long>) rows.
+    *
+    * Enumeration runs over the shortest-path parent DAG, not the graph: a
+    * parent edge is any (u, v) with dist(u) + w(u,v) = dist(v), and paths
+    * are grown backward from the targets one hop per round — each round is
+    * one join of the live frontier against the parent DAG, so total work is
+    * proportional to the number of (path, hop) pairs produced, bounded by
+    * `maxPaths` (explosion fails loudly, never truncates silently).
+    * Positive-weight graphs terminate because every hop strictly decreases
+    * dist; a 0-weight CYCLE would make the path set infinite, so rounds are
+    * also capped by the DAG's vertex count.
+    */
+  def allShortestPaths(g: LinkGraph, source: Long, targets: Seq[Long],
+                       mode: Mode = Mode.Out, maxPaths: Long = 1000000L): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val dist = fromSources(g, Seq(source), mode)
+      .select(col("id"), col("dist")).persist()
+    dist.count()
+    val adj = (mode match {
+      case Mode.Out => g.weighted
+      case Mode.In  => g.weighted.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+      case Mode.All => g.bidirected
+    }).select(col("src"), col("dst"), col("weight"))
+    // parent DAG: u -> v lies on a shortest path iff d(u) + w = d(v)
+    // (relative epsilon for float weight sums)
+    val parents = adj
+      .join(dist.select(col("id").as("src"), col("dist").as("du")), Seq("src"))
+      .join(dist.select(col("id").as("dst"), col("dist").as("dv")), Seq("dst"))
+      .where(abs(col("du") + col("weight") - col("dv")) <= lit(1e-9) * greatest(abs(col("dv")), lit(1.0)))
+      .select(col("dst").as("child"), col("src").as("parent"))
+      .distinct()
+      .persist()
+    parents.count()
+    val reachable = targets.distinct.toDF("target")
+      .join(dist.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+    // grow paths backward: (target, head, path); finished when head = source
+    var live = reachable.select(col("target"), col("target").as("head"),
+      array(col("target")).as("path")).transform(Lineage.cut)
+    var done = live.where(col("head") === source).select("target", "path")
+    live = live.where(col("head") =!= source)
+    var rounds = 0
+    val cap = g.vcount() + 1
+    while (!live.isEmpty && rounds < cap) {
+      rounds += 1
+      live = live.join(parents, live("head") === parents("child"))
+        .select(col("target"), col("parent").as("head"),
+          concat(array(col("parent")), col("path")).as("path"))
+        .transform(Lineage.cut)
+      val n = live.count()
+      require(n <= maxPaths,
+        s"allShortestPaths: > $maxPaths live partial paths at hop $rounds — " +
+          "the path set is combinatorial here; restrict targets or raise maxPaths")
+      done = done.union(live.where(col("head") === source).select("target", "path"))
+        .transform(Lineage.cut)
+      live = live.where(col("head") =!= source)
+    }
+    require(rounds < cap, "allShortestPaths: 0-weight cycle on a shortest path — infinite path set")
+    parents.unpersist(); dist.unpersist()
+    done
+  }
+
+  /** `get_all_simple_paths(v, to, cutoff, mode)` (`graphobject.c:13567`;
+    * goldens `test_structural.py:707-739`): every simple path source ->
+    * target with at most `cutoff` edges (0 = no bound), as (target, path)
+    * rows. Forward frontier extension with an `array_contains` simplicity
+    * filter; inherently combinatorial (SURVEY P3), so `maxPaths` fails
+    * loudly rather than truncating.
+    */
+  def allSimplePaths(g: LinkGraph, source: Long, targets: Seq[Long],
+                     mode: Mode = Mode.Out, cutoff: Int = 0,
+                     maxPaths: Long = 1000000L): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val adj = (mode match {
+      case Mode.Out => g.weighted
+      case Mode.In  => g.weighted.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+      case Mode.All => g.bidirected
+    }).select(col("src"), col("dst")).distinct().persist()
+    adj.count()
+    val tgt = targets.distinct.toDF("tid")
+    val hops = if (cutoff > 0) cutoff else (g.vcount() - 1).toInt
+    var live = spark.createDataFrame(Seq(Tuple2(source, Seq(source))))
+      .toDF("head", "path").transform(Lineage.cut)
+    var done = live.join(tgt, live("head") === tgt("tid"))
+      .select(col("head").as("target"), col("path"))
+    var rounds = 0
+    while (!live.isEmpty && rounds < hops) {
+      rounds += 1
+      live = live.join(adj, live("head") === adj("src"))
+        .where(!array_contains(col("path"), col("dst")))
+        .select(col("dst").as("head"), concat(col("path"), array(col("dst"))).as("path"))
+        .transform(Lineage.cut)
+      val n = live.count()
+      require(n <= maxPaths,
+        s"allSimplePaths: > $maxPaths live partial paths at hop $rounds — " +
+          "combinatorial blow-up; lower cutoff, restrict targets, or raise maxPaths")
+      done = done.union(live.join(tgt, live("head") === tgt("tid"))
+        .select(col("head").as("target"), col("path"))).transform(Lineage.cut)
+    }
+    adj.unpersist()
+    done
+  }
+
   /** Reconstruct the vertex path origin -> target by walking parents
     * (driver-side; paths are short). Returns empty if unreachable.
     */
