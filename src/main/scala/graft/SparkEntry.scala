@@ -253,6 +253,28 @@ object SparkEntry {
       // bridge graph (tree + chords): sparse with non-trivial girth
       Seq(Distances.girth(Tables.bridgeGraph(s, dir)).getOrElse(-1L)).toDF("girth")
     }),
+    "q_motifs4" -> ((s, dir) => {
+      import s.implicits._
+      Motifs.motifs4Named(Tables.bridgeGraph(s, dir)).toDF("shape", "cnt")
+    }),
+    // flow family (driver kernels; no SQL-expressible oracle -> the driver
+    // records rows-only checks for these two)
+    "q_gomory_hu" -> ((s, dir) =>
+      Flow.gomoryHu(Tables.bridgeGraph(s, dir), useWeights = false)
+        .select(col("src"), col("dst"), col("flow"))),
+    "q_maxflow_cut" -> ((s, dir) => {
+      val g = Tables.bridgeGraph(s, dir)
+      val mf = Flow.stMincut(g, 1L, 0L)
+      mf.cutEdges.select(col("src"), col("dst"), lit(mf.value).as("value"))
+    }),
+    "q_allsp" -> ((s, dir) => {
+      // every shortest path from vertex 1 to each target id % 17 == 0
+      val g = Tables.bridgeGraph(s, dir)
+      val targets = g.vertices.where(col("id") % 17 === 0)
+        .collect().map(_.getLong(0)).toSeq
+      ShortestPaths.allShortestPaths(g, 1L, targets, mode = Mode.All)
+        .select(col("target"), col("path"))
+    }),
     "q_cliques4" -> ((s, dir) => Cliques.cliques(Tables.copartGraph(s, dir), 4, 4)
       .select(element_at(col("clique"), 1).as("va"), element_at(col("clique"), 2).as("vb"),
         element_at(col("clique"), 3).as("vc"), element_at(col("clique"), 4).as("vd"))),
@@ -1014,6 +1036,60 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |SELECT COUNT(*) AS triangles FROM pe e1
          |JOIN pe e2 ON e2.src = e1.src AND e2.dst > e1.dst
          |JOIN pe e3 ON e3.src = e1.dst AND e3.dst = e2.dst""".stripMargin,
+    "q_allsp" ->
+      s"""WITH RECURSIVE ev AS (SELECT DISTINCT user_id AS u FROM events),
+         |be AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM (
+         |  SELECT u // 2 AS s, u AS d FROM ev WHERE u > 0
+         |  UNION ALL SELECT u - 1, u FROM ev WHERE u > 0 AND u % 7 = 0)),
+         |bi AS (SELECT u AS x, v AS n FROM be UNION ALL SELECT v, u FROM be),
+         |bf AS (SELECT CAST(1 AS BIGINT) AS vx, 0 AS d
+         |  UNION SELECT bi.n, bf.d + 1 FROM bf JOIN bi ON bi.x = bf.vx WHERE bf.d < 64),
+         |md AS MATERIALIZED (SELECT vx, MIN(d) AS d FROM bf GROUP BY vx),
+         |par AS MATERIALIZED (SELECT c.vx AS child, p.vx AS par FROM bi
+         |  JOIN md c ON c.vx = bi.x JOIN md p ON p.vx = bi.n AND p.d = c.d - 1),
+         |tgt AS (SELECT vx FROM md WHERE vx % 17 = 0),
+         |paths AS (SELECT vx AS target, vx AS head, [vx] AS path FROM tgt
+         |  UNION ALL SELECT paths.target, par.par, list_prepend(par.par, paths.path)
+         |  FROM paths JOIN par ON par.child = paths.head WHERE paths.head <> 1)
+         |SELECT target, path FROM paths WHERE head = 1
+         |UNION ALL SELECT * FROM (SELECT CAST(-999 AS BIGINT) AS target,
+         |  [CAST(-999 AS BIGINT)] AS path FROM md WHERE d >= 64 LIMIT 1)""".stripMargin,
+    "q_motifs4" ->
+      // independent oracle: ENUMERATE connected 4-sets (every connected
+      // 4-graph has a spanning path or star) and classify by internal edge
+      // count + max intra-degree — while the engine computes closed-form
+      // non-induced statistics and Möbius-inverts, so the two sides agree
+      // only if the inversion coefficients are right
+      s"""WITH ev AS (SELECT DISTINCT user_id AS u FROM events),
+         |be AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM (
+         |  SELECT u // 2 AS s, u AS d FROM ev WHERE u > 0
+         |  UNION ALL SELECT u - 1, u FROM ev WHERE u > 0 AND u % 7 = 0)),
+         |bi AS (SELECT u AS x, v AS n FROM be UNION ALL SELECT v, u FROM be),
+         |quad AS (SELECT DISTINCT list_sort([p1, p2, p3, p4]) AS q FROM (
+         |  SELECT e1.x AS p1, e1.n AS p2, e2.n AS p3, e3.n AS p4
+         |  FROM bi e1
+         |  JOIN bi e2 ON e2.x = e1.n AND e2.n <> e1.x
+         |  JOIN bi e3 ON e3.x = e2.n AND e3.n <> e2.x AND e3.n <> e1.x AND e3.n <> e1.n
+         |  UNION ALL
+         |  SELECT s1.x, s1.n, s2.n, s3.n
+         |  FROM bi s1
+         |  JOIN bi s2 ON s2.x = s1.x AND s2.n > s1.n
+         |  JOIN bi s3 ON s3.x = s1.x AND s3.n > s2.n)),
+         |qe AS (SELECT quad.q AS q, be.u, be.v FROM quad
+         |  JOIN be ON list_contains(quad.q, be.u) AND list_contains(quad.q, be.v)),
+         |m AS (SELECT q, COUNT(*) AS m FROM qe GROUP BY q),
+         |dd AS (SELECT q, vx, COUNT(*) AS d FROM (
+         |  SELECT q, u AS vx FROM qe UNION ALL SELECT q, v FROM qe) GROUP BY q, vx),
+         |md AS (SELECT q, MAX(d) AS maxd FROM dd GROUP BY q),
+         |shp AS (SELECT CASE WHEN m.m = 6 THEN 'k4' WHEN m.m = 5 THEN 'diamond'
+         |    WHEN m.m = 4 AND md.maxd = 3 THEN 'paw' WHEN m.m = 4 THEN 'c4'
+         |    WHEN m.m = 3 AND md.maxd = 3 THEN 'claw' ELSE 'p4' END AS shape
+         |  FROM m JOIN md ON md.q = m.q),
+         |shapes AS (SELECT * FROM (VALUES ('p4'), ('claw'), ('c4'), ('paw'),
+         |  ('diamond'), ('k4')) t(shape))
+         |SELECT shapes.shape, COALESCE(c.cnt, 0) AS cnt FROM shapes
+         |LEFT JOIN (SELECT shape, COUNT(*) AS cnt FROM shp GROUP BY shape) c
+         |  ON c.shape = shapes.shape""".stripMargin,
     "q_cliques4" ->
       s"""WITH $P
          |SELECT e1.src AS va, e1.dst AS vb, e2.dst AS vc, e3.dst AS vd

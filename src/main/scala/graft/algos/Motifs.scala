@@ -62,6 +62,112 @@ object Motifs {
     */
   def motifs3Count(g: LinkGraph): Long = motifs3(g).flatten.sum
 
+  /** `motifs_randesu(size=4)` for UNDIRECTED graphs
+    * (`graphobject.c:14275-14341`): induced 4-vertex subgraph counts per
+    * isoclass (11 classes, the 5 disconnected ones None). The directed
+    * 4-census (218 classes) stays excluded per SURVEY §2.9.
+    *
+    * Scale design — no 4-subset is ever enumerated except the K4s (which the
+    * degree-ordered [[Cliques.cliques]] listing bounds by arboricity). The
+    * other five connected classes come from closed-form NON-induced counts
+    * over degree / per-edge-triangle / co-degree statistics, then the
+    * standard graphlet Möbius inversion down to induced counts:
+    *
+    *   N_claw    = Σ_v C(d_v, 3)
+    *   N_P4      = Σ_(u,v)∈E [(d_u−1)(d_v−1) − t_uv]   (middle-edge walks)
+    *   N_paw     = Σ_v t_v (d_v − 2)
+    *   N_diamond = Σ_e C(t_e, 2)
+    *   N_C4      = ½ Σ_{u<v} C(codeg(u,v), 2)          (two diagonals each)
+    *
+    *   n_K4      = N_K4
+    *   n_diamond = N_diamond − 6 n_K4
+    *   n_C4      = N_C4 − n_diamond − 3 n_K4
+    *   n_paw     = N_paw − 4 n_diamond − 12 n_K4
+    *   n_claw    = N_claw − n_paw − 2 n_diamond − 4 n_K4
+    *   n_P4      = N_P4 − 4 n_C4 − 2 n_paw − 6 n_diamond − 12 n_K4
+    *
+    * (containment coefficients hand-derived per class and pinned by the
+    * brute-force parity test). Every statistic is one distributed aggregate:
+    * degrees, triangle triples (degree-ordered orientation), and the wedge
+    * endpoint-pair co-degree groupBy — the same cost class as triangle
+    * counting.
+    */
+  def motifs4(g: LinkGraph): Seq[Option[Long]] = {
+    val spark = g.spark
+    val named = motifs4Named(g).toMap
+    val out = Array.fill[Option[Long]](Catalog.isoclassCount(4, directed = false))(None)
+    def rep(edges: (Long, Long)*): Int =
+      Catalog.isoclassOf(LinkGraph(spark, 4L, edges, directed = false))
+    out(rep((0L, 1L), (1L, 2L), (2L, 3L))) = Some(named("p4"))
+    out(rep((0L, 1L), (0L, 2L), (0L, 3L))) = Some(named("claw"))
+    out(rep((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) = Some(named("c4"))
+    out(rep((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L))) = Some(named("paw"))
+    out(rep((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (1L, 3L))) = Some(named("diamond"))
+    out(rep((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))) = Some(named("k4"))
+    out.toSeq
+  }
+
+  /** The six connected 4-vertex induced counts by shape name (the
+    * SQL-friendly face of [[motifs4]]).
+    */
+  def motifs4Named(g: LinkGraph): Seq[(String, Long)] = {
+    require(!g.directed,
+      "motifs_randesu(size=4) is implemented for undirected graphs; the " +
+        "218-class directed census is excluded (SURVEY §2.9)")
+    val de = g.weighted.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct().transform(graft.core.Lineage.cut).persist()
+    de.count()
+    val deg = de.select(col("a").as("v")).union(de.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d")).persist()
+    def lsum(df: org.apache.spark.sql.DataFrame): Long = {
+      val r = df.head
+      if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue
+    }
+    // claw: sum_v C(d,3)
+    val nClaw = lsum(deg.agg(sum(col("d") * (col("d") - 1) * (col("d") - 2) / 6)))
+    // triangles per edge / per vertex
+    val tri = Triangles.triangleTriples(g).persist()
+    val triEdges = tri.select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .union(tri.select(least(col("a"), col("c")).as("a"), greatest(col("a"), col("c")).as("b")))
+      .union(tri.select(least(col("b"), col("c")).as("a"), greatest(col("b"), col("c")).as("b")))
+    val te = triEdges.groupBy("a", "b").agg(count(lit(1)).as("t")).persist()
+    val tv = tri.select(col("a").as("v")).union(tri.select(col("b").as("v")))
+      .union(tri.select(col("c").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    val nDiamond = lsum(te.agg(sum(col("t") * (col("t") - 1) / 2)))
+    val nPaw = lsum(tv.join(deg, Seq("v")).agg(sum(col("t") * (col("d") - 2))))
+    // P4: middle-edge walks minus triangle closures
+    val eWithDeg = de
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .join(te, Seq("a", "b"), "left")
+      .select(((col("da") - 1) * (col("db") - 1) - coalesce(col("t"), lit(0L))).as("p"))
+    val nP4 = lsum(eWithDeg.agg(sum(col("p"))))
+    // C4: co-degree over wedge endpoint pairs
+    val bi = de.select(col("a").as("x"), col("b").as("n"))
+      .union(de.select(col("b").as("x"), col("a").as("n")))
+    val w1 = bi.select(col("x"), col("n").as("u"))
+    val w2 = bi.select(col("x"), col("n").as("v"))
+    val codeg = w1.join(w2, Seq("x")).where(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+    val nC4 = lsum(codeg.agg(sum(col("c") * (col("c") - 1) / 2))) / 2
+    val nK4 = Cliques.cliques(g, 4, 4).count()
+    tri.unpersist(); te.unpersist(); deg.unpersist(); de.unpersist()
+    // Möbius inversion to induced counts
+    val k4 = nK4
+    val diamond = nDiamond - 6 * k4
+    val c4 = nC4 - diamond - 3 * k4
+    val paw = nPaw - 4 * diamond - 12 * k4
+    val claw = nClaw - paw - 2 * diamond - 4 * k4
+    val p4 = nP4 - 4 * c4 - 2 * paw - 6 * diamond - 12 * k4
+    Seq("p4" -> p4, "claw" -> claw, "c4" -> c4, "paw" -> paw,
+      "diamond" -> diamond, "k4" -> k4)
+  }
+
+  /** `motifs_randesu_no(size=4)`: connected induced 4-subgraph count. */
+  def motifs4Count(g: LinkGraph): Long = motifs4(g).flatten.sum
+
   /** A 3-vertex edge list is (weakly) connected iff all of 0,1,2 merge
     * under union of its endpoints.
     */

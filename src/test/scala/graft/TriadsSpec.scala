@@ -127,6 +127,57 @@ class TriadsSpec extends AnyFunSuite {
     assert(m(3).contains(2L)) // triangles
   }
 
+  test("motifs4 undirected: fixed-shape goldens (K4, Ring(5), Star(5))") {
+    import graft.algos.Motifs
+    def named(g: LinkGraph) = Motifs.motifs4Named(g).toMap
+    assert(named(LinkGraph.full(spark, 4)) ==
+      Map("p4" -> 0L, "claw" -> 0L, "c4" -> 0L, "paw" -> 0L, "diamond" -> 0L, "k4" -> 1L))
+    // C5: every 4-subset induces a P4
+    assert(named(LinkGraph.ring(spark, 5)) ==
+      Map("p4" -> 5L, "claw" -> 0L, "c4" -> 0L, "paw" -> 0L, "diamond" -> 0L, "k4" -> 0L))
+    // Star(5): hub + 4 spokes -> C(4,3) claws
+    assert(named(LinkGraph.star(spark, 5)) ==
+      Map("p4" -> 0L, "claw" -> 4L, "c4" -> 0L, "paw" -> 0L, "diamond" -> 0L, "k4" -> 0L))
+    // motifs vector: 11 classes, exactly 6 defined, count matches _no
+    val v = Motifs.motifs4(LinkGraph.full(spark, 5))
+    assert(v.size == 11 && v.count(_.isDefined) == 6)
+    assert(Motifs.motifs4Count(LinkGraph.full(spark, 5)) == 5) // C(5,4) K4s
+  }
+
+  test("motifs4 undirected: matches brute-force induced classification across densities") {
+    import graft.algos.Motifs
+    val rnd = new scala.util.Random(23)
+    for (p <- Seq(0.25, 0.4, 0.6)) {
+      val n = 8
+      val edges = (for {
+        i <- 0 until n; j <- i + 1 until n if rnd.nextDouble() < p
+      } yield (i.toLong, j.toLong)).toSeq
+      val g = LinkGraph(spark, n.toLong, edges, directed = false)
+      val eset = edges.toSet
+      def adj(a: Long, b: Long) = eset.contains((math.min(a, b), math.max(a, b)))
+      // classify each 4-subset by (internal edge count, sorted degree seq)
+      val want = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for (s <- (0L until n).combinations(4)) {
+        val ie = s.combinations(2).count { case Seq(a, b) => adj(a, b) }
+        val ds = s.map(v => s.count(u => u != v && adj(u, v))).sorted
+        val shape = (ie, ds) match {
+          case (3, Seq(1, 1, 1, 3)) => "claw"
+          case (3, Seq(1, 1, 2, 2)) => "p4"
+          case (4, Seq(2, 2, 2, 2)) => "c4"
+          case (4, Seq(1, 2, 2, 3)) => "paw"
+          case (5, _)               => "diamond"
+          case (6, _)               => "k4"
+          case _                    => "disconnected-or-sparse"
+        }
+        if (shape != "disconnected-or-sparse") want(shape) += 1L
+      }
+      val got = Motifs.motifs4Named(g).toMap
+      Seq("p4", "claw", "c4", "paw", "diamond", "k4").foreach { s =>
+        assert(got(s) == want(s), s"p=$p shape=$s got=${got(s)} want=${want(s)} edges=$edges")
+      }
+    }
+  }
+
   test("inverse-log-weighted similarity: shared hub weighted by 1/ln(deg)") {
     // 0 and 1 share neighbors 2 (deg 3) and 3 (deg 2)
     val g = LinkGraph(spark, 5,
