@@ -257,6 +257,10 @@ object SparkEntry {
       import s.implicits._
       Motifs.motifs4Named(Tables.bridgeGraph(s, dir)).toDF("shape", "cnt")
     }),
+    "q_compose" -> ((s, dir) => {
+      val g = Tables.eventsGraph(s, dir)
+      graft.ops.Extras.compose(g, g).weighted.select(col("src"), col("dst"))
+    }),
     // flow family (driver kernels; no SQL-expressible oracle -> the driver
     // records rows-only checks for these two)
     "q_gomory_hu" -> ((s, dir) =>
@@ -1036,6 +1040,10 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |SELECT COUNT(*) AS triangles FROM pe e1
          |JOIN pe e2 ON e2.src = e1.src AND e2.dst > e1.dst
          |JOIN pe e3 ON e3.src = e1.dst AND e3.dst = e2.dst""".stripMargin,
+    "q_compose" ->
+      s"""WITH $E
+         |SELECT DISTINCT e1.src AS src, e2.dst AS dst
+         |FROM e e1 JOIN e e2 ON e2.src = e1.dst""".stripMargin,
     "q_allsp" ->
       s"""WITH RECURSIVE ev AS (SELECT DISTINCT user_id AS u FROM events),
          |be AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM (

@@ -193,4 +193,35 @@ object Cliques {
     val res = all.join(broadcast(top), Seq("size")).select("clique", "size")
     res
   }
+
+  // ---------------------------------------------------------- independent sets
+  // The reference family (`graphobject.c:15792-15830`, goldens
+  // `test_cliques.py:106-157`) is clique enumeration on the complement
+  // graph. The complement is Θ(n²), so these are gated much tighter than
+  // the clique entry points — the blow-up is the complement itself.
+
+  private def complementFor(g: LinkGraph, what: String): LinkGraph = {
+    require(g.vcount() <= 20000,
+      s"$what enumerates cliques of the COMPLEMENT graph (Θ(n²) edges) — capped at 20000 vertices")
+    graft.ops.Extras.complementer(g, loops = false)
+  }
+
+  /** `independent_vertex_sets(min, max)`: (set array<long>, size) rows. */
+  def independentVertexSets(g: LinkGraph, min: Int = 1, max: Int = 0): DataFrame =
+    cliques(complementFor(g, "independent_vertex_sets"), min, max)
+      .withColumnRenamed("clique", "vset")
+
+  /** `maximal_independent_vertex_sets()`. */
+  def maximalIndependentVertexSets(g: LinkGraph): DataFrame =
+    maximalCliques(complementFor(g, "maximal_independent_vertex_sets"))
+      .withColumnRenamed("clique", "vset")
+
+  /** `largest_independent_vertex_sets()`. */
+  def largestIndependentVertexSets(g: LinkGraph): DataFrame =
+    largestCliques(complementFor(g, "largest_independent_vertex_sets"))
+      .withColumnRenamed("clique", "vset")
+
+  /** `independence_number()` / `alpha()`. */
+  def independenceNumber(g: LinkGraph): Int =
+    cliqueNumber(complementFor(g, "independence_number"))
 }

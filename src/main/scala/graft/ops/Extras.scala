@@ -266,4 +266,94 @@ object Extras {
     sub.where(col("parent") =!= -1L && col("acc") === 0L)
       .select(least(col("v"), col("parent")).as("src"), greatest(col("v"), col("parent")).as("dst"))
   }
+
+  /** The complement is inherently Θ(n²) edges — refuse above this rather
+    * than launch a job whose OUTPUT cannot fit anywhere.
+    */
+  val maxComplementVertices = 65536L
+
+  /** `complementer(loops)` (`graphobject.c:9846`; goldens
+    * `test_operators.py:12-23`): cross-join of the vertex set minus the
+    * existing edges. With `loops = true` (the reference default behavior in
+    * its own tests), vertices WITHOUT a self-loop gain one.
+    */
+  def complementer(g: LinkGraph, loops: Boolean = true): LinkGraph = {
+    val n = g.vcount()
+    require(n <= maxComplementVertices,
+      s"complementer of $n vertices has ~n^2 = ${n * n} edges — refusing above " +
+        s"$maxComplementVertices vertices (the output itself is the blow-up)")
+    val v = g.vertices
+    val pairs =
+      if (g.directed)
+        v.select(col("id").as("src")).crossJoin(v.select(col("id").as("dst")))
+          .where(if (loops) lit(true) else col("src") =!= col("dst"))
+      else {
+        val base = v.select(col("id").as("src")).crossJoin(v.select(col("id").as("dst")))
+          .where(col("src") < col("dst"))
+        if (loops) base.union(v.select(col("id").as("src"), col("id").as("dst"))) else base
+      }
+    val existing =
+      if (g.directed) g.weighted.select("src", "dst").distinct()
+      else g.weighted.select(
+        when(col("src") <= col("dst"), col("src")).otherwise(col("dst")).as("src"),
+        when(col("src") <= col("dst"), col("dst")).otherwise(col("src")).as("dst")).distinct()
+    LinkGraph(pairs.join(existing, Seq("src", "dst"), "left_anti"), g.directed, Some(n))
+  }
+
+  /** `compose(other)` (`graphobject.c:15519`): relational composition —
+    * edge (a, c) iff some b has (a, b) ∈ g1 and (b, c) ∈ g2. One
+    * distributed join on the shared endpoint; vertex set is the union.
+    */
+  def compose(g1: LinkGraph, g2: LinkGraph): LinkGraph = {
+    val e1 = (if (g1.directed) g1.weighted else g1.bidirected)
+      .select(col("src").as("a"), col("dst").as("b"))
+    val e2 = (if (g2.directed) g2.weighted else g2.bidirected)
+      .select(col("src").as("b"), col("dst").as("c"))
+    val directed = g1.directed || g2.directed
+    val comp0 = e1.join(e2, Seq("b")).select(col("a").as("src"), col("c").as("dst")).distinct()
+    val comp = if (directed) comp0
+      else comp0.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst")).distinct()
+    val n = math.max(g1.vcount(), g2.vcount())
+    LinkGraph(comp, directed, Some(n))
+  }
+
+  /** `rewire(n, mode)` (`graphobject.c:13893`; goldens
+    * `test_games.py:146-159`): degree-preserving double-edge swaps. A
+    * require-gated driver kernel — the swap chain is inherently sequential
+    * (each swap conditions on the previous state); seeded for determinism.
+    * mode "simple" keeps the graph simple; "loops" additionally allows
+    * self-loops.
+    */
+  def rewire(g: LinkGraph, trials: Int, mode: String = "simple", seed: Long = 42L): LinkGraph = {
+    require(mode == "simple" || mode == "loops", s"rewire mode must be simple|loops, got $mode")
+    val n = g.vcount()
+    require(n <= 2000000L && g.ecount() <= 10000000L,
+      "rewire is a sequential driver kernel — capped at 2M vertices / 10M edges")
+    val rnd = new scala.util.Random(seed)
+    def norm(g: LinkGraph, e: (Long, Long)): (Long, Long) =
+      if (g.directed || e._1 <= e._2) e else (e._2, e._1)
+    val edges = scala.collection.mutable.ArrayBuffer(
+      g.weighted.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))): _*)
+    val eset = scala.collection.mutable.Set(edges.map(e => norm(g, e)).toSeq: _*)
+    var i = 0
+    while (i < trials && edges.length >= 2) {
+      i += 1
+      val x = rnd.nextInt(edges.length)
+      val y = rnd.nextInt(edges.length)
+      if (x != y) {
+        val (a, b) = edges(x); val (c, d) = edges(y)
+        // swap to (a, d), (c, b) — preserves out/in degrees (and total
+        // degrees when undirected)
+        val n1 = norm(g, (a, d)); val n2 = norm(g, (c, b))
+        val loopOk = mode == "loops" || (a != d && c != b)
+        if (loopOk && n1 != n2 && !eset.contains(n1) && !eset.contains(n2)) {
+          eset -= norm(g, (a, b)); eset -= norm(g, (c, d))
+          eset += n1; eset += n2
+          edges(x) = (a, d); edges(y) = (c, b)
+        }
+      }
+    }
+    LinkGraph(g.spark, n, edges.toSeq, g.directed)
+  }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import graft.algos.{Cliques, Dominators}
+import graft.core.{GraphOps, LinkGraph, Mode}
+import graft.ops.Extras
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Goldens for complementer/compose/rewire (test_operators.py,
+  * test_games.py), dominator trees (test_structural.py:775-893), and the
+  * independent-set family (test_cliques.py:106-157).
+  */
+class OperatorsExtraSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def edgeSet(g: LinkGraph): Set[(Long, Long)] =
+    g.weighted.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("complementer: Full(3) default = self-loops only; disjoint Full(3)+Full(2) no-loops = cross edges (test_operators.py:12-23)") {
+    val g = LinkGraph.full(spark, 3)
+    val c = Extras.complementer(g)
+    assert(c.vcount() == 3)
+    assert(edgeSet(c) == Set((0L, 0L), (1L, 1L), (2L, 2L)))
+    val g2 = GraphOps.disjointUnion(LinkGraph.full(spark, 3), LinkGraph.full(spark, 2))
+    val c2 = Extras.complementer(g2, loops = false)
+    assert(edgeSet(c2) == Set((0L, 3L), (0L, 4L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
+  }
+
+  test("compose: relational composition via one join") {
+    // g1: 0->1, g2: 1->2  =>  0->2
+    val g1 = LinkGraph(spark, 3, Seq((0L, 1L)), directed = true)
+    val g2 = LinkGraph(spark, 3, Seq((1L, 2L)), directed = true)
+    assert(edgeSet(Extras.compose(g1, g2)) == Set((0L, 2L)))
+    // undirected: both orientations of each edge participate in the relation
+    val u1 = LinkGraph(spark, 3, Seq((0L, 1L)), directed = false)
+    val u2 = LinkGraph(spark, 3, Seq((1L, 2L)), directed = false)
+    assert(edgeSet(Extras.compose(u1, u2)) == Set((0L, 2L)))
+    // 0-1 composed with itself: (0,1)(1,0) -> loop at 0, (1,0)(0,1) -> loop at 1
+    assert(edgeSet(Extras.compose(u1, u1)) == Set((0L, 0L), (1L, 1L)))
+  }
+
+  test("rewire preserves the degree sequence and simplicity (test_games.py:146-159)") {
+    val rnd = new scala.util.Random(5)
+    val n = 20
+    val edges = (for {
+      i <- 0 until n; j <- i + 1 until n if rnd.nextDouble() < 0.25
+    } yield (i.toLong, j.toLong)).toSeq
+    val g = LinkGraph(spark, n.toLong, edges, directed = false)
+    def degs(x: LinkGraph): Map[Long, Long] =
+      TestSession.longVector(GraphOps.degrees(x, Mode.All), "degree")
+        .zipWithIndex.map { case (d, i) => i.toLong -> d }.toMap
+    val before = degs(g)
+    val r = Extras.rewire(g, 5000, seed = 7L)
+    assert(degs(r) == before)
+    val re = edgeSet(r)
+    assert(re.forall { case (a, b) => a != b }, "simple mode must not create loops")
+    assert(re.size == edges.size, "no multi-edges")
+    assert(re != edges.toSet, "5000 trials should move at least one edge")
+    // determinism: same seed, same result
+    assert(edgeSet(Extras.rewire(g, 5000, seed = 7L)) == re)
+  }
+
+  test("dominator tree goldens: forward, flipped (mode=IN), disconnected (test_structural.py:775-893)") {
+    def domMap(g: LinkGraph, root: Long, mode: Mode = Mode.Out): Map[Long, Long] =
+      Dominators.dominator(g, root, mode).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g1 = LinkGraph(spark, 13, Seq(
+      (0L, 1L), (0L, 7L), (0L, 10L), (1L, 2L), (1L, 5L), (2L, 3L), (3L, 4L), (4L, 3L),
+      (4L, 0L), (5L, 3L), (5L, 6L), (6L, 3L), (7L, 8L), (7L, 10L), (7L, 11L), (8L, 9L),
+      (9L, 4L), (9L, 8L), (10L, 11L), (11L, 12L), (12L, 9L)), directed = true)
+    val want1 = Map(0L -> -1L, 1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 1L,
+      6L -> 5L, 7L -> 0L, 8L -> 0L, 9L -> 0L, 10L -> 0L, 11L -> 0L, 12L -> 11L)
+    assert(domMap(g1, 0L) == want1)
+    val g2 = LinkGraph(spark, 13, Seq(
+      (1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (1L, 2L), (4L, 2L), (5L, 2L), (6L, 3L),
+      (7L, 3L), (12L, 4L), (8L, 5L), (9L, 6L), (9L, 7L), (10L, 7L), (5L, 8L), (11L, 8L),
+      (11L, 9L), (9L, 10L), (9L, 11L), (0L, 11L), (8L, 12L)), directed = true)
+    val want2 = Map(0L -> -1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L,
+      6L -> 3L, 7L -> 3L, 8L -> 0L, 9L -> 0L, 10L -> 7L, 11L -> 0L, 12L -> 4L)
+    assert(domMap(g2, 0L, Mode.In) == want2)
+    val g3 = LinkGraph(spark, 20, Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (2L, 1L), (2L, 4L), (2L, 8L), (3L, 9L),
+      (3L, 10L), (4L, 15L), (8L, 11L), (9L, 12L), (10L, 12L), (10L, 13L), (11L, 8L),
+      (11L, 14L), (12L, 14L), (13L, 12L), (14L, 12L), (14L, 0L), (15L, 11L)), directed = true)
+    val want3 = Map(0L -> -1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 8L -> 0L,
+      9L -> 3L, 10L -> 3L, 11L -> 0L, 12L -> 0L, 13L -> 10L, 14L -> 0L, 15L -> 4L)
+    assert(domMap(g3, 0L) == want3) // unreachable 5,6,7,16-19 absent
+  }
+
+  private def sets(df: org.apache.spark.sql.DataFrame): Set[Seq[Long]] =
+    df.select("vset").collect().map(_.getSeq[Long](0).toSeq).toSet
+
+  test("independent vertex sets on Tree(5,2) + maximal/largest/alpha on Tree(10,2) (test_cliques.py:106-157)") {
+    val t5 = LinkGraph.tree(spark, 5, 2)
+    assert(sets(Cliques.independentVertexSets(t5, 4)).isEmpty)
+    assert(sets(Cliques.independentVertexSets(t5, 2, 2)) == Set(
+      Seq(0L, 3L), Seq(0L, 4L), Seq(1L, 2L), Seq(2L, 3L), Seq(2L, 4L), Seq(3L, 4L)))
+    assert(sets(Cliques.independentVertexSets(t5)).size == 13)
+    assert(sets(Cliques.largestIndependentVertexSets(t5)) ==
+      Set(Seq(0L, 3L, 4L), Seq(2L, 3L, 4L)))
+    val t10 = LinkGraph.tree(spark, 10, 2)
+    assert(sets(Cliques.maximalIndependentVertexSets(t10)) == Set(
+      Seq(0L, 3L, 4L, 5L, 6L), Seq(0L, 3L, 5L, 6L, 9L), Seq(0L, 4L, 5L, 6L, 7L, 8L),
+      Seq(0L, 5L, 6L, 7L, 8L, 9L), Seq(1L, 2L, 7L, 8L, 9L), Seq(1L, 5L, 6L, 7L, 8L, 9L),
+      Seq(2L, 3L, 4L), Seq(2L, 3L, 9L), Seq(2L, 4L, 7L, 8L)))
+    assert(Cliques.independenceNumber(t10) == 6)
+  }
+}
