@@ -1,0 +1,176 @@
+package graft.algos
+
+import graft.core.LinkGraph
+
+/** VF2 (sub)graph isomorphism (`graphobject.c` isomorphic_vf2 /
+  * count_isomorphisms_vf2 / get_automorphisms_vf2 / subisomorphic_vf2 /
+  * count_subisomorphisms_vf2; goldens `tests/test_isomorphism.py`).
+  *
+  * Require-gated DRIVER KERNEL (SURVEY §2.9 excludes general isomorphism
+  * from the distributed scope — the search tree is inherently sequential
+  * and exponential in the worst case). Supports directed and undirected
+  * graphs and optional vertex colors; VF2 subgraph semantics are INDUCED,
+  * like the reference's `subisomorphic_vf2` (its LAD entry point is the
+  * non-induced variant — pass `induced = false` here for that semantics).
+  *
+  * For LARGE graphs the engine's scalable stand-ins are the invariant
+  * pipeline: degree distributions, triad/motif censuses and [[graft.core.
+  * Catalog]] isoclasses for small pieces — the usual way web-scale systems
+  * compare graph shapes.
+  */
+object Isomorphism {
+
+  val maxKernelVertices = 512L
+
+  private final case class LocalG(n: Int, directed: Boolean,
+                                  out: Array[Set[Int]], in: Array[Set[Int]],
+                                  color: Array[Int])
+
+  private def collect(g: LinkGraph, color: Option[Seq[Int]]): LocalG = {
+    val n0 = g.vcount()
+    require(n0 <= maxKernelVertices,
+      s"VF2 is a sequential driver kernel — capped at $maxKernelVertices vertices ($n0 given); " +
+        "compare large graphs by invariants (degree distribution, triad/motif census) instead")
+    val n = n0.toInt
+    val ids = g.vertices.collect().map(_.getLong(0)).sorted
+    val idx = ids.zipWithIndex.toMap
+    val out = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
+    val in = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
+    g.weighted.select("src", "dst").collect().foreach { r =>
+      val (a, b) = (idx(r.getLong(0)), idx(r.getLong(1)))
+      if (a != b) {
+        out(a) += b; in(b) += a
+        if (!g.directed) { out(b) += a; in(a) += b }
+      }
+    }
+    val cols = color.map(_.toArray).getOrElse(Array.fill(n)(0))
+    require(cols.length == n, s"color vector length ${cols.length} != vcount $n")
+    LocalG(n, g.directed, out.map(_.toSet), in.map(_.toSet), cols)
+  }
+
+  /** Core search: map every PATTERN vertex to a distinct TARGET vertex such
+    * that pattern edges map to edges and (if `induced`) pattern non-edges to
+    * non-edges among the mapped image. `onFound` returns true to STOP.
+    */
+  private def search(target: LocalG, pattern: LocalG, induced: Boolean,
+                     onFound: Array[Int] => Boolean): Unit = {
+    require(target.directed == pattern.directed, "directedness must match")
+    if (pattern.n == 0) { onFound(Array.empty); return }
+    if (pattern.n > target.n) return
+    // static pattern order: highest degree first, then most-constrained
+    // (neighbors of already-ordered vertices first) — the classic VF2 order
+    val order = {
+      val remaining = scala.collection.mutable.Set(0 until pattern.n: _*)
+      val res = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (remaining.nonEmpty) {
+        val anchored = remaining.filter(v =>
+          res.exists(u => pattern.out(u).contains(v) || pattern.in(u).contains(v)))
+        val pool = if (anchored.nonEmpty) anchored else remaining
+        val next = pool.maxBy(v => pattern.out(v).size + pattern.in(v).size)
+        res += next; remaining -= next
+      }
+      res.toArray
+    }
+    val pmap = Array.fill(pattern.n)(-1) // pattern -> target
+    val used = Array.fill(target.n)(false)
+    var stop = false
+    def rec(depth: Int): Unit = {
+      if (stop) return
+      if (depth == pattern.n) { stop = onFound(pmap.clone()); return }
+      val p = order(depth)
+      var cand = 0
+      while (cand < target.n && !stop) {
+        if (!used(cand) && pattern.color(p) == target.color(cand) &&
+          pattern.out(p).size <= target.out(cand).size &&
+          pattern.in(p).size <= target.in(cand).size) {
+          // consistency vs every already-mapped pattern vertex
+          var ok = true
+          var d = 0
+          while (ok && d < depth) {
+            val q = order(d); val t = pmap(q)
+            val pe1 = pattern.out(q).contains(p)
+            val te1 = target.out(t).contains(cand)
+            val pe2 = pattern.out(p).contains(q)
+            val te2 = target.out(cand).contains(t)
+            ok = (if (induced) pe1 == te1 && pe2 == te2
+                  else (!pe1 || te1) && (!pe2 || te2))
+            d += 1
+          }
+          if (ok) {
+            pmap(p) = cand; used(cand) = true
+            rec(depth + 1)
+            pmap(p) = -1; used(cand) = false
+          }
+        }
+        cand += 1
+      }
+    }
+    rec(0)
+  }
+
+  /** `isomorphic_vf2`: exact isomorphism (optionally vertex-colored). */
+  def isomorphicVf2(g1: LinkGraph, g2: LinkGraph,
+                    color1: Option[Seq[Int]] = None,
+                    color2: Option[Seq[Int]] = None): Boolean =
+    isomorphicMapping(g1, g2, color1, color2).isDefined
+
+  /** First isomorphism found as a mapping g1-vertex-position -> g2-vertex-
+    * position (None when not isomorphic). The reference's `mapping_12`.
+    */
+  def isomorphicMapping(g1: LinkGraph, g2: LinkGraph,
+                        color1: Option[Seq[Int]] = None,
+                        color2: Option[Seq[Int]] = None): Option[Array[Int]] = {
+    val t = collect(g2, color2); val p = collect(g1, color1)
+    if (t.n != p.n ||
+      t.out.map(_.size).sorted.toSeq != p.out.map(_.size).sorted.toSeq) return None
+    var res: Option[Array[Int]] = None
+    search(t, p, induced = true, m => { res = Some(m); true })
+    res
+  }
+
+  /** `count_isomorphisms_vf2` (same graph twice = automorphism count). */
+  def countIsomorphisms(g1: LinkGraph, g2: LinkGraph,
+                        color1: Option[Seq[Int]] = None,
+                        color2: Option[Seq[Int]] = None): Long = {
+    val t = collect(g2, color2); val p = collect(g1, color1)
+    if (t.n != p.n) return 0L
+    var c = 0L
+    search(t, p, induced = true, _ => { c += 1; false })
+    c
+  }
+
+  def countAutomorphisms(g: LinkGraph, color: Option[Seq[Int]] = None): Long =
+    countIsomorphisms(g, g, color, color)
+
+  /** `get_automorphisms_vf2`: every automorphism as a mapping array. */
+  def getAutomorphisms(g: LinkGraph, color: Option[Seq[Int]] = None): Seq[Array[Int]] = {
+    val t = collect(g, color); val p = collect(g, color)
+    val res = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    search(t, p, induced = true, m => { res += m; false })
+    res.toSeq
+  }
+
+  /** `subisomorphic_vf2`: does `g` contain an INDUCED subgraph isomorphic
+    * to `pattern`? (`induced = false` gives the LAD-style monomorphism.)
+    */
+  def subisomorphicVf2(g: LinkGraph, pattern: LinkGraph,
+                       colorG: Option[Seq[Int]] = None,
+                       colorP: Option[Seq[Int]] = None,
+                       induced: Boolean = true): Boolean = {
+    val t = collect(g, colorG); val p = collect(pattern, colorP)
+    var found = false
+    search(t, p, induced, _ => { found = true; true })
+    found
+  }
+
+  /** `count_subisomorphisms_vf2`. */
+  def countSubisomorphisms(g: LinkGraph, pattern: LinkGraph,
+                           colorG: Option[Seq[Int]] = None,
+                           colorP: Option[Seq[Int]] = None,
+                           induced: Boolean = true): Long = {
+    val t = collect(g, colorG); val p = collect(pattern, colorP)
+    var c = 0L
+    search(t, p, induced, _ => { c += 1; false })
+    c
+  }
+}

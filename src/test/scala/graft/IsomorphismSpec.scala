@@ -1,0 +1,82 @@
+package graft
+
+import graft.algos.Isomorphism
+import graft.core.LinkGraph
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VF2 goldens from /root/reference/tests/test_isomorphism.py. */
+class IsomorphismSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  // the two isomorphic cubic graphs from testIsomorphic
+  def g1 = LinkGraph(spark, 8, Seq((0L, 4L), (0L, 5L), (0L, 6L), (1L, 4L), (1L, 5L),
+    (1L, 7L), (2L, 4L), (2L, 6L), (2L, 7L), (3L, 5L), (3L, 6L), (3L, 7L)), directed = false)
+  def g2 = LinkGraph(spark, 8, Seq((0L, 1L), (0L, 3L), (0L, 4L), (2L, 3L), (2L, 1L),
+    (2L, 6L), (5L, 1L), (5L, 4L), (5L, 6L), (7L, 3L), (7L, 6L), (7L, 4L)), directed = false)
+
+  test("isomorphic + valid mapping + self-isomorphism (test_isomorphism.py:18-72)") {
+    assert(Isomorphism.isomorphicVf2(g1, g2))
+    val m = Isomorphism.isomorphicMapping(g1, g2).get
+    // the mapping must be a bijection preserving edges both ways (induced)
+    assert(m.toSet.size == 8)
+    val e1 = Seq((0, 4), (0, 5), (0, 6), (1, 4), (1, 5), (1, 7), (2, 4), (2, 6),
+      (2, 7), (3, 5), (3, 6), (3, 7)).map { case (a, b) => Set(a, b) }.toSet
+    val e2 = Seq((0, 1), (0, 3), (0, 4), (2, 3), (2, 1), (2, 6), (5, 1), (5, 4),
+      (5, 6), (7, 3), (7, 6), (7, 4)).map { case (a, b) => Set(a, b) }.toSet
+    assert(e1.map(s => s.map(m)) == e2)
+    assert(Isomorphism.isomorphicVf2(g1, g1))
+    // non-isomorphic pair: same degrees, different structure (C6 vs 2xC3)
+    val c6 = LinkGraph.ring(spark, 6)
+    val c33 = LinkGraph(spark, 6,
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L)), directed = false)
+    assert(!Isomorphism.isomorphicVf2(c6, c33))
+  }
+
+  test("vertex-colored isomorphism (test_isomorphism.py:74-81)") {
+    assert(Isomorphism.isomorphicVf2(g1, g2,
+      Some(Seq(0, 1, 0, 1, 0, 1, 0, 1)), Some(Seq(0, 0, 1, 1, 0, 0, 1, 1))))
+    assert(!Isomorphism.isomorphicVf2(g1, g2,
+      Some(Seq(0, 1, 0, 1, 0, 1, 0, 1)), Some(Seq(0, 0, 1, 1, 0, 1, 1, 0))))
+  }
+
+  test("count/get automorphisms (test_isomorphism.py:153-199)") {
+    assert(Isomorphism.countAutomorphisms(LinkGraph.full(spark, 4)) == 24L)
+    val ladder = LinkGraph(spark, 6,
+      Seq((0L, 1L), (2L, 3L), (4L, 5L), (0L, 2L), (2L, 4L), (1L, 3L), (3L, 5L)), directed = false)
+    assert(Isomorphism.countAutomorphisms(ladder) == 4L)
+    assert(Isomorphism.getAutomorphisms(ladder).map(_.toSeq).toSet == Set(
+      Seq(0, 1, 2, 3, 4, 5), Seq(1, 0, 3, 2, 5, 4), Seq(4, 5, 2, 3, 0, 1), Seq(5, 4, 3, 2, 1, 0)))
+    // colored automorphism counts on Full(4)
+    val k4 = LinkGraph.full(spark, 4)
+    assert(Isomorphism.countAutomorphisms(k4, Some(Seq(0, 1, 1, 0))) == 4L)
+    assert(Isomorphism.countAutomorphisms(k4, Some(Seq(0, 1, 2, 0))) == 2L)
+    assert(Isomorphism.getAutomorphisms(k4, Some(Seq(0, 1, 1, 0))).map(_.toSeq).toSet ==
+      Set(Seq(0, 1, 2, 3), Seq(0, 2, 1, 3), Seq(3, 1, 2, 0), Seq(3, 2, 1, 0)))
+  }
+
+  test("subisomorphism: containment + counts + colors (test_isomorphism.py:287-332)") {
+    val lat3 = LinkGraph.lattice(spark, Seq(3, 3))
+    val pat = LinkGraph(spark, 4, Seq((0L, 1L), (1L, 2L), (1L, 3L)), directed = false)
+    assert(Isomorphism.subisomorphicVf2(lat3, pat))
+    assert(!Isomorphism.subisomorphicVf2(pat, lat3))
+    val lat2 = LinkGraph.lattice(spark, Seq(2, 2))
+    assert(Isomorphism.countSubisomorphisms(lat3, lat2) == 32L)
+    assert(Isomorphism.countSubisomorphisms(lat2, lat3) == 0L)
+    // colors: center of the 3x3 grid colored 1, pattern leaf colored 1
+    assert(Isomorphism.countSubisomorphisms(lat3, pat,
+      Some(Seq(0, 0, 0, 0, 1, 0, 0, 0, 0)), Some(Seq(1, 0, 0, 0))) == 8L)
+    // directed containment: C3 inside directed C6? no; inside directed C3+tail yes
+    val c6d = LinkGraph(spark, 6, (0 until 6).map(i => (i.toLong, (i + 1) % 6L)), directed = true)
+    val c3d = LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L), (2L, 0L)), directed = true)
+    assert(!Isomorphism.subisomorphicVf2(c6d, c3d))
+    val c3tail = LinkGraph(spark, 4, Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)), directed = true)
+    assert(Isomorphism.subisomorphicVf2(c3tail, c3d))
+  }
+
+  test("kernel gate refuses oversized graphs") {
+    val big = LinkGraph(spark, Isomorphism.maxKernelVertices + 1,
+      Seq((0L, 1L)), directed = false)
+    val e = intercept[IllegalArgumentException](Isomorphism.isomorphicVf2(big, big))
+    assert(e.getMessage.contains("driver kernel"))
+  }
+}
