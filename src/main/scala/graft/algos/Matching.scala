@@ -1,0 +1,95 @@
+package graft.algos
+
+import graft.core.LinkGraph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** `maximum_bipartite_matching(types)` (`graphobject.c` matching block;
+  * goldens `tests/test_matching.py`). Require-gated driver kernel
+  * (SURVEY §2.9 excludes matching from the distributed scope): Hopcroft–
+  * Karp, O(E·√V). Returns (id, mate) with mate = -1 for unmatched vertices
+  * — the reference's `Matching.matching` vector.
+  */
+object Matching {
+
+  val maxKernelVertices = 2000000L
+
+  /** @param types (id, type) with exactly two distinct type values; edges
+    *              must cross sides (reference raises otherwise — so do we).
+    */
+  def maximumBipartiteMatching(g: LinkGraph, types: DataFrame): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val n = g.vcount()
+    require(n <= maxKernelVertices,
+      s"matching kernel capped at $maxKernelVertices vertices ($n given)")
+    val tpairs = types.select("id", "type").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
+    val sides = tpairs.values.toSet
+    require(sides.size <= 2, s"bipartite matching needs <= 2 types, got ${sides.size}")
+    val left = tpairs.filter(_._2 == sides.min).keys.toArray.sorted
+    val lIdx = left.zipWithIndex.toMap
+    val right = tpairs.filter(_._2 != sides.min).keys.toArray.sorted
+    val rIdx = right.zipWithIndex.toMap
+    val adj = Array.fill(left.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    g.weighted.select("src", "dst").collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      require(tpairs(a) != tpairs(b),
+        s"edge ($a, $b) connects two vertices of the same type — graph is not bipartite wrt `types`")
+      if (tpairs(a) == sides.min) adj(lIdx(a)) += rIdx(b) else adj(lIdx(b)) += rIdx(a)
+    }
+    // Hopcroft–Karp
+    val nl = left.length; val nr = right.length
+    val matchL = Array.fill(nl)(-1)
+    val matchR = Array.fill(nr)(-1)
+    val dist = new Array[Int](nl)
+    val INF = Int.MaxValue
+    def bfs(): Boolean = {
+      val q = scala.collection.mutable.Queue.empty[Int]
+      var found = false
+      var u = 0
+      while (u < nl) {
+        if (matchL(u) < 0) { dist(u) = 0; q += u } else dist(u) = INF
+        u += 1
+      }
+      while (q.nonEmpty) {
+        val x = q.dequeue()
+        adj(x).foreach { v =>
+          val w = matchR(v)
+          if (w < 0) found = true
+          else if (dist(w) == INF) { dist(w) = dist(x) + 1; q += w }
+        }
+      }
+      found
+    }
+    def dfs(u: Int): Boolean = {
+      var i = 0
+      while (i < adj(u).length) {
+        val v = adj(u)(i)
+        val w = matchR(v)
+        if (w < 0 || (dist(w) == dist(u) + 1 && dfs(w))) {
+          matchL(u) = v; matchR(v) = u
+          return true
+        }
+        i += 1
+      }
+      dist(u) = INF
+      false
+    }
+    while (bfs()) {
+      var u = 0
+      while (u < nl) { if (matchL(u) < 0) dfs(u); u += 1 }
+    }
+    val rows =
+      left.zipWithIndex.map { case (id, i) =>
+        (id, if (matchL(i) < 0) -1L else right(matchL(i)))
+      } ++ right.zipWithIndex.map { case (id, i) =>
+        (id, if (matchR(i) < 0) -1L else left(matchR(i)))
+      }
+    rows.toSeq.toDF("id", "mate")
+  }
+
+  /** Matching size (matched pairs). */
+  def matchingSize(matching: DataFrame): Long =
+    matching.where(col("mate") >= 0).count() / 2
+}
