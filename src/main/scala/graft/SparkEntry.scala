@@ -324,6 +324,11 @@ object SparkEntry {
       .select(col("doc_id"), col("cluster"), col("keep").cast("long").as("keep"))),
     "q_vocab_top" -> ((s, dir) => TextOps.vocabTop(Tables.read(s, dir, "documents"), 100)
       .select(col("token"), col("freq"))),
+    "q_tfidf" -> ((s, dir) => TextOps.tfidf(Tables.read(s, dir, "documents"))
+      .select(col("doc_id"), col("term"), round(col("tfidf"), 6).as("tfidf"))),
+    "q_bm25" -> ((s, dir) => TextOps.bm25(Tables.read(s, dir, "documents"),
+      Seq("the", "data", "graph"))
+      .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))),
     "q_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(Tables.read(s, dir, "documents"),
       Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0))
       .select(col("doc_id"), col("stratum"))),
@@ -837,6 +842,31 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
       """WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
         |SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
         |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tc FROM toks GROUP BY doc_id, term),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term,
+        |  ROUND(tc / CAST(dl AS DOUBLE) * (LN((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN dlen ON dlen.doc_id = tf.doc_id
+        |JOIN df ON df.term = tf.term CROSS JOIN nn""".stripMargin,
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+        |q AS (SELECT * FROM (VALUES ('the'), ('data'), ('graph')) t(term)),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |avgdl AS (SELECT AVG(CAST(dl AS DOUBLE)) AS adl FROM dlen),
+        |tf AS (SELECT toks.doc_id, toks.term, COUNT(*) AS tc FROM toks
+        |  JOIN q ON q.term = toks.term GROUP BY toks.doc_id, toks.term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id, ROUND(SUM(
+        |  LN((n - df + 0.5) / (df + 0.5) + 1.0) * (tc * 2.2) /
+        |  (tc + 1.2 * (1.0 - 0.75 + 0.75 * dl / adl))), 6) AS bm25
+        |FROM tf JOIN dlen ON dlen.doc_id = tf.doc_id
+        |JOIN df ON df.term = tf.term CROSS JOIN nn CROSS JOIN avgdl
+        |GROUP BY tf.doc_id""".stripMargin,
     "q_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang, MD5('42|' || doc_id::VARCHAR) AS hx FROM documents),
         |u AS (SELECT doc_id, lang,

@@ -28,7 +28,7 @@ object Flow {
   val maxKernelVertices = 100000L
 
   /** Dense local graph for the kernel: arcs with capacity + reverse index. */
-  private final class Net(val n: Int) {
+  private[algos] final class Net(val n: Int) {
     val head = Array.fill(n)(-1)
     var nxt = new Array[Int](16)
     var to = new Array[Int](16)
@@ -76,7 +76,7 @@ object Flow {
   /** Dinic: BFS level graph + blocking DFS; returns max-flow value, mutating
     * `net`'s residual capacities.
     */
-  private def dinic(net: Net, s: Int, t: Int): Double = {
+  private[algos] def dinic(net: Net, s: Int, t: Int): Double = {
     val n = net.n
     val level = new Array[Int](n)
     val it = new Array[Int](n)
@@ -147,7 +147,7 @@ object Flow {
   }
 
   /** Residual s-side after a max flow. */
-  private def sSide(net: Net, s: Int): Array[Boolean] = {
+  private[algos] def sSide(net: Net, s: Int): Array[Boolean] = {
     val seen = new Array[Boolean](net.n)
     val q = scala.collection.mutable.Queue(s); seen(s) = true
     while (q.nonEmpty) {

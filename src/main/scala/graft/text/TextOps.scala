@@ -236,6 +236,51 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token")).limit(k)
 
+  /** Per-(doc, term) TF-IDF weights: tf = term count / doc length,
+    * idf = ln((N + 1) / (df + 1)) + 1 (the smooth variant — never zero or
+    * divide-by-zero). One explode + two hash aggregates + one broadcast-
+    * sized join on the term dictionary: the 100 TB shape (the df table is
+    * |vocab|-sized, the doc side streams).
+    */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+    val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dlen, Seq("doc_id")).join(df, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (col("tc").cast("double") / col("dl") *
+          (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)).as("tfidf"))
+  }
+
+  /** BM25 scores of every document against a bag of query terms
+    * (k1 = 1.2, b = 0.75 defaults). Query terms ride a broadcast; the doc
+    * side is one explode + one aggregate — no per-query rescan of the
+    * corpus at scale.
+    */
+  def bm25(docs: DataFrame, query: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl")).persist()
+    val avgdl = dlen.agg(avg(col("dl"))).head.getDouble(0)
+    val q = query.distinct.toDF("term")
+    val tf = toks.join(broadcast(q), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dlen, Seq("doc_id")).join(broadcast(df), Seq("term"))
+      .select(col("doc_id"),
+        (log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tc") * (k1 + 1.0)) /
+          (col("tc") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))).as("s"))
+      .groupBy("doc_id").agg(sum(col("s")).as("bm25"))
+    dlen.unpersist()
+    scored
+  }
+
   /** Deterministic stratified sampling — the corpus-subsampling step of a
     * training-data pipeline (per-language / per-source quotas). Keeps a
     * document iff a seeded uniform in [0,1) derived from md5(seed|doc_id)
