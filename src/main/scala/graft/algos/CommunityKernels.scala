@@ -450,4 +450,40 @@ object CommunityKernels {
     val d = walktrap(g, steps)
     toDf(g, if (k > 0) d.cutToCount(k) else d.asClustering)
   }
+
+  /** `community_optimal_modularity` (`graphobject.c:16047`; golden
+    * `test_decomposition.py:332-343`: bull -> [0,0,1,0,1], q = 0.08).
+    * The reference solves an ILP via GLPK; without a solver the exact
+    * optimum is enumerable only for TINY graphs — gated at 12 vertices
+    * (Bell(12) ≈ 4.2M partitions, restricted-growth-string enumeration).
+    * Use Louvain/Leiden at any real size; this exists as the exactness
+    * anchor for their goldens.
+    */
+  def optimalModularity(g0: LinkGraph): (Array[Int], Double) = {
+    val g = collect(g0)
+    val n = g.n
+    require(n <= 12,
+      s"optimal modularity is exact-exponential — capped at 12 vertices ($n given); use Louvain/Leiden")
+    if (n == 0) return (Array.empty, 0.0)
+    // enumerate set partitions as restricted growth strings
+    val memb = new Array[Int](n)
+    var best = Array.fill(n)(0)
+    var bestQ = localQ(g, best)
+    def rec(i: Int, maxLabel: Int): Unit = {
+      if (i == n) {
+        val q = localQ(g, memb)
+        if (q > bestQ) { bestQ = q; best = memb.clone() }
+      } else {
+        var l = 0
+        while (l <= maxLabel + 1 && l < n) {
+          memb(i) = l
+          rec(i + 1, math.max(maxLabel, l))
+          l += 1
+        }
+      }
+    }
+    memb(0) = 0
+    rec(1, 0)
+    (best, bestQ)
+  }
 }
