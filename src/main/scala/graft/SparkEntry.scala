@@ -5,7 +5,7 @@ import graft.core._
 import graft.data.Tables
 import graft.ingest.Pages
 import graft.sim.Ann
-import graft.text.TextOps
+import graft.text.{TextOps, WebOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   * both sides; float outputs are rounded to 6 decimals on both sides.
   */
 object SparkEntry {
+
+  /** Deterministic messy-URL synthesizer for the WebOps oracles: pairs
+    * (2k, 2k+1) differ only in case/port/tracking-params/fragment/trailing
+    * slash — everything [[WebOps.normalizeUrl]] removes — so each pair must
+    * collapse to ONE canonical url. The DuckDB oracle rebuilds the same
+    * strings by integer arithmetic and re-derives normalization
+    * independently.
+    */
+  private def synthUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val p = ((id - (id % 2)) / 2).cast("long")
+    concat(
+      lit("HTTPS://Site"), (p % 53).cast("string"), lit(".Example.COM"),
+      when(id % 2 === 0, ":443").otherwise(""),
+      lit("/Path/"), p.cast("string"),
+      when(id % 3 === 0, "/").otherwise(""),
+      when(p % 11 === 0, lit("?utm_source=feed"))
+        .otherwise(concat(lit("?id="), (p % 7).cast("string"), lit("&utm_source=feed"))),
+      when(id % 5 === 0, concat(lit("&fbclid=x"), id.cast("string"))).otherwise(lit("")),
+      when(id % 4 === 0, "#frag").otherwise(""))
+  }
 
   /** Flagship: synthesize a deterministic web corpus, extract + link-parse
     * into an edge table, run PageRank to convergence, return ranked urls.
@@ -329,6 +349,25 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => TextOps.bm25(Tables.read(s, dir, "documents"),
       Seq("the", "data", "graph"))
       .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))),
+    "q_gopher" -> ((s, dir) => TextOps.gopherStats(Tables.read(s, dir, "documents"))
+      .select(col("doc_id"), col("word_count").cast("long").as("word_count"),
+        col("mean_word_len"), col("alpha_word_frac"),
+        col("stopword_hits").cast("long").as("stopword_hits"),
+        col("dup_word_frac"), col("dup_2gram_frac"), col("dup_3gram_frac"),
+        col("top_2gram_char_frac"),
+        col("gopher_pass").cast("long").as("gopher_pass"))),
+    "q_url_normalize" -> ((s, dir) => Tables.read(s, dir, "documents")
+      .select(col("doc_id"), synthUrl(col("doc_id")).as("url"))
+      .select(col("doc_id"), col("url"),
+        WebOps.normalizeUrl(col("url")).as("norm_url"),
+        WebOps.host(col("url")).as("host"))),
+    "q_url_dedup" -> ((s, dir) => WebOps.urlDedup(Tables.read(s, dir, "documents")
+      .select(col("doc_id"), synthUrl(col("doc_id")).as("url")))
+      .select(col("norm_url"), col("n_dupes"), col("keep_id"))),
+    "q_domain_stats" -> ((s, dir) => WebOps.domainStats(Tables.read(s, dir, "documents")
+      .select(col("doc_id"), synthUrl(col("doc_id")).as("url"), col("text")))
+      .select(col("host"), col("n_pages"), col("n_urls"),
+        col("total_chars").cast("long").as("total_chars"), col("mean_chars"))),
     "q_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(Tables.read(s, dir, "documents"),
       Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0))
       .select(col("doc_id"), col("stratum"))),
@@ -690,6 +729,44 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
     sb.toString
   }
 
+  /** DuckDB twin of [[synthUrl]] (pure integer arithmetic on doc_id). */
+  private val urlSynthSql =
+    """u AS (SELECT doc_id,
+      |  'HTTPS://Site' || ((doc_id // 2) % 53) || '.Example.COM' ||
+      |  CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+      |  '/Path/' || (doc_id // 2) ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      |  CASE WHEN (doc_id // 2) % 11 = 0 THEN '?utm_source=feed'
+      |    ELSE '?id=' || ((doc_id // 2) % 7) || '&utm_source=feed' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN '&fbclid=x' || doc_id ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url FROM documents)""".stripMargin
+
+  /** Independent DuckDB re-derivation of [[WebOps.normalizeUrl]]/`host`
+    * (same documented rules, different engine) ending in
+    * `nu(doc_id, url, norm_url, host)`.
+    */
+  private val urlNormSql =
+    """nf AS (SELECT doc_id, url, SPLIT_PART(url, '#', 1) AS nofrag FROM u),
+      |pr AS (SELECT doc_id, url, nofrag,
+      |  REGEXP_EXTRACT(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pre FROM nf),
+      |lw AS (SELECT doc_id, url,
+      |  REGEXP_REPLACE(REGEXP_REPLACE(
+      |    LOWER(pre) || SUBSTR(nofrag, LENGTH(pre) + 1),
+      |    '^(https://[^/?#:]*):443([/?#]|$)', '\1\2'),
+      |    '^(http://[^/?#:]*):80([/?#]|$)', '\1\2') AS s FROM pr),
+      |pq AS (SELECT doc_id, url, SPLIT_PART(s, '?', 1) AS path,
+      |  SUBSTR(s, LENGTH(SPLIT_PART(s, '?', 1)) + 2) AS qry FROM lw),
+      |kp AS (SELECT doc_id, url, qry,
+      |  REGEXP_REPLACE(path, '^(.+?[^/])/$', '\1') AS cpath,
+      |  LIST_FILTER(STRING_SPLIT(qry, '&'),
+      |    p -> NOT REGEXP_MATCHES(p, '^(utm_[^=]*|fbclid|gclid|ref)=') AND p <> '') AS kept
+      |  FROM pq),
+      |nu AS (SELECT doc_id, url,
+      |  CASE WHEN qry = '' OR LEN(kept) = 0 THEN cpath
+      |    ELSE cpath || '?' || ARRAY_TO_STRING(kept, '&') END AS norm_url,
+      |  LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
+      |  FROM kp)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_betweenness" ->
       s"""${brandesCtes(6)}
@@ -867,6 +944,44 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |FROM tf JOIN dlen ON dlen.doc_id = tf.doc_id
         |JOIN df ON df.term = tf.term CROSS JOIN nn CROSS JOIN avgdl
         |GROUP BY tf.doc_id""".stripMargin,
+    "q_gopher" ->
+      """WITH tk AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |g2 AS (SELECT doc_id, LIST_TRANSFORM(RANGE(1, LEN(toks)),
+        |  i -> ARRAY_TO_STRING(toks[i:i+1], ' ')) AS gs FROM tk),
+        |g3 AS (SELECT doc_id, LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+        |  i -> ARRAY_TO_STRING(toks[i:i+2], ' ')) AS gs FROM tk),
+        |top AS (SELECT doc_id, MAX(c * LENGTH(g)) AS cover FROM (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, UNNEST(gs) AS g FROM g2)
+        |  GROUP BY doc_id, g) GROUP BY doc_id),
+        |a AS (SELECT tk.doc_id,
+        |  LEN(toks) AS word_count,
+        |  ROUND((LENGTH(text) - (LEN(toks) - 1)) * 1.0 / LEN(toks), 6) AS mean_word_len,
+        |  ROUND(LEN(LIST_FILTER(toks, t -> REGEXP_MATCHES(t, '[a-z]'))) * 1.0 / LEN(toks), 6) AS alpha_word_frac,
+        |  LEN(LIST_INTERSECT(LIST_DISTINCT(toks),
+        |    ['the','be','to','of','and','a','in','that','have','with'])) AS stopword_hits,
+        |  ROUND(1.0 - LEN(LIST_DISTINCT(toks)) * 1.0 / LEN(toks), 6) AS dup_word_frac,
+        |  CASE WHEN LEN(toks) < 2 THEN 0.0
+        |    ELSE ROUND(1.0 - LEN(LIST_DISTINCT(g2.gs)) * 1.0 / LEN(g2.gs), 6) END AS dup_2gram_frac,
+        |  CASE WHEN LEN(toks) < 3 THEN 0.0
+        |    ELSE ROUND(1.0 - LEN(LIST_DISTINCT(g3.gs)) * 1.0 / LEN(g3.gs), 6) END AS dup_3gram_frac,
+        |  LENGTH(text) AS nc
+        |  FROM tk JOIN g2 ON g2.doc_id = tk.doc_id JOIN g3 ON g3.doc_id = tk.doc_id)
+        |SELECT a.doc_id, word_count, mean_word_len, alpha_word_frac, stopword_hits,
+        |  dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+        |  ROUND(COALESCE(cover, 0) * 1.0 / nc, 6) AS top_2gram_char_frac,
+        |  CASE WHEN word_count BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
+        |    AND alpha_word_frac >= 0.8 AND stopword_hits >= 2 AND dup_word_frac <= 0.9
+        |    AND dup_2gram_frac <= 0.95 AND ROUND(COALESCE(cover, 0) * 1.0 / nc, 6) <= 0.2
+        |    THEN 1 ELSE 0 END AS gopher_pass
+        |FROM a LEFT JOIN top ON top.doc_id = a.doc_id""".stripMargin,
+    "q_url_normalize" -> s"WITH $urlSynthSql, $urlNormSql\nSELECT doc_id, url, norm_url, host FROM nu",
+    "q_url_dedup" -> (s"WITH $urlSynthSql, $urlNormSql\n" +
+      "SELECT norm_url, COUNT(*) AS n_dupes, MIN(doc_id) AS keep_id FROM nu GROUP BY norm_url"),
+    "q_domain_stats" -> (s"WITH $urlSynthSql, $urlNormSql\n" +
+      """SELECT host, COUNT(*) AS n_pages, COUNT(DISTINCT norm_url) AS n_urls,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  ROUND(AVG(LENGTH(text) * 1.0), 6) AS mean_chars
+        |FROM nu JOIN documents d ON d.doc_id = nu.doc_id GROUP BY host""".stripMargin),
     "q_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang, MD5('42|' || doc_id::VARCHAR) AS hx FROM documents),
         |u AS (SELECT doc_id, lang,

@@ -451,6 +451,83 @@ object CommunityKernels {
     toDf(g, if (k > 0) d.cutToCount(k) else d.asClustering)
   }
 
+  /** `community_spinglass` (`graphobject.c:16089`; golden
+    * `test_decomposition.py:399-426`: three Full(5) cliques in a ring →
+    * one community per clique). Reichardt-Bornholdt Potts model with the
+    * configuration null model — at `gamma` = 1 the ground state is the
+    * max-modularity partition. Seeded simulated annealing: per node, take
+    * the best-gain spin when it improves, otherwise a Metropolis-accepted
+    * random spin (`exp(Δ/T)`), cooling by `coolFact` per sweep, then a
+    * zero-temperature polish to a local optimum. Driver kernel (inherently
+    * sequential anneal), capped like the other [[CommunityKernels]]; the
+    * distributed community surface at scale is Louvain/Leiden/LPA.
+    */
+  def spinglass(g0: LinkGraph, spins: Int = 25, seed: Long = 0L,
+                startTemp: Double = 1.0, stopTemp: Double = 0.01,
+                coolFact: Double = 0.99, gamma: Double = 1.0): Array[Int] = {
+    val g = collect(g0)
+    val n = g.n
+    if (n == 0) return Array.empty
+    val rnd = new scala.util.Random(seed)
+    val q = math.max(2, math.min(spins, n))
+    val memb = Array.tabulate(n)(_ => rnd.nextInt(q))
+    val dTot = new Array[Double](q)
+    (0 until n).foreach(v => dTot(memb(v)) += g.strength(v))
+    val m2 = 2.0 * math.max(g.m, 1e-12)
+    val links = new Array[Double](q)
+    val order = Array.tabulate(n)(identity)
+    def sweep(t: Double): Int = {
+      var moves = 0
+      var i = n - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val tmp = order(i); order(i) = order(j); order(j) = tmp
+        i -= 1
+      }
+      var oi = 0
+      while (oi < n) {
+        val v = order(oi)
+        java.util.Arrays.fill(links, 0.0)
+        g.adj(v).foreach { case (u, w) => if (u != v) links(memb(u)) += w }
+        val a = memb(v)
+        dTot(a) -= g.strength(v)
+        def gain(c: Int): Double = links(c) - gamma * g.strength(v) * dTot(c) / m2
+        val base = gain(a)
+        var best = a
+        var bestGain = base
+        var c = 0
+        while (c < q) {
+          if (c != a) {
+            val gn = gain(c)
+            if (gn > bestGain + 1e-12) { best = c; bestGain = gn }
+          }
+          c += 1
+        }
+        var target = a
+        if (best != a) target = best
+        else if (t > 0.0) {
+          val cand = rnd.nextInt(q)
+          val delta = gain(cand) - base
+          if (cand != a && (delta > 0.0 || rnd.nextDouble() < math.exp(delta / t)))
+            target = cand
+        }
+        if (target != a) { memb(v) = target; moves += 1 }
+        dTot(memb(v)) += g.strength(v)
+        oi += 1
+      }
+      moves
+    }
+    var temp = startTemp
+    while (temp >= stopTemp) { sweep(temp); temp *= coolFact }
+    while (sweep(0.0) > 0) ()
+    // first-seen-order reindex (the reference's reindexMembership)
+    val seen = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    Array.tabulate(n)(v => seen.getOrElseUpdate(memb(v), seen.size))
+  }
+
+  def communitySpinglass(g: LinkGraph, spins: Int = 25, seed: Long = 0L): DataFrame =
+    toDf(g, spinglass(g, spins = spins, seed = seed))
+
   /** `community_optimal_modularity` (`graphobject.c:16047`; golden
     * `test_decomposition.py:332-343`: bull -> [0,0,1,0,1], q = 0.08).
     * The reference solves an ILP via GLPK; without a solver the exact

@@ -112,8 +112,8 @@ object Motifs {
     */
   def motifs4Named(g: LinkGraph): Seq[(String, Long)] = {
     require(!g.directed,
-      "motifs_randesu(size=4) is implemented for undirected graphs; the " +
-        "218-class directed census is excluded (SURVEY §2.9)")
+      "motifs_randesu(size=4) closed-form path is undirected-only; for " +
+        "directed graphs use the gated motifs4Directed kernel")
     val de = g.weighted.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct().transform(graft.core.Lineage.cut).persist()
@@ -167,6 +167,102 @@ object Motifs {
 
   /** `motifs_randesu_no(size=4)`: connected induced 4-subgraph count. */
   def motifs4Count(g: LinkGraph): Long = motifs4(g).flatten.sum
+
+  /** `motifs_randesu(size=4)` for DIRECTED graphs (`graphobject.c:14275`):
+    * the 218-class census, indexed by this engine's
+    * `Graph.Isoclass(4, i, directed=True)` enumeration (same convention as
+    * [[motifs3]]); None on the weakly-disconnected classes.
+    *
+    * Gated driver kernel (the SURVEY §2.9 bar for the combinatorial
+    * families): ESU enumeration (Wernicke 2006) of connected induced
+    * 4-subsets over the undirected skeleton — each subgraph visited exactly
+    * once — classified in O(1) via [[Catalog.maskClassTable]]. Work is
+    * proportional to the number of connected 4-subgraphs, which is
+    * exponential-ish in density; hence the vertex cap with the standard
+    * escape. At scale, use [[motifs4]] on the skeleton (closed-form,
+    * distributed) or sampled estimates.
+    */
+  def motifs4Directed(g: LinkGraph, maxKernelVertices: Int = 4096): Seq[Option[Long]] = {
+    require(g.directed, "motifs4Directed expects a directed graph; use motifs4")
+    val n0 = g.vcount()
+    require(n0 <= maxKernelVertices,
+      s"directed 4-motif census is a driver kernel capped at $maxKernelVertices " +
+        s"vertices ($n0 given); raise maxKernelVertices explicitly to override")
+    val n = n0.toInt
+    val ids = g.vertices.collect().map(_.getLong(0)).sorted
+    val pos = ids.zipWithIndex.toMap
+    val adjOut = Array.fill(n)(new java.util.BitSet(n))
+    val und = Array.fill(n)(new java.util.BitSet(n))
+    g.weighted.select("src", "dst").where(col("src") =!= col("dst")).distinct()
+      .collect().foreach { r =>
+        val i = pos(r.getLong(0)); val j = pos(r.getLong(1))
+        adjOut(i).set(j); und(i).set(j); und(j).set(i)
+      }
+    val table = Catalog.maskClassTable(4, directed = true)
+    val counts = new Array[Long](Catalog.isoclassCount(4, directed = true))
+    val sub = new Array[Int](4)
+    def classify(): Unit = {
+      var mask = 0
+      var i = 0
+      while (i < 4) {
+        var j = 0
+        while (j < 4) {
+          if (i != j && adjOut(sub(i)).get(sub(j)))
+            mask |= 1 << Catalog.dirPairIdx(4, i, j)
+          j += 1
+        }
+        i += 1
+      }
+      counts(table(mask)) += 1
+    }
+    // ESU: extend(subLen, ext, closed) where closed = VSub ∪ N(VSub); the
+    // exclusive neighborhood of the next pick is computed against `closed`
+    // BEFORE merging, so each connected 4-set is emitted exactly once.
+    def extend(root: Int, subLen: Int, ext: List[Int], closed: java.util.BitSet): Unit = {
+      if (subLen == 4) { classify(); return }
+      var rest = ext
+      while (rest.nonEmpty) {
+        val w = rest.head
+        rest = rest.tail
+        sub(subLen) = w
+        if (subLen == 3) classify()
+        else {
+          val excl = und(w).clone().asInstanceOf[java.util.BitSet]
+          excl.andNot(closed)
+          var ext2 = rest
+          var u = excl.nextSetBit(root + 1)
+          while (u >= 0) {
+            ext2 = u :: ext2
+            u = excl.nextSetBit(u + 1)
+          }
+          val closed2 = closed.clone().asInstanceOf[java.util.BitSet]
+          closed2.or(und(w))
+          closed2.set(w)
+          extend(root, subLen + 1, ext2, closed2)
+        }
+      }
+    }
+    var v = 0
+    while (v < n) {
+      sub(0) = v
+      val closed = und(v).clone().asInstanceOf[java.util.BitSet]
+      closed.set(v)
+      var ext = List.empty[Int]
+      var u = und(v).nextSetBit(v + 1)
+      while (u >= 0) {
+        ext = u :: ext
+        u = und(v).nextSetBit(u + 1)
+      }
+      extend(v, 1, ext, closed)
+      v += 1
+    }
+    val conn = Catalog.connectedClasses(4, directed = true)
+    counts.indices.map(c => if (conn(c)) Some(counts(c)) else None)
+  }
+
+  /** `motifs_randesu_no(size=4)` on a directed graph. */
+  def motifs4DirectedCount(g: LinkGraph, maxKernelVertices: Int = 4096): Long =
+    motifs4Directed(g, maxKernelVertices).flatten.sum
 
   /** A 3-vertex edge list is (weakly) connected iff all of 0,1,2 merge
     * under union of its endpoints.

@@ -183,6 +183,42 @@ object Catalog {
     LinkGraph(spark, n.toLong, edgesOf(n, cs(cls), directed), directed)
   }
 
+  /** Directed-pair -> bit index of the adjacency-mask layout (the public
+    * face of `dpairIdx`, for kernels that build masks directly).
+    */
+  def dirPairIdx(n: Int, i: Int, j: Int): Int = dpairIdx(n, i, j)
+
+  private val tableCache = scala.collection.concurrent.TrieMap.empty[(Int, Boolean), Array[Int]]
+
+  /** Full mask -> isoclass lookup table over all 2^bits adjacency masks —
+    * O(1) per-subgraph classification for the motif kernels (4096 entries
+    * for directed n=4). Built once per (n, directed) and cached.
+    */
+  def maskClassTable(n: Int, directed: Boolean): Array[Int] =
+    tableCache.getOrElseUpdate((n, directed), {
+      requireSupported(n, directed)
+      val nb = if (directed) n * (n - 1) else n * (n - 1) / 2
+      require(nb <= 16, s"mask table too large for n=$n directed=$directed")
+      val maps = bitMaps(n, directed)
+      val index = classesOf(n, directed).zipWithIndex.toMap
+      Array.tabulate(1 << nb)(m => index(canon(m.toLong, maps)))
+    })
+
+  /** Per-isoclass weak-connectivity flags (motif vectors report None/NaN on
+    * the disconnected classes).
+    */
+  def connectedClasses(n: Int, directed: Boolean): Array[Boolean] = {
+    requireSupported(n, directed)
+    classesOf(n, directed).map { mask =>
+      val p = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (p(x) == x) x else { p(x) = find(p(x)); p(x) }
+      edgesOf(n, mask, directed).foreach { case (a, b) =>
+        p(find(a.toInt)) = find(b.toInt)
+      }
+      (0 until n).map(find).distinct.size == 1
+    }.toArray
+  }
+
   /** `g.isoclass()` (`graphobject.h:173`): the isomorphism class of a small
     * graph; inverse of [[isoclass]] (create -> classify round-trips).
     */

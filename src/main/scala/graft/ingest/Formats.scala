@@ -377,6 +377,49 @@ object Formats {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
   }
 
+  // -------------------------------------------------------------- graphdb
+
+  /** `Read_GraphDB` (`graphobject.c:14913`, reader doc at :8167): the VF2
+    * graph-database binary format (MIVIA ARG benchmark suite) — all values
+    * 16-bit little-endian words; first word = node count, then per node the
+    * out-edge count followed by that many target ids. The reference has no
+    * writer; [[writeGraphDb]] is this engine's round-trip extension.
+    */
+  def readGraphDb(spark: SparkSession, path: String, directed: Boolean = false): ForeignGraph = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    var p = 0
+    def word(): Int = {
+      require(p + 1 < bytes.length, s"truncated GraphDB file at byte $p")
+      val w = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      p += 2
+      w
+    }
+    val n = word()
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    for (i <- 0 until n) {
+      val k = word()
+      for (_ <- 0 until k) {
+        val j = word()
+        require(j < n, s"GraphDB target $j out of range (n=$n)")
+        edges += ((i.toLong, j.toLong, 1.0))
+      }
+    }
+    toGraph(spark, n.toLong, edges.toSeq, directed, None, weighted = false)
+  }
+
+  def writeGraphDb(g: LinkGraph, path: String): Unit = {
+    val n = g.vcount().toInt
+    require(n < 65536, s"GraphDB words are 16-bit; graph has $n vertices")
+    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    g.weighted.select("src", "dst").collect()
+      .foreach(r => adj(r.getLong(0).toInt) += r.getLong(1).toInt)
+    val out = new java.io.ByteArrayOutputStream()
+    def word(w: Int): Unit = { out.write(w & 0xff); out.write((w >> 8) & 0xff) }
+    word(n)
+    adj.foreach { ts => word(ts.size); ts.sorted.foreach(word) }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.toByteArray)
+  }
+
   // ------------------------------------------------------------- dispatch
 
   /** `Graph.Read(path)` extension dispatch (`__init__.py:2895-2930`). */
@@ -395,6 +438,7 @@ object Formats {
       case "dl"                => readDl(spark, path)
       case "dimacs" | "max"    => val r = readDimacs(spark, path); ForeignGraph(r.graph, None, weighted = true)
       case "adj" | "adjacency" => readAdjacency(spark, path)
+      case "graphdb"           => readGraphDb(spark, path)
       case "edges" | "edgelist" | "txt" =>
         ForeignGraph(Foreign.readEdgelist(spark, path), None, weighted = false)
       case other => throw new IllegalArgumentException(s"unknown graph format: $other")

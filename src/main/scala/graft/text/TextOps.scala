@@ -231,6 +231,70 @@ object TextOps {
     * is deterministic. The aggregate output is |vocab|-sized, not
     * corpus-sized, so the final ordering sorts a small table.
     */
+  private val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "a", "in", "that", "have", "with")
+
+  /** Gopher-style repetition and quality statistics (Rae et al. 2021, table
+    * A1 — the standard web-corpus repetition filters), adapted to this
+    * corpus's single-line space-separated documents:
+    *
+    *  - `word_count`, `mean_word_len`;
+    *  - `alpha_word_frac`: words containing at least one `[a-z]`;
+    *  - `stopword_hits`: distinct hits in a fixed 10-word English list;
+    *  - `dup_word_frac` / `dup_2gram_frac` / `dup_3gram_frac`:
+    *    1 − distinct/total n-grams (the duplicated-n-gram-fraction proxy);
+    *  - `top_2gram_char_frac`: max over 2-grams of occurrences × gram chars,
+    *    over total chars (the "fraction of characters in the most frequent
+    *    2-gram" rule; the max-of-products form makes ties deterministic);
+    *  - `gopher_pass` (0/1): word_count in [10, 100000], mean_word_len in
+    *    [2, 12], alpha_word_frac ≥ 0.8, stopword_hits ≥ 2,
+    *    dup_word_frac ≤ 0.9, dup_2gram_frac ≤ 0.95,
+    *    top_2gram_char_frac ≤ 0.2.
+    *
+    * Per-doc metrics are pure array expressions (map-only, codegen); the
+    * top-2-gram branch is one explode + partial-aggregated groupBy keyed by
+    * (doc_id, gram) then doc_id — the shape that survives 100 TB (no per-doc
+    * quadratic scan, no driver loop).
+    */
+  def gopherStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    def grams(k: Int): Column = when(n >= k, transform(
+      sequence(lit(1), n - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val dupFrac = (c: Column) =>
+      when(size(c) === 0, 0.0).otherwise(
+        round(lit(1.0) - size(array_distinct(c)).cast("double") / size(c), 6))
+    val perDoc = docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_d"),
+      n.as("word_count"),
+      round((length(col("text")) - (n - 1)).cast("double") / n, 6).as("mean_word_len"),
+      round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n, 6)
+        .as("alpha_word_frac"),
+      size(array_intersect(array_distinct(toks),
+        array(gopherStopwords.map(lit): _*))).as("stopword_hits"),
+      dupFrac(toks).as("dup_word_frac"),
+      dupFrac(grams(2)).as("dup_2gram_frac"),
+      dupFrac(grams(3)).as("dup_3gram_frac"))
+    val topg = docs.select(col("doc_id"), explode(grams(2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c") * length(col("g"))).as("cover"))
+    perDoc.join(topg, Seq("doc_id"), "left")
+      .withColumn("top_2gram_char_frac",
+        round(coalesce(col("cover"), lit(0L)).cast("double") / col("n_chars_d"), 6))
+      .withColumn("gopher_pass",
+        (col("word_count").between(10, 100000) &&
+          col("mean_word_len").between(2.0, 12.0) &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("stopword_hits") >= 2 &&
+          col("dup_word_frac") <= 0.9 &&
+          col("dup_2gram_frac") <= 0.95 &&
+          col("top_2gram_char_frac") <= 0.2).cast("int"))
+      .drop("n_chars_d", "cover")
+  }
+
   def vocabTop(docs: DataFrame, k: Int): DataFrame =
     docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))

@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus URL operators: host extraction, canonical URL normalization,
+  * URL-level deduplication, per-domain statistics and domain blocklist
+  * filtering — the pre-dedup hygiene stages of a crawl-to-training-data
+  * pipeline (CommonCrawl-style processing; the reference's scope note on
+  * crawl ingest is `/root/reference/README.md:11-13`).
+  *
+  * Everything is a pure `Column` composition over simple regexes and array
+  * higher-order functions (whole-stage codegen; zero UDFs, zero shuffles for
+  * the per-row ops), and every rule is deliberately expressible in ANSI-ish
+  * SQL so the DuckDB oracle replicates it bit-for-bit. Regex patterns stay in
+  * the common Java-regex/RE2 subset (character classes + anchors; no
+  * lookaround) so Spark and DuckDB agree.
+  *
+  * At 100 TB: normalization/host extraction are map-only; `urlDedup` is one
+  * hash shuffle on the normalized key; `domainStats` is one partial-agg
+  * shuffle on host — all the shapes that survive a 1000-executor scale-up.
+  */
+object WebOps {
+
+  /** `scheme://hostport` prefix of a URL (empty if scheme-relative). */
+  private def prefixOf(url: Column): Column =
+    regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+
+  /** Registrable host of a URL, lowercased, port stripped. */
+  def host(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+
+  /** Canonical URL normalization. Documented rules, applied in order:
+    *  1. drop the `#fragment`;
+    *  2. lowercase the `scheme://host:port` prefix (path/query keep case);
+    *  3. strip default ports (`:80` for http, `:443` for https);
+    *  4. drop tracking query parameters (`utm_*`, `fbclid`, `gclid`, `ref`),
+    *     keeping the rest in original order; drop the `?` if none survive;
+    *  5. strip a single trailing `/` (including the bare root slash).
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = split_part(url, lit("#"), lit(1))
+    val prefix = prefixOf(noFrag)
+    val rest = noFrag.substr(length(prefix) + 1, lit(1 << 28))
+    val lowered = concat(lower(prefix), rest)
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/?#:]*):443([/?#]|$)", "$1$2"),
+      "^(http://[^/?#:]*):80([/?#]|$)", "$1$2")
+    val pathPart = split_part(noPort, lit("?"), lit(1))
+    val queryPart = noPort.substr(length(pathPart) + 2, lit(1 << 28))
+    val keptParams = filter(
+      split(queryPart, "&", -1),
+      p => not(p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")) && p =!= "")
+    val cleanPath = regexp_replace(pathPart, "^(.+?[^/])/$", "$1")
+    when(queryPart === "" || size(keptParams) === 0, cleanPath)
+      .otherwise(concat(cleanPath, lit("?"), array_join(keptParams, "&")))
+  }
+
+  /** URL-level exact dedup on the NORMALIZED url: one shuffle on the key;
+    * keeps the smallest id per group. Output: (norm_url, n_dupes, keep_id).
+    */
+  def urlDedup(pages: DataFrame, urlCol: String = "url", idCol: String = "doc_id"): DataFrame =
+    pages.groupBy(normalizeUrl(col(urlCol)).as("norm_url"))
+      .agg(count(lit(1)).as("n_dupes"), min(col(idCol)).as("keep_id"))
+
+  /** Per-domain corpus statistics: page count, distinct normalized urls,
+    * total/mean text size — the "is this domain spam/boilerplate" signal
+    * feeding domain-level filters. One partial-aggregated shuffle on host.
+    */
+  def domainStats(pages: DataFrame, urlCol: String = "url",
+                  textCol: String = "text"): DataFrame =
+    pages.groupBy(host(col(urlCol)).as("host"))
+      .agg(
+        count(lit(1)).as("n_pages"),
+        countDistinct(normalizeUrl(col(urlCol))).as("n_urls"),
+        sum(length(col(textCol))).as("total_chars"),
+        round(avg(length(col(textCol))), 6).as("mean_chars"))
+
+  /** Drop pages whose host is on a blocklist. Small list → `isin` (a pure
+    * predicate, pushed to the scan); large list → broadcast anti-join.
+    */
+  def domainFilter(pages: DataFrame, blockedHosts: Seq[String],
+                   urlCol: String = "url"): DataFrame =
+    if (blockedHosts.size <= 1024)
+      pages.where(!host(col(urlCol)).isin(blockedHosts: _*))
+    else {
+      val spark = pages.sparkSession
+      import spark.implicits._
+      val block = broadcast(blockedHosts.toDF("blocked_host"))
+      pages.join(block, host(col(urlCol)) === col("blocked_host"), "left_anti")
+    }
+}

@@ -88,4 +88,21 @@ class CommunityKernelsSpec extends AnyFunSuite {
     assert(TestSession.reindex(CommunityKernels.walktrap(g).asClustering.map(_.toLong)) === expected)
     assert(TestSession.reindex(CommunityKernels.walktrap(g, steps = 3).asClustering.map(_.toLong)) === expected)
   }
+
+  test("spinglass: ring of three 5-cliques (test_decomposition.py:399-426, three seeds allowed)") {
+    val cliq = for (c <- 0 until 3; i <- 0 until 5; j <- i + 1 until 5)
+      yield ((c * 5 + i).toLong, (c * 5 + j).toLong)
+    val edges = cliq ++ Seq((0L, 5L), (5L, 10L), (10L, 0L))
+    val g = LinkGraph(spark, 15, edges, directed = false)
+    val expected = Seq(0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2)
+    // the reference test itself retries spinglass three times (it's an
+    // anneal); we do the same over three fixed seeds
+    val ok = (0L to 2L).exists { s =>
+      TestSession.reindex(CommunityKernels.spinglass(g, seed = s).map(_.toLong)) == expected
+    }
+    assert(ok, "spinglass failed to find the 3-clique partition in 3 seeded runs")
+    // determinism: same seed, same membership
+    assert(CommunityKernels.spinglass(g, seed = 1L).toSeq ==
+      CommunityKernels.spinglass(g, seed = 1L).toSeq)
+  }
 }

@@ -211,6 +211,32 @@ class FormatsSpec extends AnyFunSuite {
     assert(again.graph.ecount() == 12)
   }
 
+  test("GraphDB: 16-bit LE binary parse + round-trip + dispatch (graphobject.c:14913)") {
+    // hand-built file: n=3; node0 -> {1,2}, node1 -> {2}, node2 -> {}
+    val bytes = Array[Int](3, 2, 1, 2, 1, 2, 0)
+      .flatMap(w => Array((w & 0xff).toByte, ((w >> 8) & 0xff).toByte))
+    val f = java.io.File.createTempFile("graft", ".graphdb")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bytes)
+    val fg = Formats.readGraphDb(spark, f.getAbsolutePath)
+    assert(fg.graph.vcount() == 3 && fg.graph.ecount() == 3 && !fg.graph.directed)
+    assert(fg.graph.weighted.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    // dispatch by extension + directed reader variant
+    assert(Formats.read(spark, f.getAbsolutePath).graph.ecount() == 3)
+    assert(Formats.readGraphDb(spark, f.getAbsolutePath, directed = true).graph.directed)
+    // round-trip through the writer extension
+    val out = java.io.File.createTempFile("graft", ".graphdb")
+    out.deleteOnExit()
+    Formats.writeGraphDb(fg.graph, out.getAbsolutePath)
+    val again = Formats.readGraphDb(spark, out.getAbsolutePath)
+    assert(again.graph.weighted.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    // truncation fails loudly
+    java.nio.file.Files.write(f.toPath, bytes.dropRight(3))
+    assertThrows[IllegalArgumentException] { Formats.readGraphDb(spark, f.getAbsolutePath) }
+  }
+
   test("Graph.Read dispatch by extension (__init__.py:2895-2930)") {
     val p = tmp("a b 1\nb c 2\n", "ncol")
     val fg = Formats.read(spark, p)

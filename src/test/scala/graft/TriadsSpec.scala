@@ -178,6 +178,94 @@ class TriadsSpec extends AnyFunSuite {
     }
   }
 
+  test("motifs4 directed: ESU census matches brute-force 4-subset classification") {
+    import graft.algos.Motifs
+    import graft.core.Catalog
+    val rnd = new scala.util.Random(29)
+    val table = Catalog.maskClassTable(4, directed = true)
+    for (p <- Seq(0.15, 0.3, 0.45)) {
+      val n = 8
+      val edges = (for {
+        i <- 0 until n; j <- 0 until n if i != j && rnd.nextDouble() < p
+      } yield (i.toLong, j.toLong)).toSeq
+      val g = LinkGraph(spark, n.toLong, edges, directed = true)
+      val eset = edges.toSet
+      val want = new Array[Long](218)
+      for (s <- (0 until n).combinations(4)) {
+        val within = for {
+          a <- 0 until 4; b <- 0 until 4
+          if a != b && eset.contains((s(a).toLong, s(b).toLong))
+        } yield (a, b)
+        val weak = {
+          val par = Array(0, 1, 2, 3)
+          def find(x: Int): Int = if (par(x) == x) x else { par(x) = find(par(x)); par(x) }
+          within.foreach { case (a, b) => par(find(a)) = find(b) }
+          (0 until 4).map(find).distinct.size == 1
+        }
+        if (weak) {
+          var mask = 0
+          within.foreach { case (a, b) => mask |= 1 << Catalog.dirPairIdx(4, a, b) }
+          want(table(mask)) += 1
+        }
+      }
+      val got = Motifs.motifs4Directed(g)
+      assert(got.size == 218, "directed 4-isoclass count")
+      got.zipWithIndex.foreach {
+        case (Some(c), i) => assert(c == want(i), s"p=$p class=$i got=$c want=${want(i)}")
+        case (None, i)    => assert(want(i) == 0L, s"p=$p class=$i should be disconnected")
+      }
+    }
+  }
+
+  test("motifs4 directed: mutual-arc digraph census cross-checks the independent undirected closed form") {
+    import graft.algos.Motifs
+    import graft.core.Catalog
+    // the undirected path is closed-form statistics + Möbius inversion — a
+    // fully independent algorithm; mutualizing every edge must reproduce it
+    val rnd = new scala.util.Random(31)
+    val n = 9
+    val uedges = (for {
+      i <- 0 until n; j <- i + 1 until n if rnd.nextDouble() < 0.35
+    } yield (i.toLong, j.toLong)).toSeq
+    val gu = LinkGraph(spark, n.toLong, uedges, directed = false)
+    val gd = LinkGraph(spark, n.toLong,
+      uedges.flatMap { case (a, b) => Seq((a, b), (b, a)) }, directed = true)
+    val dv = Motifs.motifs4Directed(gd)
+    assert(Motifs.motifs4DirectedCount(gd) == Motifs.motifs4Count(gu))
+    // per-shape: the directed class of each fully-mutualized undirected shape
+    val shapes = Map(
+      "p4" -> Seq((0, 1), (1, 2), (2, 3)),
+      "claw" -> Seq((0, 1), (0, 2), (0, 3)),
+      "c4" -> Seq((0, 1), (1, 2), (2, 3), (3, 0)),
+      "paw" -> Seq((0, 1), (1, 2), (2, 0), (2, 3)),
+      "diamond" -> Seq((0, 1), (1, 2), (2, 0), (0, 3), (1, 3)),
+      "k4" -> Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)))
+    val table = Catalog.maskClassTable(4, directed = true)
+    val und = Motifs.motifs4Named(gu).toMap
+    shapes.foreach { case (name, es) =>
+      var mask = 0
+      es.foreach { case (a, b) =>
+        mask |= 1 << Catalog.dirPairIdx(4, a, b)
+        mask |= 1 << Catalog.dirPairIdx(4, b, a)
+      }
+      assert(dv(table(mask)).contains(und(name)), s"shape $name")
+    }
+  }
+
+  test("motifs4 directed: goldens, vector shape and the kernel gate") {
+    import graft.algos.Motifs
+    // directed 4-cycle: exactly one connected 4-set, its own class
+    val c4 = LinkGraph(spark, 4L, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)), directed = true)
+    val v = Motifs.motifs4Directed(c4)
+    assert(v.flatten.sum == 1L && v.exists(_.contains(1L)))
+    // out-star on 5 vertices: C(4,3) = 4 out-claws
+    val star = LinkGraph(spark, 5L, (1 to 4).map(i => (0L, i.toLong)), directed = true)
+    assert(Motifs.motifs4DirectedCount(star) == 4L)
+    val big = LinkGraph(spark, 5000L, Seq((0L, 1L)), directed = true)
+    intercept[IllegalArgumentException](Motifs.motifs4Directed(big))
+    assert(Motifs.motifs4DirectedCount(big, maxKernelVertices = 5000) == 0L)
+  }
+
   test("inverse-log-weighted similarity: shared hub weighted by 1/ln(deg)") {
     // 0 and 1 share neighbors 2 (deg 3) and 3 (deg 2)
     val g = LinkGraph(spark, 5,

@@ -1,0 +1,89 @@
+package graft
+
+import graft.text.{TextOps, WebOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WebOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] = {
+    val df = urls.toDF("url")
+    df.select(WebOps.normalizeUrl(col("url"))).collect().map(_.getString(0)).toSeq
+  }
+
+  test("normalizeUrl: each documented rule") {
+    assert(norm("HTTPS://Example.COM/Path/One#frag") == Seq("https://example.com/Path/One"))
+    assert(norm("https://example.com:443/a", "http://example.com:80/a",
+      "https://example.com:8443/a") ==
+      Seq("https://example.com/a", "http://example.com/a", "https://example.com:8443/a"))
+    assert(norm("https://e.com/a?utm_source=x&id=3&fbclid=z&ref=r") == Seq("https://e.com/a?id=3"))
+    assert(norm("https://e.com/a?utm_campaign=x") == Seq("https://e.com/a"))
+    assert(norm("https://e.com/a/", "https://e.com/") == Seq("https://e.com/a", "https://e.com"))
+    // non-tracking params keep their original order and case
+    assert(norm("https://e.com/a?B=2&a=1") == Seq("https://e.com/a?B=2&a=1"))
+    // port is NOT stripped for a non-default scheme/port combination
+    assert(norm("http://e.com:443/a") == Seq("http://e.com:443/a"))
+  }
+
+  test("host: lowercased, port-stripped") {
+    val hs = Seq("HTTPS://Site7.Example.COM:443/x", "http://a.b.c/p?q=1")
+      .toDF("url").select(WebOps.host(col("url"))).collect().map(_.getString(0)).toSeq
+    assert(hs == Seq("site7.example.com", "a.b.c"))
+  }
+
+  test("urlDedup: case/port/tracking/fragment variants collapse to one key") {
+    val pages = Seq(
+      (0L, "HTTPS://A.com:443/x?utm_source=f"),
+      (1L, "https://a.com/x#top"),
+      (2L, "https://a.com/x/"),
+      (3L, "https://a.com/y")).toDF("doc_id", "url")
+    val d = WebOps.urlDedup(pages).orderBy("norm_url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(d == Seq(("https://a.com/x", 3L, 0L), ("https://a.com/y", 1L, 3L)))
+  }
+
+  test("domainStats + domainFilter") {
+    val pages = Seq(
+      (0L, "https://a.com/1", "xx"),
+      (1L, "https://a.com/1?utm_source=f", "yyyy"),
+      (2L, "https://b.com/1", "zzz")).toDF("doc_id", "url", "text")
+    val st = WebOps.domainStats(pages).orderBy("host")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(st == Seq(("a.com", 2L, 1L, 6L), ("b.com", 1L, 1L, 3L)))
+    assert(WebOps.domainFilter(pages, Seq("a.com")).count() == 1)
+    // large-blocklist path (broadcast anti-join)
+    val big = (0 until 2000).map(i => s"h$i.com") :+ "a.com"
+    assert(WebOps.domainFilter(pages, big).count() == 1)
+  }
+
+  test("gopherStats: hand-computed doc + degenerate short docs") {
+    val docs = Seq(
+      // 6 words: "the cat sat on the mat": one dup word (the), 5 2-grams all
+      // distinct, 4 3-grams distinct; stopword hits: only "the" = 1
+      (0L, "the cat sat on the mat"),
+      (1L, "word"), // single word: no 2-grams -> zero dup fracs
+      (2L, "go go go go go go go go go go")) // pathological repetition
+      .toDF("doc_id", "text")
+    val g = TextOps.gopherStats(docs).orderBy("doc_id").collect()
+    val d0 = g(0)
+    assert(d0.getAs[Int]("word_count") == 6)
+    assert(math.abs(d0.getAs[Double]("dup_word_frac") - (1.0 - 5.0 / 6)) < 1e-6)
+    assert(d0.getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(d0.getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(d0.getAs[Int]("stopword_hits") == 1)
+    // top 2-gram: all 5 distinct, each count 1 -> max(len) = len("the cat")=7? no:
+    // grams: "the cat","cat sat","sat on","on the","the mat" -> max chars 7
+    assert(math.abs(d0.getAs[Double]("top_2gram_char_frac") - 7.0 / 22) < 1e-5)
+    val d1 = g(1)
+    assert(d1.getAs[Int]("word_count") == 1 && d1.getAs[Double]("dup_2gram_frac") == 0.0
+      && d1.getAs[Double]("top_2gram_char_frac") == 0.0)
+    val d2 = g(2)
+    assert(math.abs(d2.getAs[Double]("dup_word_frac") - 0.9) < 1e-6)
+    // 9 identical 2-grams "go go": dup frac 8/9; top cover = 9 * 5 / 29 chars
+    assert(math.abs(d2.getAs[Double]("dup_2gram_frac") - 8.0 / 9) < 1e-5)
+    assert(math.abs(d2.getAs[Double]("top_2gram_char_frac") - 45.0 / 29) < 1e-4)
+    assert(d2.getAs[Int]("gopher_pass") == 0) // fails repetition rules
+  }
+}
