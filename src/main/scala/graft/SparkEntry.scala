@@ -368,6 +368,21 @@ object SparkEntry {
       .select(col("doc_id"), synthUrl(col("doc_id")).as("url"), col("text")))
       .select(col("host"), col("n_pages"), col("n_urls"),
         col("total_chars").cast("long").as("total_chars"), col("mean_chars"))),
+    // composite pipeline: per-domain quality rollup of the Gopher stats —
+    // the "which domains do we keep" decision table of a crawl pipeline
+    "q_domain_quality" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      TextOps.gopherStats(docs)
+        .join(docs.select(col("doc_id"),
+          WebOps.host(synthUrl(col("doc_id"))).as("host")), Seq("doc_id"))
+        .groupBy("host").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("gopher_pass").cast("long")).as("n_pass"),
+          sum(col("word_count").cast("long")).as("total_words"),
+          round(avg(col("dup_word_frac")), 6).as("mean_dup_word_frac"))
+        .select(col("host"), col("n_docs"), col("n_pass"), col("total_words"),
+          col("mean_dup_word_frac"))
+    }),
     "q_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(Tables.read(s, dir, "documents"),
       Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0))
       .select(col("doc_id"), col("stratum"))),
@@ -767,6 +782,41 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
       |  LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
       |  FROM kp)""".stripMargin
 
+  /** DuckDB twin of [[graft.text.TextOps.gopherStats]], ending in
+    * `gp(doc_id, word_count, …, gopher_pass)` — shared by the q_gopher and
+    * q_domain_quality oracles.
+    */
+  private val gopherCteSql =
+    """tk AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks FROM documents),
+      |g2 AS (SELECT doc_id, LIST_TRANSFORM(RANGE(1, LEN(toks)),
+      |  i -> ARRAY_TO_STRING(toks[i:i+1], ' ')) AS gs FROM tk),
+      |g3 AS (SELECT doc_id, LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+      |  i -> ARRAY_TO_STRING(toks[i:i+2], ' ')) AS gs FROM tk),
+      |top AS (SELECT doc_id, MAX(c * LENGTH(g)) AS cover FROM (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, UNNEST(gs) AS g FROM g2)
+      |  GROUP BY doc_id, g) GROUP BY doc_id),
+      |a AS (SELECT tk.doc_id,
+      |  LEN(toks) AS word_count,
+      |  ROUND((LENGTH(text) - (LEN(toks) - 1)) * 1.0 / LEN(toks), 6) AS mean_word_len,
+      |  ROUND(LEN(LIST_FILTER(toks, t -> REGEXP_MATCHES(t, '[a-z]'))) * 1.0 / LEN(toks), 6) AS alpha_word_frac,
+      |  LEN(LIST_INTERSECT(LIST_DISTINCT(toks),
+      |    ['the','be','to','of','and','a','in','that','have','with'])) AS stopword_hits,
+      |  ROUND(1.0 - LEN(LIST_DISTINCT(toks)) * 1.0 / LEN(toks), 6) AS dup_word_frac,
+      |  CASE WHEN LEN(toks) < 2 THEN 0.0
+      |    ELSE ROUND(1.0 - LEN(LIST_DISTINCT(g2.gs)) * 1.0 / LEN(g2.gs), 6) END AS dup_2gram_frac,
+      |  CASE WHEN LEN(toks) < 3 THEN 0.0
+      |    ELSE ROUND(1.0 - LEN(LIST_DISTINCT(g3.gs)) * 1.0 / LEN(g3.gs), 6) END AS dup_3gram_frac,
+      |  LENGTH(text) AS nc
+      |  FROM tk JOIN g2 ON g2.doc_id = tk.doc_id JOIN g3 ON g3.doc_id = tk.doc_id),
+      |gp AS (SELECT a.doc_id, word_count, mean_word_len, alpha_word_frac, stopword_hits,
+      |  dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+      |  ROUND(COALESCE(cover, 0) * 1.0 / nc, 6) AS top_2gram_char_frac,
+      |  CASE WHEN word_count BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
+      |    AND alpha_word_frac >= 0.8 AND stopword_hits >= 2 AND dup_word_frac <= 0.9
+      |    AND dup_2gram_frac <= 0.95 AND ROUND(COALESCE(cover, 0) * 1.0 / nc, 6) <= 0.2
+      |    THEN 1 ELSE 0 END AS gopher_pass
+      |FROM a LEFT JOIN top ON top.doc_id = a.doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_betweenness" ->
       s"""${brandesCtes(6)}
@@ -944,36 +994,16 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |FROM tf JOIN dlen ON dlen.doc_id = tf.doc_id
         |JOIN df ON df.term = tf.term CROSS JOIN nn CROSS JOIN avgdl
         |GROUP BY tf.doc_id""".stripMargin,
-    "q_gopher" ->
-      """WITH tk AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks FROM documents),
-        |g2 AS (SELECT doc_id, LIST_TRANSFORM(RANGE(1, LEN(toks)),
-        |  i -> ARRAY_TO_STRING(toks[i:i+1], ' ')) AS gs FROM tk),
-        |g3 AS (SELECT doc_id, LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
-        |  i -> ARRAY_TO_STRING(toks[i:i+2], ' ')) AS gs FROM tk),
-        |top AS (SELECT doc_id, MAX(c * LENGTH(g)) AS cover FROM (
-        |  SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, UNNEST(gs) AS g FROM g2)
-        |  GROUP BY doc_id, g) GROUP BY doc_id),
-        |a AS (SELECT tk.doc_id,
-        |  LEN(toks) AS word_count,
-        |  ROUND((LENGTH(text) - (LEN(toks) - 1)) * 1.0 / LEN(toks), 6) AS mean_word_len,
-        |  ROUND(LEN(LIST_FILTER(toks, t -> REGEXP_MATCHES(t, '[a-z]'))) * 1.0 / LEN(toks), 6) AS alpha_word_frac,
-        |  LEN(LIST_INTERSECT(LIST_DISTINCT(toks),
-        |    ['the','be','to','of','and','a','in','that','have','with'])) AS stopword_hits,
-        |  ROUND(1.0 - LEN(LIST_DISTINCT(toks)) * 1.0 / LEN(toks), 6) AS dup_word_frac,
-        |  CASE WHEN LEN(toks) < 2 THEN 0.0
-        |    ELSE ROUND(1.0 - LEN(LIST_DISTINCT(g2.gs)) * 1.0 / LEN(g2.gs), 6) END AS dup_2gram_frac,
-        |  CASE WHEN LEN(toks) < 3 THEN 0.0
-        |    ELSE ROUND(1.0 - LEN(LIST_DISTINCT(g3.gs)) * 1.0 / LEN(g3.gs), 6) END AS dup_3gram_frac,
-        |  LENGTH(text) AS nc
-        |  FROM tk JOIN g2 ON g2.doc_id = tk.doc_id JOIN g3 ON g3.doc_id = tk.doc_id)
-        |SELECT a.doc_id, word_count, mean_word_len, alpha_word_frac, stopword_hits,
-        |  dup_word_frac, dup_2gram_frac, dup_3gram_frac,
-        |  ROUND(COALESCE(cover, 0) * 1.0 / nc, 6) AS top_2gram_char_frac,
-        |  CASE WHEN word_count BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
-        |    AND alpha_word_frac >= 0.8 AND stopword_hits >= 2 AND dup_word_frac <= 0.9
-        |    AND dup_2gram_frac <= 0.95 AND ROUND(COALESCE(cover, 0) * 1.0 / nc, 6) <= 0.2
-        |    THEN 1 ELSE 0 END AS gopher_pass
-        |FROM a LEFT JOIN top ON top.doc_id = a.doc_id""".stripMargin,
+    "q_gopher" -> (s"WITH $gopherCteSql\n" +
+      """SELECT doc_id, word_count, mean_word_len, alpha_word_frac, stopword_hits,
+        |  dup_word_frac, dup_2gram_frac, dup_3gram_frac, top_2gram_char_frac,
+        |  gopher_pass FROM gp""".stripMargin),
+    "q_domain_quality" -> (s"WITH $urlSynthSql, $gopherCteSql\n" +
+      """SELECT LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+        |  COUNT(*) AS n_docs, CAST(SUM(gopher_pass) AS BIGINT) AS n_pass,
+        |  CAST(SUM(word_count) AS BIGINT) AS total_words,
+        |  ROUND(AVG(dup_word_frac), 6) AS mean_dup_word_frac
+        |FROM gp JOIN u ON u.doc_id = gp.doc_id GROUP BY host""".stripMargin),
     "q_url_normalize" -> s"WITH $urlSynthSql, $urlNormSql\nSELECT doc_id, url, norm_url, host FROM nu",
     "q_url_dedup" -> (s"WITH $urlSynthSql, $urlNormSql\n" +
       "SELECT norm_url, COUNT(*) AS n_dupes, MIN(doc_id) AS keep_id FROM nu GROUP BY norm_url"),
