@@ -90,6 +90,54 @@ object EdgeStream {
       }
   }
 
+  /** Streaming MinHash-LSH near-duplicate CANDIDATE detection over a
+    * `(doc_id, text)` document stream — the streaming face of
+    * [[graft.text.TextOps.minhashCandidates]].
+    *
+    * The signature is computed per ROW (array_min over transform'd shingle
+    * hashes — no aggregation), because a streaming query admits only one
+    * stateful operator: the band-bucket state below. Each (band, bandhash)
+    * bucket keeps ONE long of state — the first (anchor) doc_id — and every
+    * later arrival in the bucket emits the candidate pair (anchor, doc,
+    * band), same or later micro-batch. Anchor-pairing (not all-pairs) keeps
+    * state O(distinct buckets) rather than O(docs); transitive near-dups
+    * still cluster through the anchor in the downstream batch
+    * confirm → WCC step, which is the consumer of this stream.
+    */
+  def nearDupCandidatesStream(docs: DataFrame, n: Int = 3, k: Int = 16,
+                              bands: Int = 8): Dataset[(Long, Long, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val rows = k / bands
+    val sh = graft.text.TextOps.shingles(col("text"), n)
+    val bandCols = (0 until bands).map { b =>
+      val slotMins = (b * rows until (b + 1) * rows).map { i =>
+        array_min(transform(sh, s => xxhash64(lit(i), s)))
+      }
+      struct(lit(b).as("band"), xxhash64(slotMins: _*).as("bh"))
+    }
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(concat_ws("|", col("bk.band"), col("bk.bh")).as("key"),
+        col("bk.band").as("band"), col("doc_id"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[(String, Int, Long)], state: GroupState[Long]) =>
+          val here = it.toSeq.sortBy(_._3)
+          val (anchor, later) = state.getOption match {
+            case Some(a) => (a, here)
+            case None =>
+              val a = here.head._3
+              state.update(a)
+              (a, here.tail)
+          }
+          later.iterator.filter(_._3 != anchor).map(t => (anchor, t._3, t._2))
+      }
+  }
+
   /** Stateful per-vertex running degree over an append-only edge stream
     * (`mapGroupsWithState`): each micro-batch updates a per-vertex counter;
     * emits (id, degree) totals as of the latest batch. State = one long per

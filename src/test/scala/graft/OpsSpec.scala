@@ -129,6 +129,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Set(1L, 2L, 5L))
   }
 
+  test("streaming near-dup candidates: LSH bucket anchors pair duplicates across batches") {
+    val base = java.nio.file.Files.createTempDirectory("neardupstream").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (5L, "the quick brown fox jumps over the lazy dog"), // same-batch dupe
+        (2L, "completely different words appear in this one"))
+      .toDF("doc_id", "text").write.parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$base/in")
+    val q = EdgeStream.nearDupCandidatesStream(stream)
+      .toDF("a", "b", "band")
+      .writeStream.outputMode("append").format("memory").queryName("nd").start()
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate of doc 1 and a fresh document
+    Seq((3L, "the quick brown fox jumps over the lazy dog"),
+        (4L, "nothing in common with anything else at all"))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$base/in")
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.sql("select a, b from nd").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1 is the anchor of every bucket it occupies (min id in batch 1);
+    // 5 pairs within-batch, 3 across batches; 2 and 4 pair with nothing
+    assert(pairs === Set((1L, 5L), (1L, 3L)))
+    // identical text -> every one of the 8 bands collides
+    val bandCount = spark.sql("select count(*) from nd where b = 3").collect()(0).getLong(0)
+    assert(bandCount === 8L)
+  }
+
   test("streaming running degrees: mapGroupsWithState accumulates across batches") {
     val base = java.nio.file.Files.createTempDirectory("degstream").toString
     Seq((0L, 1L), (0L, 2L)).toDF("src", "dst").write.parquet(s"$base/in")
