@@ -86,6 +86,20 @@ object Plans {
     // shard packing: range partition + per-partition offsets, no global Window
     dump("token-budget shard packing (distributed prefix sum)",
       graft.text.TextOps.packShards(Tables.read(spark, dir, "documents"), 2000L))
+
+    // round-4 crawl-hygiene ops
+    // gopher stats: the per-doc branch is map-only (one scan, array
+    // expressions inside WholeStageCodegen); the top-gram branch is one
+    // partial-agg shuffle on (doc_id, gram) then doc_id
+    dump("gopher repetition/quality stats",
+      graft.text.TextOps.gopherStats(Tables.read(spark, dir, "documents")))
+    // url dedup: normalization inside the scan projection, ONE Exchange on
+    // the normalized key
+    dump("url dedup (normalize → one hash shuffle)",
+      graft.text.WebOps.urlDedup(
+        Tables.read(spark, dir, "documents")
+          .select(col("doc_id"), concat(lit("https://e.com/p/"),
+            col("doc_id").cast("string"), lit("?utm_source=x")).as("url"))))
     spark.stop()
   }
 }
