@@ -182,8 +182,24 @@ object Motifs {
     * escape. At scale, use [[motifs4]] on the skeleton (closed-form,
     * distributed) or sampled estimates.
     */
-  def motifs4Directed(g: LinkGraph, maxKernelVertices: Int = 4096): Seq[Option[Long]] = {
+  def motifs4Directed(g: LinkGraph, maxKernelVertices: Int = 4096): Seq[Option[Long]] =
+    motifs4DirectedCensus(g, maxKernelVertices, Seq.fill(4)(0.0), seed = 0L)
+      .map(_.map(_.toLong))
+
+  /** RAND-ESU sampling (the reference's `cut_prob` argument): each ESU
+    * subtree at depth d is explored with probability 1 − cutProb(d), and
+    * every census hit is weighted by 1/∏(1 − cutProb(d)) — the unbiased
+    * Wernicke estimator. cutProb = zeros reproduces the exact census.
+    */
+  def motifs4DirectedSampled(g: LinkGraph, cutProb: Seq[Double], seed: Long = 42L,
+                             maxKernelVertices: Int = 4096): Seq[Option[Double]] =
+    motifs4DirectedCensus(g, maxKernelVertices, cutProb, seed)
+
+  private def motifs4DirectedCensus(g: LinkGraph, maxKernelVertices: Int,
+                                    cutProb: Seq[Double], seed: Long): Seq[Option[Double]] = {
     require(g.directed, "motifs4Directed expects a directed graph; use motifs4")
+    require(cutProb.length == 4 && cutProb.forall(p => p >= 0.0 && p < 1.0),
+      s"cut_prob must be 4 probabilities in [0,1), got $cutProb")
     val n0 = g.vcount()
     require(n0 <= maxKernelVertices,
       s"directed 4-motif census is a driver kernel capped at $maxKernelVertices " +
@@ -199,7 +215,13 @@ object Motifs {
         adjOut(i).set(j); und(i).set(j); und(j).set(i)
       }
     val table = Catalog.maskClassTable(4, directed = true)
-    val counts = new Array[Long](Catalog.isoclassCount(4, directed = true))
+    val counts = new Array[Double](Catalog.isoclassCount(4, directed = true))
+    val keep = cutProb.map(p => 1.0 - p).toArray
+    val exact = keep.forall(_ == 1.0)
+    val weight = 1.0 / keep.product
+    val rnd = new scala.util.Random(seed)
+    def sampled(depth: Int): Boolean = exact || keep(depth) >= 1.0 ||
+      rnd.nextDouble() < keep(depth)
     val sub = new Array[Int](4)
     def classify(): Unit = {
       var mask = 0
@@ -213,11 +235,12 @@ object Motifs {
         }
         i += 1
       }
-      counts(table(mask)) += 1
+      counts(table(mask)) += weight
     }
     // ESU: extend(subLen, ext, closed) where closed = VSub ∪ N(VSub); the
     // exclusive neighborhood of the next pick is computed against `closed`
     // BEFORE merging, so each connected 4-set is emitted exactly once.
+    // RAND-ESU: each pick at tree level `subLen` survives with keep(subLen).
     def extend(root: Int, subLen: Int, ext: List[Int], closed: java.util.BitSet): Unit = {
       if (subLen == 4) { classify(); return }
       var rest = ext
@@ -225,7 +248,8 @@ object Motifs {
         val w = rest.head
         rest = rest.tail
         sub(subLen) = w
-        if (subLen == 3) classify()
+        if (!sampled(subLen)) ()
+        else if (subLen == 3) classify()
         else {
           val excl = und(w).clone().asInstanceOf[java.util.BitSet]
           excl.andNot(closed)
@@ -244,16 +268,18 @@ object Motifs {
     }
     var v = 0
     while (v < n) {
-      sub(0) = v
-      val closed = und(v).clone().asInstanceOf[java.util.BitSet]
-      closed.set(v)
-      var ext = List.empty[Int]
-      var u = und(v).nextSetBit(v + 1)
-      while (u >= 0) {
-        ext = u :: ext
-        u = und(v).nextSetBit(u + 1)
+      if (sampled(0)) {
+        sub(0) = v
+        val closed = und(v).clone().asInstanceOf[java.util.BitSet]
+        closed.set(v)
+        var ext = List.empty[Int]
+        var u = und(v).nextSetBit(v + 1)
+        while (u >= 0) {
+          ext = u :: ext
+          u = und(v).nextSetBit(u + 1)
+        }
+        extend(v, 1, ext, closed)
       }
-      extend(v, 1, ext, closed)
       v += 1
     }
     val conn = Catalog.connectedClasses(4, directed = true)

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.algos.Components
 import graft.core.{GraphOps, LinkGraph}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Assorted P2 operators: line graph, matrix views, power-law fit, random
@@ -325,6 +325,78 @@ object Extras {
     * mode "simple" keeps the graph simple; "loops" additionally allows
     * self-loops.
     */
+  /** `rewire_edges(prob, loops=False, multiple=False)`
+    * (`graphobject.c:5532`, `igraph_rewire_edges`): each endpoint of each
+    * edge is independently replaced by a uniform random vertex with
+    * probability `prob`; edge count always preserved.
+    *
+    * `multiple = true` is FULLY DISTRIBUTED: the coins and replacement
+    * targets are pure column expressions of (seed, src, dst) —
+    * `xxhash64`-derived, so any parallelism yields the identical graph
+    * (parallel duplicate edges rewire identically, documented). When
+    * `loops = false`, a rewire that would create a self-loop deterministically
+    * shifts the new endpoint by +1 mod n (an O(1/n) non-uniformity in
+    * exchange for a collect-free plan). `multiple = false` (the reference
+    * default) must maintain global simplicity — each decision conditions on
+    * every previous one — so it runs as a require-gated driver kernel with
+    * rejection sampling, like [[rewire]].
+    */
+  def rewireEdges(g: LinkGraph, prob: Double, loops: Boolean = false,
+                  multiple: Boolean = false, seed: Long = 42L): LinkGraph = {
+    require(prob >= 0.0 && prob <= 1.0, s"prob must be in [0,1], got $prob")
+    val n = g.vcount()
+    if (prob == 0.0 || n == 0L) return g
+    require(loops || n >= 2, "cannot avoid loops with a single vertex")
+    if (multiple) {
+      val u53 = (c: Column) => shiftrightunsigned(c, 11).cast("double") / 9007199254740992.0
+      def coin(slot: Int): Column =
+        u53(xxhash64(lit(seed), lit(slot), col("src"), col("dst"))) < prob
+      def pick(slot: Int): Column =
+        pmod(xxhash64(lit(seed), lit(slot + 100), col("src"), col("dst")), lit(n))
+      val e0 = g.weighted
+        .withColumn("ns", when(coin(1), pick(1)).otherwise(col("src")))
+        .withColumn("nd", when(coin(2), pick(2)).otherwise(col("dst")))
+      val fixed =
+        if (loops) e0
+        else e0.withColumn("nd",
+          when(col("ns") === col("nd"), pmod(col("nd") + 1, lit(n))).otherwise(col("nd")))
+      LinkGraph(fixed.select(col("ns").as("src"), col("nd").as("dst"), col("weight")),
+        g.directed, Some(n))
+    } else {
+      require(n <= 2000000L && g.ecount() <= 10000000L,
+        "rewire_edges(multiple=false) maintains global simplicity — a " +
+          "sequential driver kernel capped at 2M vertices / 10M edges; " +
+          "pass multiple=true for the distributed path")
+      val rnd = new scala.util.Random(seed)
+      def norm(e: (Long, Long)): (Long, Long) =
+        if (g.directed || e._1 <= e._2) e else (e._2, e._1)
+      val edges = g.weighted.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val eset = scala.collection.mutable.Set(edges.map(norm).toSeq: _*)
+      val out = edges.map { case (a, b) =>
+        var cur = (a, b)
+        var slot = 0
+        while (slot < 2) {
+          if (rnd.nextDouble() < prob) {
+            var tries = 0
+            var done = false
+            while (!done && tries < 100) {
+              tries += 1
+              val t = rnd.nextLong(n)
+              val cand = if (slot == 0) (t, cur._2) else (cur._1, t)
+              if ((loops || cand._1 != cand._2) && !eset.contains(norm(cand))) {
+                eset -= norm(cur); eset += norm(cand); cur = cand; done = true
+              }
+            }
+          }
+          slot += 1
+        }
+        cur
+      }
+      LinkGraph(g.spark, n, out.toSeq, g.directed)
+    }
+  }
+
   def rewire(g: LinkGraph, trials: Int, mode: String = "simple", seed: Long = 42L): LinkGraph = {
     require(mode == "simple" || mode == "loops", s"rewire mode must be simple|loops, got $mode")
     val n = g.vcount()

@@ -60,6 +60,39 @@ class OperatorsExtraSpec extends AnyFunSuite {
     assert(edgeSet(Extras.rewire(g, 5000, seed = 7L)) == re)
   }
 
+  test("rewire_edges: distributed and simple-kernel semantics (graphobject.c:5532)") {
+    val n = 40
+    val ring = LinkGraph(spark, n.toLong,
+      (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)), directed = false)
+    // prob = 0: identity
+    assert(edgeSet(Extras.rewireEdges(ring, 0.0, multiple = true)) == edgeSet(ring))
+    // distributed path, prob = 1, no loops: edge count preserved, all
+    // endpoints in range, no self-loops, deterministic in the seed
+    val r1 = Extras.rewireEdges(ring, 1.0, loops = false, multiple = true, seed = 9L)
+    val e1 = r1.weighted.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e1.length == n)
+    assert(e1.forall { case (a, b) => a != b && a >= 0 && a < n && b >= 0 && b < n })
+    assert(edgeSet(Extras.rewireEdges(ring, 1.0, loops = false, multiple = true, seed = 9L))
+      == edgeSet(r1))
+    assert(edgeSet(Extras.rewireEdges(ring, 1.0, loops = false, multiple = true, seed = 10L))
+      != edgeSet(r1), "different seed should rewire differently")
+    // parallelism invariance: the rewiring is a pure function of (seed, edge)
+    val rep = LinkGraph(ring.weighted.repartition(7), ring.directed, Some(n.toLong))
+    assert(edgeSet(Extras.rewireEdges(rep, 1.0, loops = false, multiple = true, seed = 9L))
+      == edgeSet(r1))
+    // prob = 0.5: an edge survives untouched iff both coins miss (p = 0.25)
+    // -> expect ~10 of 40 original edges retained; assert a generous CI
+    val half = Extras.rewireEdges(ring, 0.5, loops = true, multiple = true, seed = 11L)
+    val retained = (edgeSet(half) intersect edgeSet(ring)).size
+    assert(retained >= 2 && retained <= 22, s"retained=$retained of 40 at prob=0.5")
+    // multiple = false kernel: result stays simple, count preserved
+    val rs = Extras.rewireEdges(ring, 1.0, loops = false, multiple = false, seed = 3L)
+    val es = edgeSet(rs)
+    assert(es.size == n, "simplicity kernel keeps the edge count and no multi-edges")
+    assert(es.forall { case (a, b) => a != b })
+    assert(edgeSet(Extras.rewireEdges(ring, 1.0, loops = false, multiple = false, seed = 3L)) == es)
+  }
+
   test("dominator tree goldens: forward, flipped (mode=IN), disconnected (test_structural.py:775-893)") {
     def domMap(g: LinkGraph, root: Long, mode: Mode = Mode.Out): Map[Long, Long] =
       Dominators.dominator(g, root, mode).collect()

@@ -252,6 +252,33 @@ class TriadsSpec extends AnyFunSuite {
     }
   }
 
+  test("motifs4 directed RAND-ESU sampling: zeros == exact; unbiased estimate over seeds") {
+    import graft.algos.Motifs
+    val rnd = new scala.util.Random(37)
+    val n = 9
+    val edges = (for {
+      i <- 0 until n; j <- 0 until n if i != j && rnd.nextDouble() < 0.3
+    } yield (i.toLong, j.toLong)).toSeq
+    val g = LinkGraph(spark, n.toLong, edges, directed = true)
+    val exact = Motifs.motifs4Directed(g)
+    // cut_prob all zero reproduces the exact census
+    assert(Motifs.motifs4DirectedSampled(g, Seq(0.0, 0.0, 0.0, 0.0))
+      .map(_.map(_.toLong)) == exact)
+    // deterministic per seed
+    val s1 = Motifs.motifs4DirectedSampled(g, Seq(0.0, 0.0, 0.3, 0.3), seed = 5L)
+    assert(s1 == Motifs.motifs4DirectedSampled(g, Seq(0.0, 0.0, 0.3, 0.3), seed = 5L))
+    // unbiased: the seed-averaged estimate of the total approaches the truth
+    val total = exact.flatten.sum.toDouble
+    val est = (1 to 40).map { s =>
+      Motifs.motifs4DirectedSampled(g, Seq(0.0, 0.2, 0.3, 0.3), seed = s.toLong)
+        .flatten.sum
+    }.sum / 40.0
+    assert(math.abs(est - total) / total < 0.15, s"estimate $est vs exact $total")
+    // invalid cut_prob fails loudly
+    intercept[IllegalArgumentException](
+      Motifs.motifs4DirectedSampled(g, Seq(0.0, 0.0, 1.0, 0.0)))
+  }
+
   test("motifs4 directed: goldens, vector shape and the kernel gate") {
     import graft.algos.Motifs
     // directed 4-cycle: exactly one connected 4-set, its own class
