@@ -252,9 +252,14 @@ object TextOps {
     *    top_2gram_char_frac ≤ 0.2.
     *
     * Per-doc metrics are pure array expressions (map-only, codegen); the
-    * top-2-gram branch is one explode + partial-aggregated groupBy keyed by
-    * (doc_id, gram) then doc_id — the shape that survives 100 TB (no per-doc
-    * quadratic scan, no driver loop).
+    * top-2-gram branch is an explode + two aggregates. Every exchange is at
+    * DOC granularity: both branches hang off a `repartition(doc_id)` of the
+    * (doc_id, text) projection — docs are unique by id, so the raw-doc
+    * shuffle is strictly smaller than the (doc_id, gram)-count shuffle the
+    * naive plan would do — and both groupBys plus the final join are then
+    * co-partitioned (Catalyst may still broadcast the small aggregated join
+    * side on tiny inputs). No per-doc quadratic scan, no driver loop — the
+    * 100 TB shape.
     */
   def gopherStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
@@ -266,7 +271,8 @@ object TextOps {
     val dupFrac = (c: Column) =>
       when(size(c) === 0, 0.0).otherwise(
         round(lit(1.0) - size(array_distinct(c)).cast("double") / size(c), 6))
-    val perDoc = docs.select(
+    val parted = docs.select(col("doc_id"), col("text")).repartition(col("doc_id"))
+    val perDoc = parted.select(
       col("doc_id"),
       length(col("text")).as("n_chars_d"),
       n.as("word_count"),
@@ -278,7 +284,7 @@ object TextOps {
       dupFrac(toks).as("dup_word_frac"),
       dupFrac(grams(2)).as("dup_2gram_frac"),
       dupFrac(grams(3)).as("dup_3gram_frac"))
-    val topg = docs.select(col("doc_id"), explode(grams(2)).as("g"))
+    val topg = parted.select(col("doc_id"), explode(grams(2)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c") * length(col("g"))).as("cover"))
     perDoc.join(topg, Seq("doc_id"), "left")
