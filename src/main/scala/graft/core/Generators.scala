@@ -486,13 +486,24 @@ object Generators {
     */
   val treeGameCap = 2000000L
   def treeGame(spark: SparkSession, n: Long, seed: Long = 42L): LinkGraph = {
-    import spark.implicits._
     require(n <= treeGameCap, s"treeGame driver kernel capped at $treeGameCap vertices")
     if (n <= 1) return LinkGraph(spark, n, Seq.empty, directed = false)
     if (n == 2) return LinkGraph(spark, 2, Seq((0L, 1L)), directed = false)
     val ni = n.toInt
-    val prufer = Array.tabulate(ni - 2)(i =>
-      java.lang.Long.remainderUnsigned(mix64(seed ^ i.toLong), n).toInt)
+    fromPrufer(spark, Seq.tabulate(ni - 2)(i =>
+      java.lang.Long.remainderUnsigned(mix64(seed ^ i.toLong), n).toInt))
+  }
+
+  /** Prüfer-sequence decode — the labeled tree on n = len + 2 vertices whose
+    * Prüfer code is `prufer` (the `Graph.Prufer` constructor analog; also
+    * the inner step of [[treeGame]], since uniform Prüfer codes == uniform
+    * labeled trees). Inverse of `Extras.toPrufer` (round-trip tested).
+    */
+  def fromPrufer(spark: SparkSession, prufer: Seq[Int]): LinkGraph = {
+    import spark.implicits._
+    val ni = prufer.length + 2
+    require(prufer.forall(p => p >= 0 && p < ni),
+      s"Prüfer entries must be vertex ids in [0, $ni)")
     val deg = Array.fill(ni)(1)
     prufer.foreach(deg(_) += 1)
     val leaves = scala.collection.mutable.PriorityQueue.empty[Int](Ordering[Int].reverse)
@@ -506,7 +517,7 @@ object Generators {
     }
     val last = (leaves.dequeue(), leaves.dequeue())
     edges += ((math.min(last._1, last._2).toLong, math.max(last._1, last._2).toLong))
-    LinkGraph(edges.toSeq.toDF("src", "dst"), directed = false, Some(n))
+    LinkGraph(edges.toSeq.toDF("src", "dst"), directed = false, Some(ni.toLong))
   }
 
   /** Kautz(m, n) (`graphobject.c:12663`; test `test_generators.py:193-198`):

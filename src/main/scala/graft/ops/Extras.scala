@@ -325,6 +325,104 @@ object Extras {
     * mode "simple" keeps the graph simple; "loops" additionally allows
     * self-loops.
     */
+  /** `to_prufer()` (`graphobject.c:1910`, `igraph_to_prufer`): the Prüfer
+    * code of a labeled undirected tree — repeatedly remove the
+    * smallest-labeled leaf and record its neighbor (n − 2 entries). A gated
+    * driver kernel (the removal chain is sequential; a tree that fits a
+    * Prüfer use case is small by definition). Inverse of
+    * [[graft.core.Generators.fromPrufer]].
+    */
+  def toPrufer(g: LinkGraph, maxKernelVertices: Long = 2000000L): Seq[Int] = {
+    require(!g.directed && GraphOps.isTree(g), "to_prufer requires an undirected tree")
+    val n = g.vcount()
+    require(n <= maxKernelVertices,
+      s"to_prufer is a driver kernel capped at $maxKernelVertices vertices")
+    if (n <= 2) return Seq.empty
+    val ni = n.toInt
+    val adj = Array.fill(ni)(scala.collection.mutable.Set.empty[Int])
+    g.weighted.select("src", "dst").collect().foreach { r =>
+      val (a, b) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      adj(a) += b; adj(b) += a
+    }
+    val leaves = scala.collection.mutable.PriorityQueue.empty[Int](Ordering[Int].reverse)
+    (0 until ni).foreach(v => if (adj(v).size == 1) leaves.enqueue(v))
+    val out = new Array[Int](ni - 2)
+    var i = 0
+    while (i < ni - 2) {
+      val leaf = leaves.dequeue()
+      val p = adj(leaf).head
+      out(i) = p
+      adj(p) -= leaf
+      adj(leaf).clear()
+      if (adj(p).size == 1) leaves.enqueue(p)
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** `unfold_tree(roots, mode)` (`graphobject.c:9995`,
+    * `igraph_unfold_tree`): unfold into a forest by BFS from `roots` —
+    * every original edge is kept, but an edge reaching an already-visited
+    * vertex points to a FRESH COPY of it, so the result is acyclic with the
+    * same edge count. Returns the forest plus the new→old vertex mapping.
+    * BFS expansion order is ascending neighbor id (deterministic). Gated
+    * driver kernel (sequential visit order); mode = out|in|all.
+    */
+  def unfoldTree(g: LinkGraph, roots: Seq[Long], mode: String = "out",
+                 maxKernelVertices: Long = 2000000L): (LinkGraph, Seq[Long]) = {
+    require(Seq("out", "in", "all").contains(mode), s"mode must be out|in|all, got $mode")
+    val n = g.vcount()
+    require(n <= maxKernelVertices,
+      s"unfold_tree is a driver kernel capped at $maxKernelVertices vertices")
+    val ni = n.toInt
+    val eList = g.weighted.select("src", "dst").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+    // adjacency as (neighbor, edge-index), respecting mode for directed BFS
+    val adj = Array.fill(ni)(scala.collection.mutable.ArrayBuffer.empty[(Int, Int)])
+    eList.zipWithIndex.foreach { case ((a, b), ei) =>
+      if (!g.directed || mode == "all") { adj(a) += ((b, ei)); adj(b) += ((a, ei)) }
+      else if (mode == "out") adj(a) += ((b, ei))
+      else adj(b) += ((a, ei))
+    }
+    val visited = new Array[Boolean](ni)
+    val order = Array.fill(ni)(Int.MaxValue)
+    val treeEdge = new Array[Boolean](eList.length)
+    var stamp = 0
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    def bfs(r: Int): Unit = {
+      if (visited(r)) return
+      visited(r) = true; order(r) = stamp; stamp += 1
+      queue.enqueue(r)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        adj(v).sortBy(identity).foreach { case (u, ei) =>
+          if (!visited(u)) {
+            visited(u) = true; order(u) = stamp; stamp += 1
+            treeEdge(ei) = true
+            queue.enqueue(u)
+          }
+        }
+      }
+    }
+    roots.foreach(r => bfs(r.toInt))
+    // components untouched by the given roots are unfolded from their
+    // smallest vertex (documented engine semantics; keeps the result a
+    // forest regardless of root choice)
+    (0 until ni).foreach(bfs)
+    val mapping = scala.collection.mutable.ArrayBuffer.tabulate(ni)(_.toLong)
+    def copyOf(v: Int): Long = { mapping += v.toLong; (mapping.length - 1).toLong }
+    val edges = eList.zipWithIndex.map { case ((a, b), ei) =>
+      if (treeEdge(ei)) (a.toLong, b.toLong)
+      else if (g.directed && mode == "out") (a.toLong, copyOf(b))
+      else if (g.directed && mode == "in") (copyOf(a), b.toLong)
+      // undirected / mode=all: duplicate the BFS-later endpoint — the copy
+      // is always a fresh leaf, so the result is acyclic
+      else if (order(a) <= order(b)) (a.toLong, copyOf(b))
+      else (copyOf(a), b.toLong)
+    }
+    (LinkGraph(g.spark, mapping.length.toLong, edges.toSeq, g.directed), mapping.toSeq)
+  }
+
   /** `rewire_edges(prob, loops=False, multiple=False)`
     * (`graphobject.c:5532`, `igraph_rewire_edges`): each endpoint of each
     * edge is independently replaced by a uniform random vertex with

@@ -60,6 +60,65 @@ class OperatorsExtraSpec extends AnyFunSuite {
     assert(edgeSet(Extras.rewire(g, 5000, seed = 7L)) == re)
   }
 
+  test("to_prufer / fromPrufer: goldens, bijection round-trip, tree requirement (graphobject.c:1910)") {
+    import graft.core.Generators
+    // star K1,3 (center 0): remove leaves 1,2 -> [0, 0]
+    val star = LinkGraph(spark, 4, Seq((0L, 1L), (0L, 2L), (0L, 3L)), directed = false)
+    assert(Extras.toPrufer(star) == Seq(0, 0))
+    // path 0-1-2-3: remove 0 (-> 1), then 1 (-> 2) -> [1, 2]
+    val path = LinkGraph(spark, 4, Seq((0L, 1L), (1L, 2L), (2L, 3L)), directed = false)
+    assert(Extras.toPrufer(path) == Seq(1, 2))
+    // bijection: decode then encode is the identity on random codes
+    val rnd = new scala.util.Random(13)
+    (0 until 5).foreach { _ =>
+      val seq = Seq.fill(7)(rnd.nextInt(9))
+      assert(Extras.toPrufer(Generators.fromPrufer(spark, seq)) == seq)
+    }
+    // treeGame trees round-trip through their code
+    val t = Generators.treeGame(spark, 12, seed = 4L)
+    assert(edgeSet(Generators.fromPrufer(spark, Extras.toPrufer(t))) == edgeSet(t))
+    // non-trees are rejected
+    val cyc = LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L), (2L, 0L)), directed = false)
+    intercept[IllegalArgumentException](Extras.toPrufer(cyc))
+  }
+
+  test("unfold_tree: cycles unfold into forests with a valid new->old mapping (graphobject.c:9995)") {
+    // undirected triangle from root 0: tree edges (0,1),(0,2); the chord
+    // (1,2) points to a fresh copy of 2
+    val tri = LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L), (0L, 2L)), directed = false)
+    val (f1, m1) = Extras.unfoldTree(tri, Seq(0L), mode = "all")
+    assert(m1 == Seq(0L, 1L, 2L, 2L))
+    assert(edgeSet(f1) == Set((0L, 1L), (0L, 2L), (1L, 3L)))
+    // directed 3-cycle, mode=out: back edge duplicates its head
+    val dcyc = LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L), (2L, 0L)), directed = true)
+    val (f2, m2) = Extras.unfoldTree(dcyc, Seq(0L), mode = "out")
+    assert(m2 == Seq(0L, 1L, 2L, 0L))
+    assert(edgeSet(f2) == Set((0L, 1L), (1L, 2L), (2L, 3L)))
+    // random graph: edge count preserved, result acyclic (union-find never
+    // sees a redundant union), every output edge projects onto an original
+    val rnd = new scala.util.Random(17)
+    val n = 12
+    val edges = (for {
+      i <- 0 until n; j <- i + 1 until n if rnd.nextDouble() < 0.3
+    } yield (i.toLong, j.toLong)).toSeq
+    val g = LinkGraph(spark, n.toLong, edges, directed = false)
+    val (f, m) = Extras.unfoldTree(g, Seq(3L), mode = "all")
+    val fe = f.weighted.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fe.length == edges.length, "edge count preserved")
+    val par = Array.tabulate(m.length)(identity)
+    def find(x: Int): Int = if (par(x) == x) x else { par(x) = find(par(x)); par(x) }
+    fe.foreach { case (a, b) =>
+      assert(find(a.toInt) != find(b.toInt), "unfolded graph must be acyclic")
+      par(find(a.toInt)) = find(b.toInt)
+    }
+    val orig = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val proj = fe.map { case (a, b) => (m(a.toInt), m(b.toInt)) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(proj == orig, "projected edges must equal the original multiset")
+  }
+
   test("rewire_edges: distributed and simple-kernel semantics (graphobject.c:5532)") {
     val n = 40
     val ring = LinkGraph(spark, n.toLong,
