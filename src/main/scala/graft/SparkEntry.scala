@@ -291,6 +291,14 @@ object SparkEntry {
       val mf = Flow.stMincut(g, 1L, 0L)
       mf.cutEdges.select(col("src"), col("dst"), lit(mf.value).as("value"))
     }),
+    // flow family VALUE oracles: the 13-vertex data-derived fixture is small
+    // enough for DuckDB to brute-force every s-t min cut by subset
+    // enumeration (2^11 masks/pair), so Dinic and the Gomory-Hu tree get
+    // full value verification, not just the at-scale rows-only checks above
+    "q_mincut_pairs" -> ((s, dir) =>
+      Flow.allPairsMinCut(Tables.flowGraph(s, dir), useWeights = true)),
+    "q_gomory_hu_pairs" -> ((s, dir) =>
+      Flow.gomoryHuAllPairs(Tables.flowGraph(s, dir), useWeights = true)),
     "q_allsp" -> ((s, dir) => {
       // every shortest path from vertex 1 to each target id % 17 == 0
       val g = Tables.bridgeGraph(s, dir)
@@ -344,6 +352,14 @@ object SparkEntry {
       .select(col("doc_id"), col("cluster"), col("keep").cast("long").as("keep"))),
     "q_vocab_top" -> ((s, dir) => TextOps.vocabTop(Tables.read(s, dir, "documents"), 100)
       .select(col("token"), col("freq"))),
+    "q_decontaminate" -> ((s, dir) => {
+      // eval set = every 50th doc (deterministic); train = the rest
+      val docs = Tables.read(s, dir, "documents")
+      TextOps.decontaminate(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), n = 3)
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
+    }),
     "q_tfidf" -> ((s, dir) => TextOps.tfidf(Tables.read(s, dir, "documents"))
       .select(col("doc_id"), col("term"), round(col("tfidf"), 6).as("tfidf"))),
     "q_bm25" -> ((s, dir) => TextOps.bm25(Tables.read(s, dir, "documents"),
@@ -437,6 +453,36 @@ object SparkEntry {
 
   private val E = Tables.eventsGraphSql
   private val P = Tables.copartGraphSql
+
+  /** Brute-force all-pairs min s-t cut on the 13-vertex flow fixture:
+    * for each of the 78 pairs, enumerate every subset of the 11 "other"
+    * vertices (2^11 bitmasks; S = {s} ∪ subset) and take the minimum
+    * crossing-edge weight — completely independent of the engine's
+    * Dinic / Gusfield machinery. Shared by `q_mincut_pairs` (direct Dinic
+    * per pair) and `q_gomory_hu_pairs` (values derived from the Gomory-Hu
+    * tree), so the tree's defining property is value-checked end-to-end.
+    */
+  private val mincutPairsSql: String =
+    s"""WITH ${Tables.flowGraphSql},
+       |pairs AS (SELECT s.i AS s, t.i AS t FROM range(13) s(i), range(13) t(i) WHERE s.i < t.i),
+       |pos AS MATERIALIZED (
+       |  SELECT p.s, p.t, v.i AS vx,
+       |         ROW_NUMBER() OVER (PARTITION BY p.s, p.t ORDER BY v.i) - 1 AS bit
+       |  FROM pairs p, range(13) v(i) WHERE v.i <> p.s AND v.i <> p.t),
+       |cutw AS (
+       |  SELECT p.s, p.t, k.m,
+       |    SUM(CASE WHEN
+       |      (CASE WHEN e.src = p.s THEN 1 WHEN e.src = p.t THEN 0 ELSE ((k.m >> ps.bit) & 1) END)
+       |      <>
+       |      (CASE WHEN e.dst = p.s THEN 1 WHEN e.dst = p.t THEN 0 ELSE ((k.m >> pd.bit) & 1) END)
+       |      THEN e.w ELSE 0 END) AS cut
+       |  FROM pairs p
+       |  CROSS JOIN range(2048) k(m)
+       |  CROSS JOIN fg e
+       |  LEFT JOIN pos ps ON ps.s = p.s AND ps.t = p.t AND ps.vx = e.src
+       |  LEFT JOIN pos pd ON pd.s = p.s AND pd.t = p.t AND pd.vx = e.dst
+       |  GROUP BY 1, 2, 3)
+       |SELECT s, t, MIN(cut) AS mincut FROM cutw GROUP BY 1, 2""".stripMargin
 
   /** Unrolled k-iteration PageRank in ANSI SQL (DuckDB), exactly mirroring
     * [[graft.algos.PageRank]]'s update rule incl. dangling handling.
@@ -972,6 +1018,19 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
       """WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
         |SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
         |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "q_decontaminate" ->
+      // same distinct-3-gram shingling idiom as q_jaccard_dupes; eval =
+      // doc_id % 50 == 0, train = the rest; n_hits = distinct shared grams
+      """WITH sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        |    RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+        |    i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i:i+2], ' ')))) AS g FROM documents),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (SELECT sh.doc_id, COUNT(*) AS n_hits FROM sh
+        |  JOIN ev ON ev.g = sh.g WHERE sh.doc_id % 50 <> 0 GROUP BY sh.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tc FROM toks GROUP BY doc_id, term),
@@ -1276,6 +1335,8 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |SELECT shapes.shape, COALESCE(c.cnt, 0) AS cnt FROM shapes
          |LEFT JOIN (SELECT shape, COUNT(*) AS cnt FROM shp GROUP BY shape) c
          |  ON c.shape = shapes.shape""".stripMargin,
+    "q_mincut_pairs" -> mincutPairsSql,
+    "q_gomory_hu_pairs" -> mincutPairsSql,
     "q_cliques4" ->
       s"""WITH $P
          |SELECT e1.src AS va, e1.dst AS vb, e2.dst AS vc, e3.dst AS vd

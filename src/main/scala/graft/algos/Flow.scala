@@ -295,6 +295,64 @@ object Flow {
     best
   }
 
+  /** All-pairs s-t min-cut values (rows `(s, t, mincut)` with s < t):
+    * collects once, runs one Dinic per pair. O(n^2) max-flows, so this is
+    * an oracle/validation surface, gated far below the single-flow kernel
+    * cap — its purpose is to give the flow family a value-checkable
+    * fixture (DuckDB can brute-force min cuts by subset enumeration on a
+    * tiny graph, which it cannot do for the at-scale rows-only queries).
+    */
+  def allPairsMinCut(g: LinkGraph, useWeights: Boolean = false): DataFrame = {
+    require(!g.directed, "allPairsMinCut: undirected only (st == ts symmetry)")
+    val spark = g.spark
+    import spark.implicits._
+    val c = collect(g, useWeights)
+    val n = c.ids.length
+    require(n <= 64,
+      s"all-pairs min-cut is O(n^2) max-flows — capped at 64 vertices ($n given)")
+    val rows = for { i <- 0 until n; j <- i + 1 until n }
+      yield (c.ids(i), c.ids(j), dinic(buildNet(c), i, j))
+    rows.toDF("s", "t", "mincut")
+  }
+
+  /** All-pairs min-cut values DERIVED from the Gomory-Hu tree: the min
+    * edge weight on the unique tree path u..t. By the Gomory-Hu property
+    * this must equal [[allPairsMinCut]] on every pair — the
+    * `q_gomory_hu_pairs` oracle checks it against DuckDB's independent
+    * brute-force subset enumeration, upgrading the tree from a rows-only
+    * check to a value-verified one (the tree itself is not unique, so the
+    * pairwise cut values are its canonical observable).
+    */
+  def gomoryHuAllPairs(g: LinkGraph, useWeights: Boolean = false): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val tree = gomoryHu(g, useWeights).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = (tree.map(_._1) ++ tree.map(_._2)).distinct.sorted
+    val n = ids.length
+    require(n <= 4096, s"gomoryHuAllPairs emits O(n^2) rows — capped at 4096 vertices ($n given)")
+    if (n == 0) return Seq.empty[(Long, Long, Double)].toDF("s", "t", "mincut")
+    val idx = ids.zipWithIndex.toMap
+    val adj = Array.fill(n)(List.empty[(Int, Double)])
+    tree.foreach { case (a, b, w) =>
+      val u = idx(a); val v = idx(b)
+      adj(u) ::= (v, w); adj(v) ::= (u, w)
+    }
+    val rows = Seq.newBuilder[(Long, Long, Double)]
+    for (s <- 0 until n) {
+      val minw = Array.fill(n)(-1.0)
+      val q = scala.collection.mutable.Queue(s); minw(s) = Double.MaxValue
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        adj(u).foreach { case (v, w) =>
+          if (minw(v) < 0) { minw(v) = math.min(minw(u), w); q += v }
+        }
+      }
+      for (t <- s + 1 until n) rows += ((ids(s), ids(t), minw(t)))
+    }
+    rows.result().toDF("s", "t", "mincut")
+  }
+
   /** `gomory_hu_tree()` (undirected only, like the reference): Gusfield's
     * algorithm — n-1 max flows, no contraction. Returns tree edges
     * (src, dst, flow); min edge on the tree path u..v equals

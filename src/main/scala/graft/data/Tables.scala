@@ -57,6 +57,41 @@ object Tables {
     LinkGraph(tree.union(chords).distinct(), directed = false, None)
   }
 
+  /** Tiny weighted undirected flow fixture (13 vertices): a ring 0-1-…-12-0
+    * (weight 1) guaranteeing connectivity, plus every events-graph edge with
+    * both endpoints < 13, canonicalized src < dst with multiplicity as
+    * capacity. Small by construction so DuckDB can brute-force min s-t cuts
+    * by subset enumeration (2^11 subsets per pair) — the value oracle for
+    * the flow family, which at scale only gets rows-only checks.
+    */
+  def flowGraph(spark: SparkSession, dir: String): LinkGraph = {
+    val data = read(spark, dir, "events").select(
+        col("user_id").as("a"),
+        (floor(col("value")).cast("long") % 97).as("b"))
+      .where(col("a") < 13 && col("b") < 13 && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("weight"))
+    val ring = spark.range(13).select(
+        least(col("id"), (col("id") + 1) % 13).as("src"),
+        greatest(col("id"), (col("id") + 1) % 13).as("dst"),
+        lit(1.0).as("weight"))
+    val e = data.unionByName(ring)
+      .groupBy("src", "dst").agg(sum("weight").as("weight"))
+    LinkGraph(e, directed = false, None)
+  }
+
+  /** SQL CTE mirroring [[flowGraph]]. */
+  val flowGraphSql: String =
+    """fg AS MATERIALIZED (
+      |  SELECT src, dst, SUM(w) AS w FROM (
+      |    SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+      |    FROM (SELECT user_id AS a, CAST(FLOOR(value) AS BIGINT) % 97 AS b FROM events)
+      |    WHERE a < 13 AND b < 13 AND a <> b GROUP BY 1, 2
+      |    UNION ALL
+      |    SELECT LEAST(i, (i + 1) % 13), GREATEST(i, (i + 1) % 13), CAST(1.0 AS DOUBLE)
+      |    FROM range(13) t(i)
+      |  ) GROUP BY 1, 2)""".stripMargin
+
   /** SQL CTE mirroring [[copartGraph]]. */
   val copartGraphSql: String =
     """pe AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -157,6 +157,30 @@ object TextOps {
       .withColumn("keep", col("doc_id") === col("cluster"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing ANY
+    * word-level n-gram with an evaluation set — the standard pre-training
+    * hygiene step (GPT-3 appendix C / PaLM style n-gram overlap filtering,
+    * n parameterized). Plan shape for 100 TB: the eval set's distinct
+    * n-grams are orders of magnitude smaller than the corpus, so they are
+    * broadcast and the train side is one projection + explode joined
+    * map-side — no shuffle of training rows; only the (small) per-doc hit
+    * counts aggregate. Output: (doc_id, n_hits, contaminated 0/1) — one
+    * row per training doc; n_hits counts the doc's DISTINCT overlapping
+    * grams ([[shingles]] is distinct per doc and the eval side is
+    * distinct).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 3): DataFrame = {
+    val evalGrams = eval.select(explode(shingles(col("text"), n)).as("g")).distinct()
+    val trainGrams = train.select(col("doc_id"), explode(shingles(col("text"), n)).as("g"))
+    val hits = trainGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    train.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, lit(1L)).otherwise(lit(0L))
+          .as("contaminated"))
+  }
+
   /** SimHash fingerprint as four 16-bit chunks (c0..c3; c0 = bits 0-15).
     * Per token the 64-bit hash is the first 16 hex chars of md5(token)
     * (engine-portable — the DuckDB oracle recomputes it digit-wise); per

@@ -122,6 +122,43 @@ class FlowSpec extends AnyFunSuite {
       assert(pathMin(i, j) == Flow.maxflowValue(g, i, j, useWeights = true), s"pair ($i,$j)")
   }
 
+  test("allPairsMinCut == gomoryHuAllPairs == brute-force subset enumeration") {
+    val rnd = new scala.util.Random(73)
+    for (trial <- 0 until 4) {
+      val n = 8
+      val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong, (rnd.nextInt(4) + 1).toDouble))
+      val extra = for {
+        i <- 0 until n; j <- i + 2 until n if rnd.nextDouble() < 0.3
+      } yield (i.toLong, j.toLong, (rnd.nextInt(4) + 1).toDouble)
+      val edges = ring ++ extra
+      val g = LinkGraph.weighted(spark, n.toLong, edges, directed = false)
+      val canon = edges.map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+        .groupBy(e => (e._1, e._2)).map { case (k, es) => (k._1, k._2, es.map(_._3).sum) }.toSeq
+      // brute force: min over all subsets S with s in S, t not in S
+      def brute(s: Long, t: Long): Double = {
+        val others = (0L until n.toLong).filterNot(v => v == s || v == t)
+        (0 until (1 << others.length)).map { m =>
+          val inS = others.zipWithIndex.collect { case (v, k) if ((m >> k) & 1) == 1 => v }.toSet + s
+          canon.collect { case (a, b, w) if inS(a) != inS(b) => w }.sum
+        }.min
+      }
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val direct = toMap(Flow.allPairsMinCut(g, useWeights = true))
+      val viaTree = toMap(Flow.gomoryHuAllPairs(g, useWeights = true))
+      assert(direct.keySet == viaTree.keySet && direct.size == n * (n - 1) / 2)
+      direct.foreach { case ((s, t), v) =>
+        assert(v == brute(s, t), s"trial $trial direct ($s,$t)")
+        assert(viaTree((s, t)) == v, s"trial $trial tree ($s,$t)")
+      }
+    }
+    // gates: all-pairs Dinic capped at 64 vertices, directed rejected
+    intercept[IllegalArgumentException](Flow.allPairsMinCut(
+      LinkGraph(spark, 65, Seq((0L, 1L)), directed = false)))
+    intercept[IllegalArgumentException](Flow.allPairsMinCut(
+      LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L)), directed = true)))
+  }
+
   test("deep path graph: iterative Dinic survives 50k levels") {
     import org.apache.spark.sql.functions._
     val n = 50000L

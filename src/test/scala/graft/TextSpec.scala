@@ -123,6 +123,22 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate: flags exactly the train docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),          // shares "the quick brown", "quick brown fox"
+      (2L, "lazy dogs sleep all day"),            // no 3-gram overlap
+      (3L, "we hold the quick brown close"),      // shares "the quick brown"
+      (4L, "hi"),                                 // shorter than n: zero grams
+      (5L, "quick brown quick brown quick brown") // distinct grams: 2 hits ("quick brown quick" not in eval)
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox ran")).toDF("doc_id", "text")
+    val out = TextOps.decontaminate(train, eval, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L)), 2L -> ((0L, 0L)), 3L -> ((1L, 1L)),
+      4L -> ((0L, 0L)), 5L -> ((0L, 0L))))
+  }
+
   test("simhash: identical docs distance 0; near-dups low distance") {
     val two = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
