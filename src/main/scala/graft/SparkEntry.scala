@@ -264,6 +264,29 @@ object SparkEntry {
       GraphOps.assortativityNominal(g, types)
         .select(round(col("assortativity"), 6).as("assort_nominal"))
     }),
+    "q_diversity" -> ((s, dir) => {
+      // copart graph with deterministic synthetic weights (1 + (src+dst)%5)
+      val pe = Tables.copartGraph(s, dir).edges.select(col("src"), col("dst"),
+        (lit(1) + (col("src") + col("dst")) % 5).cast("double").as("weight"))
+      GraphOps.diversity(LinkGraph(pe, directed = false, None))
+        .select(col("id"), round(col("diversity"), 6).as("diversity"))
+    }),
+    "q_edge_mult" -> ((s, dir) =>
+      graft.ops.Extras.edgeMultiplicity(Tables.eventsGraph(s, dir))
+        .select(col("src"), col("dst"), col("is_loop"),
+          col("count_multiple"), col("is_multiple"))),
+    "q_fas" -> ((s, dir) =>
+      graft.ops.Extras.feedbackArcSet(Tables.eventsGraph(s, dir))
+        .select(col("src"), col("dst"))),
+    "q_assort_values" -> ((s, dir) => {
+      // general numeric assortativity, two distinct value vectors
+      val g = Tables.eventsGraph(s, dir)
+      val v1 = g.vertices.select(col("id"), (col("id") % 13).cast("double").as("v"))
+      val v2 = g.vertices.select(col("id"), (col("id") % 7).cast("double").as("v"))
+      import s.implicits._
+      Seq(GraphOps.assortativity(g, v1, Some(v2))).toDF("r")
+        .select(round(col("r"), 6).as("assort_values"))
+    }),
     "q_radius" -> ((s, dir) => {
       import s.implicits._
       Seq(Distances.radius(Tables.eventsGraph(s, dir), Some(Mode.All))).toDF("radius")
@@ -1202,6 +1225,36 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |top AS (SELECT comp FROM (SELECT comp, COUNT(*) AS sz FROM cmp
          |  GROUP BY comp ORDER BY sz DESC, comp LIMIT 1))
          |SELECT id FROM cmp WHERE comp = (SELECT comp FROM top)""".stripMargin,
+    "q_fas" ->
+      // independent derivation: window-function rank (the engine uses the
+      // partition-offset dense rank) over the SAME deterministic order
+      s"""WITH $E,
+         |outd AS (SELECT src AS id, COUNT(*) AS od FROM e GROUP BY src),
+         |ind AS (SELECT dst AS id, COUNT(*) AS ideg FROM e GROUP BY dst),
+         |sc AS (SELECT v.id, COALESCE(i.ideg, 0) - COALESCE(o.od, 0) AS delta
+         |  FROM v LEFT JOIN outd o ON o.id = v.id LEFT JOIN ind i ON i.id = v.id),
+         |rk AS (SELECT id, ROW_NUMBER() OVER (ORDER BY delta, id) - 1 AS pos FROM sc)
+         |SELECT e.src, e.dst FROM e JOIN rk a ON a.id = e.src JOIN rk b ON b.id = e.dst
+         |WHERE a.pos > b.pos OR e.src = e.dst""".stripMargin,
+    "q_diversity" ->
+      s"""WITH $P,
+         |we AS (SELECT src, dst, CAST(1 + (src + dst) % 5 AS DOUBLE) AS w FROM pe),
+         |inc AS (SELECT src AS id, w FROM we UNION ALL SELECT dst, w FROM we),
+         |ag AS (SELECT id, SUM(w) AS sw, COUNT(*) AS d, SUM(w * LN(w)) AS swlw FROM inc GROUP BY id)
+         |SELECT id, ROUND(CASE WHEN d = 1 THEN 0.0 ELSE (LN(sw) - swlw / sw) / LN(d) END, 6) AS diversity
+         |FROM ag""".stripMargin,
+    "q_edge_mult" ->
+      s"""WITH $E,
+         |c AS (SELECT src, dst, COUNT(*) AS cnt FROM e GROUP BY src, dst)
+         |SELECT e.src, e.dst,
+         |  CAST(CASE WHEN e.src = e.dst THEN 1 ELSE 0 END AS BIGINT) AS is_loop,
+         |  c.cnt AS count_multiple,
+         |  CAST(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_multiple
+         |FROM e JOIN c ON c.src = e.src AND c.dst = e.dst""".stripMargin,
+    "q_assort_values" ->
+      s"""WITH $E
+         |SELECT ROUND(CORR(CAST(src % 13 AS DOUBLE), CAST(dst % 7 AS DOUBLE)), 6)
+         |  AS assort_values FROM e""".stripMargin,
     "q_assort_nominal" ->
       s"""WITH $E,
          |te AS MATERIALIZED (SELECT src % 7 AS ts, dst % 7 AS td FROM e),

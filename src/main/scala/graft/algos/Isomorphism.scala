@@ -173,4 +173,111 @@ object Isomorphism {
     search(t, p, induced, _ => { c += 1; false })
     c
   }
+
+  /** `canonical_permutation()` (`graphobject.c:15135`; the reference uses
+    * BLISS): a permutation old-position -> new-position such that two
+    * graphs are isomorphic IFF their permuted (canonical) forms are equal.
+    *
+    * Kernel shape: iterated Weisfeiler-Leman color refinement — the new
+    * color of v is the (old color, sorted multiset of in/out neighbor
+    * colors) composite, dense-ranked by lexicographic order, which is
+    * isomorphism-invariant by induction — then brute-force minimization of
+    * the adjacency code ONLY within still-ambiguous color cells. The
+    * within-cell search space (Π |cell|!) is require-gated, so regular
+    * graphs beyond the gate fail loudly instead of silently mislabeling.
+    * Like every kernel in this object, self-loops and edge multiplicities
+    * are ignored (simple-graph semantics, the reference's own constraint
+    * for its isomorphism family).
+    */
+  def canonicalPermutation(g: LinkGraph, color: Option[Seq[Int]] = None,
+                           maxCellPerms: Long = 1000000L): Seq[Int] = {
+    val c = collect(g, color)
+    val n = c.n
+    if (n == 0) return Seq.empty
+    // --- WL refinement to a stable, canonically-ordered coloring
+    var colors = {
+      // initial colors: dense rank of the user color (invariant)
+      val sorted = c.color.distinct.sorted
+      val rank = sorted.zipWithIndex.toMap
+      c.color.map(rank)
+    }
+    var stable = false
+    while (!stable) {
+      val sig: Array[(Int, Seq[Int], Seq[Int])] = (0 until n).map { v =>
+        (colors(v),
+          c.out(v).toSeq.map(colors(_)).sorted,
+          c.in(v).toSeq.map(colors(_)).sorted)
+      }.toArray
+      implicit val ord: Ordering[(Int, Seq[Int], Seq[Int])] =
+        Ordering.Tuple3(Ordering.Int, Ordering.Implicits.seqOrdering[Seq, Int],
+          Ordering.Implicits.seqOrdering[Seq, Int])
+      val rank = sig.distinct.sorted.zipWithIndex.toMap
+      val next = sig.map(rank)
+      stable = next.toSeq == colors.toSeq
+      colors = next
+    }
+    // --- cells in canonical (color) order; singletons are fixed
+    val cells: Seq[Array[Int]] = colors.zipWithIndex.groupBy(_._1).toSeq
+      .sortBy(_._1).map(_._2.map(_._2).sorted)
+    val space = cells.map(cl => (1L to cl.length.toLong).product).product
+    require(space <= maxCellPerms,
+      s"canonical_permutation: ambiguous-cell search space $space exceeds $maxCellPerms " +
+        s"(highly symmetric graph); raise maxCellPerms or compare by invariants")
+    // --- enumerate within-cell orders, pick the adjacency-code-minimal one
+    def codeOf(order: Array[Int]): IndexedSeq[Long] = {
+      val pos = new Array[Int](n)
+      order.zipWithIndex.foreach { case (v, p) => pos(v) = p }
+      val words = new Array[Long]((n * n + 63) / 64)
+      for (v <- 0 until n; u <- c.out(v)) {
+        val bit = pos(v) * n + pos(u)
+        words(bit >> 6) |= 1L << (bit & 63)
+      }
+      words.toIndexedSeq
+    }
+    implicit val seqOrd: Ordering[IndexedSeq[Long]] =
+      Ordering.Implicits.seqOrdering[IndexedSeq, Long](
+        Ordering.fromLessThan[Long](java.lang.Long.compareUnsigned(_, _) < 0))
+    def product(rem: List[Array[Int]]): Iterator[Array[Int]] = rem match {
+      case Nil => Iterator(Array.empty[Int])
+      case h :: t =>
+        h.toSeq.permutations.flatMap(p => product(t).map(rest => (p ++ rest).toArray))
+    }
+    val best = product(cells.toList)
+      .map(order => (codeOf(order), order)).minBy(_._1)._2
+    val perm = new Array[Int](n)
+    best.zipWithIndex.foreach { case (v, p) => perm(v) = p }
+    perm.toSeq
+  }
+
+  /** `get_isomorphisms_vf2` (`graphobject.c:15193`): EVERY isomorphism
+    * g1 -> g2 as a mapping array (g1 position i maps to g2 position m(i));
+    * same graph twice reproduces [[getAutomorphisms]], reference parity.
+    */
+  def getIsomorphisms(g1: LinkGraph, g2: LinkGraph,
+                      color1: Option[Seq[Int]] = None,
+                      color2: Option[Seq[Int]] = None,
+                      maxResults: Int = 1 << 20): Seq[Array[Int]] = {
+    val t = collect(g2, color2); val p = collect(g1, color1)
+    if (t.n != p.n) return Seq.empty
+    val res = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    search(t, p, induced = true, m => { res += m; res.length >= maxResults })
+    res.toSeq
+  }
+
+  /** `get_subisomorphisms_vf2` (`graphobject.c:15357`): every embedding of
+    * `pattern` into `g` as a mapping array; `induced = false` gives the
+    * monomorphism (LAD-style) enumeration. Bounded by `maxResults` — the
+    * embedding count is potentially factorial, so the cap is loud, not
+    * silent: results.length == maxResults means truncation.
+    */
+  def getSubisomorphisms(g: LinkGraph, pattern: LinkGraph,
+                         colorG: Option[Seq[Int]] = None,
+                         colorP: Option[Seq[Int]] = None,
+                         induced: Boolean = true,
+                         maxResults: Int = 1 << 20): Seq[Array[Int]] = {
+    val t = collect(g, colorG); val p = collect(pattern, colorP)
+    val res = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    search(t, p, induced, m => { res += m; res.length >= maxResults })
+    res.toSeq
+  }
 }

@@ -195,6 +195,22 @@ object Motifs {
                              maxKernelVertices: Int = 4096): Seq[Option[Double]] =
     motifs4DirectedCensus(g, maxKernelVertices, cutProb, seed)
 
+  /** `motifs_randesu_estimate(size=4, sample)` (`graphobject.c:14341`):
+    * estimate the TOTAL connected-4-subgraph count by sampling ESU roots —
+    * exactly cut_prob at depth 0 with the Wernicke 1/(1−p) reweighting, so
+    * this is a thin wrapper over [[motifs4DirectedSampled]]. `sampleFrac`
+    * is the fraction of roots explored; 1.0 reproduces the exact count.
+    * (Sizes 3 / undirected 4 are closed-form distributed statistics here —
+    * exact is CHEAPER than sampling, so their "estimate" is the exact
+    * [[motifs3Count]] / [[motifs4Count]].)
+    */
+  def motifs4DirectedEstimate(g: LinkGraph, sampleFrac: Double, seed: Long = 42L,
+                              maxKernelVertices: Int = 4096): Double = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0, s"sampleFrac in (0,1], got $sampleFrac")
+    motifs4DirectedSampled(g, Seq(1.0 - sampleFrac, 0.0, 0.0, 0.0), seed, maxKernelVertices)
+      .flatten.sum
+  }
+
   private def motifs4DirectedCensus(g: LinkGraph, maxKernelVertices: Int,
                                     cutProb: Seq[Double], seed: Long): Seq[Option[Double]] = {
     require(g.directed, "motifs4Directed expects a directed graph; use motifs4")

@@ -179,6 +179,51 @@ object GraphOps {
     if (hit.isEmpty) -1L else hit.head.getLong(0)
   }
 
+  /** `get_eids(pairs)` (`graphobject.c:12383`): dense edge id per requested
+    * pair under the same canonical numbering as [[getEid]], -1 when absent —
+    * ONE join for the whole batch instead of a lookup per pair.
+    */
+  def getEids(g: LinkGraph, pairs: Seq[(Long, Long)]): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val req = pairs.zipWithIndex.map { case ((u, v), i) => (i.toLong, u, v) }
+      .toDF("ord", "u", "v")
+    val eid = Ids.assignDense(g.weighted.select(struct(col("src"), col("dst")).as("sd")), "sd")
+      .select(col("id").as("eid"), col("sd.src").as("src"), col("sd.dst").as("dst"))
+    val cond =
+      if (g.directed) col("src") === col("u") && col("dst") === col("v")
+      else (col("src") === col("u") && col("dst") === col("v")) ||
+        (col("src") === col("v") && col("dst") === col("u"))
+    // heavy side (edge ids) streams against the broadcast request set; the
+    // final left join only reconciles two request-sized frames
+    val matched = eid.join(broadcast(req), cond)
+      .groupBy("ord").agg(min(col("eid")).as("eid"))
+    req.join(matched, Seq("ord"), "left")
+      .select(col("ord"), col("u"), col("v"), coalesce(col("eid"), lit(-1L)).as("eid"))
+  }
+
+  /** `diversity(weights)` (`graphobject.c:775`; igraph_diversity): per-vertex
+    * Shannon entropy of incident edge weights normalized by ln(degree) —
+    * H(v) = ln(S) − Σ w·ln(w) / S with S = Σ w, diversity = H / ln(deg).
+    * Undirected SIMPLE graphs only (the reference errors on loops and
+    * multi-edges); degree-0 vertices → NaN, degree-1 → 0. One bidirected
+    * explode + one aggregate — scales as a degree computation.
+    */
+  def diversity(g: LinkGraph): DataFrame = {
+    require(!g.directed, "diversity is defined for undirected graphs (reference parity)")
+    require(isSimple(g), "diversity requires a simple graph (reference parity)")
+    val inc = g.bidirected.select(col("src").as("id"), col("weight").cast("double").as("w"))
+    val agg = inc.groupBy("id").agg(
+      sum("w").as("sw"), count(lit(1)).as("d"),
+      sum(col("w") * log(col("w"))).as("swlw"))
+    g.vertices.join(agg, Seq("id"), "left")
+      .select(col("id"),
+        when(col("d").isNull, lit(Double.NaN))
+          .when(col("d") === 1, lit(0.0))
+          .otherwise((log(col("sw")) - col("swlw") / col("sw")) / log(col("d")))
+          .as("diversity"))
+  }
+
   // ---- predicates (`graphobject.c:12162-13679`) --------------------------
 
   /** `is_connected(mode)`: one component (weak by default, like the
@@ -582,6 +627,32 @@ object GraphOps {
       .join(deg.select(col("id").as("src"), (col("degree") - 1).as("ds")), Seq("src"))
       .join(deg.select(col("id").as("dst"), (col("degree") - 1).as("dd")), Seq("dst"))
     joined.agg(corr(col("ds").cast("double"), col("dd").cast("double"))).head.getDouble(0)
+  }
+
+  /** General numeric assortativity (`Graph.assortativity(types1, types2,
+    * directed)`, `graphobject.c:3705-3737`): Pearson correlation of the
+    * numeric values at the two ends of every edge. `values`: (id, v).
+    * Directed + directed=true: x = values(src), y = values2-or-values(dst);
+    * otherwise each edge counts in both orientations (the reference
+    * requires types2 = NULL for the undirected case, mirrored here).
+    * One `corr` aggregate after two value joins — same plan shape as
+    * [[assortativityDegree]], which equals this with values = degree-1.
+    */
+  def assortativity(g: LinkGraph, values: DataFrame,
+                    values2: Option[DataFrame] = None,
+                    directed: Boolean = true): Double = {
+    val dir = g.directed && directed
+    require(dir || values2.isEmpty,
+      "assortativity: values2 requires a directed graph with directed=true (reference parity)")
+    val v1 = values.select(col(values.columns(0)).as("id"),
+      col(values.columns(1)).cast("double").as("vx"))
+    val s2 = values2.getOrElse(values)
+    val v2 = s2.select(col(s2.columns(0)).as("id"),
+      col(s2.columns(1)).cast("double").as("vy"))
+    val e = (if (dir) g.weighted else g.bidirected).select("src", "dst")
+    e.join(v1.withColumnRenamed("id", "src"), Seq("src"))
+      .join(v2.withColumnRenamed("id", "dst"), Seq("dst"))
+      .agg(corr(col("vx"), col("vy"))).head.getDouble(0)
   }
 
   // ---- set operations (operators.py:13-451; `graphobject.c:15513-15521`) --

@@ -10,6 +10,137 @@ import org.apache.spark.sql.functions._
   */
 object Extras {
 
+  /** `feedback_arc_set` — distributed approximation (`graphobject.c:
+    * 4833-4871`; the reference's default is the Eades-Lin-Smyth GR
+    * heuristic, shipped as [[feedbackArcSetEades]]): rank vertices by
+    * in-degree − out-degree ascending (hubs with net out-flow first, ties
+    * by id) using the partition-offset dense rank (no global window); the
+    * FAS is every arc pointing backward in that order, plus all
+    * self-loops. Removing the returned arcs leaves a DAG BY CONSTRUCTION
+    * (backward arcs of any total order), so acyclicity — the contract —
+    * holds at any scale; the degree-delta order is what keeps the set
+    * small on hub-skewed web graphs. Three joins + two aggregates.
+    */
+  def feedbackArcSet(g: LinkGraph): DataFrame = {
+    require(g.directed, "feedback_arc_set requires a directed graph")
+    val e = g.weighted
+    val outd = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("od"))
+    val ind = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("ideg"))
+    val score = g.vertices
+      .join(outd, Seq("id"), "left").join(ind, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("ideg"), lit(0L)) - coalesce(col("od"), lit(0L))).as("delta"))
+    val ranked = graft.core.Ids
+      .assignDense(score.select(struct(col("delta"), col("id")).as("k")), "k")
+      .select(col("k.id").as("vid"), col("id").as("pos"))
+    e.select(col("src"), col("dst"))
+      .join(ranked.select(col("vid").as("src"), col("pos").as("ps")), Seq("src"))
+      .join(ranked.select(col("vid").as("dst"), col("pos").as("pd")), Seq("dst"))
+      .where(col("ps") > col("pd") || col("src") === col("dst"))
+      .select(col("src"), col("dst"))
+  }
+
+  /** Eades-Lin-Smyth GR heuristic (the reference's `method="eades"`
+    * default): repeatedly strip sinks (prepend) and sources (append), else
+    * remove the max (out − in) vertex; the FAS is the backward arcs of the
+    * resulting order (≤ m/2 − n/6 non-loop arcs, the GR guarantee) plus
+    * self-loops. Sequential by nature — require-gated driver kernel like
+    * [[graft.algos.Flow]]; at scale use [[feedbackArcSet]].
+    */
+  def feedbackArcSetEades(g: LinkGraph, maxKernelVertices: Long = 200000L): DataFrame = {
+    require(g.directed, "feedback_arc_set requires a directed graph")
+    val spark = g.spark
+    import spark.implicits._
+    val n = g.vcount()
+    require(n <= maxKernelVertices,
+      s"Eades FAS kernel capped at $maxKernelVertices vertices ($n given); use feedbackArcSet")
+    val ids = g.vertices.collect().map(_.getLong(0)).sorted
+    val idx = ids.zipWithIndex.toMap
+    val arcs = g.weighted.select("src", "dst").collect()
+      .map(r => (idx(r.getLong(0)), idx(r.getLong(1))))
+    val loops = arcs.filter(a => a._1 == a._2)
+    val plain = arcs.filter(a => a._1 != a._2)
+    val nn = ids.length
+    val outAdj = Array.fill(nn)(List.empty[Int])
+    val inAdj = Array.fill(nn)(List.empty[Int])
+    plain.foreach { case (u, v) => outAdj(u) ::= v; inAdj(v) ::= u }
+    val outDeg = outAdj.map(_.size)
+    val inDeg = inAdj.map(_.size)
+    val removed = new Array[Boolean](nn)
+    // lazy-deletion priority queues; deterministic ties by smaller id
+    val ord = Ordering.by[(Int, Int), (Int, Int)] { case (d, v) => (d, -v) }
+    val maxPQ = scala.collection.mutable.PriorityQueue.empty[(Int, Int)](ord)
+    val sinkQ = scala.collection.mutable.Queue.empty[Int]
+    val sourceQ = scala.collection.mutable.Queue.empty[Int]
+    for (v <- 0 until nn) {
+      maxPQ.enqueue((outDeg(v) - inDeg(v), v))
+      if (outDeg(v) == 0) sinkQ += v
+      else if (inDeg(v) == 0) sourceQ += v
+    }
+    val s1 = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val s2 = scala.collection.mutable.ListBuffer.empty[Int] // prepended
+    var remaining = nn
+    def drop(v: Int): Unit = {
+      removed(v) = true; remaining -= 1
+      outAdj(v).foreach { u =>
+        if (!removed(u)) {
+          inDeg(u) -= 1
+          maxPQ.enqueue((outDeg(u) - inDeg(u), u))
+          if (inDeg(u) == 0 && outDeg(u) > 0) sourceQ += u
+        }
+      }
+      inAdj(v).foreach { w =>
+        if (!removed(w)) {
+          outDeg(w) -= 1
+          maxPQ.enqueue((outDeg(w) - inDeg(w), w))
+          if (outDeg(w) == 0) sinkQ += w
+        }
+      }
+    }
+    while (remaining > 0) {
+      var acted = false
+      while (sinkQ.nonEmpty) {
+        val v = sinkQ.dequeue()
+        if (!removed(v) && outDeg(v) == 0) { v +=: s2; drop(v); acted = true }
+      }
+      while (sourceQ.nonEmpty) {
+        val v = sourceQ.dequeue()
+        if (!removed(v) && inDeg(v) == 0 && outDeg(v) > 0) { s1 += v; drop(v); acted = true }
+      }
+      if (!acted && remaining > 0) {
+        var done = false
+        while (!done && maxPQ.nonEmpty) {
+          val (d, v) = maxPQ.dequeue()
+          if (!removed(v) && d == outDeg(v) - inDeg(v)) { s1 += v; drop(v); done = true }
+        }
+      }
+    }
+    val pos = new Array[Int](nn)
+    (s1 ++ s2).zipWithIndex.foreach { case (v, p) => pos(v) = p }
+    val fas = plain.filter { case (u, v) => pos(u) > pos(v) } ++ loops
+    fas.toSeq.map { case (u, v) => (ids(u), ids(v)) }.toDF("src", "dst")
+  }
+
+  /** Per-edge multiplicity predicates — `is_loop` / `is_multiple` /
+    * `count_multiple` (`graphobject.c:12299-12330`): one row per edge
+    * instance with its endpoint pair's multiplicity (undirected pairs
+    * canonicalized least/greatest first, like the reference counts (u,v)
+    * and (v,u) together). One groupBy + one join back on the pair key.
+    */
+  def edgeMultiplicity(g: LinkGraph): DataFrame = {
+    val e = g.weighted.select(col("src"), col("dst"))
+    val keyed =
+      if (g.directed) e.select(col("src"), col("dst"), col("src").as("ka"), col("dst").as("kb"))
+      else e.select(col("src"), col("dst"),
+        least(col("src"), col("dst")).as("ka"), greatest(col("src"), col("dst")).as("kb"))
+    val counts = keyed.groupBy("ka", "kb").agg(count(lit(1)).as("cnt"))
+    keyed.join(counts, Seq("ka", "kb"))
+      .select(col("src"), col("dst"),
+        (col("src") === col("dst")).cast("long").as("is_loop"),
+        col("cnt").as("count_multiple"),
+        (col("cnt") > 1).cast("long").as("is_multiple"))
+  }
+
   /** Line graph L(G): vertices of L = edges of G (dense edge ids assigned by
     * deterministic (src, dst) order), edges of L connect G-edges sharing an
     * endpoint (`graphobject.c:13687`; goldens `test_structural.py:570-581`).

@@ -73,6 +73,70 @@ class IsomorphismSpec extends AnyFunSuite {
     assert(Isomorphism.subisomorphicVf2(c3tail, c3d))
   }
 
+  test("get_isomorphisms / get_subisomorphisms: full enumeration (graphobject.c:15193,15357)") {
+    // every enumerated mapping is a valid bijection; count matches count_*
+    val maps = Isomorphism.getIsomorphisms(g1, g2)
+    assert(maps.length == Isomorphism.countIsomorphisms(g1, g2))
+    assert(maps.forall(_.toSet.size == 8))
+    val e2 = Seq((0, 1), (0, 3), (0, 4), (2, 3), (2, 1), (2, 6), (5, 1), (5, 4),
+      (5, 6), (7, 3), (7, 6), (7, 4)).map { case (a, b) => Set(a, b) }.toSet
+    val e1 = Seq((0, 4), (0, 5), (0, 6), (1, 4), (1, 5), (1, 7), (2, 4), (2, 6),
+      (2, 7), (3, 5), (3, 6), (3, 7)).map { case (a, b) => Set(a, b) }.toSet
+    assert(maps.forall(m => e1.map(s => s.map(m)) == e2))
+    // same graph twice == automorphisms
+    val ladder = LinkGraph(spark, 6,
+      Seq((0L, 1L), (2L, 3L), (4L, 5L), (0L, 2L), (2L, 4L), (1L, 3L), (3L, 5L)), directed = false)
+    assert(Isomorphism.getIsomorphisms(ladder, ladder).map(_.toSeq).toSet ==
+      Isomorphism.getAutomorphisms(ladder).map(_.toSeq).toSet)
+    // size mismatch -> empty
+    assert(Isomorphism.getIsomorphisms(ladder, LinkGraph.full(spark, 4)).isEmpty)
+    // subisomorphism enumeration count matches count_subisomorphisms; each
+    // embedding preserves pattern edges
+    val lat3 = LinkGraph.lattice(spark, Seq(3, 3))
+    val pat = LinkGraph(spark, 4, Seq((0L, 1L), (1L, 2L), (1L, 3L)), directed = false)
+    val subs = Isomorphism.getSubisomorphisms(lat3, pat)
+    assert(subs.length == Isomorphism.countSubisomorphisms(lat3, pat))
+    assert(subs.nonEmpty && subs.forall(_.toSet.size == 4))
+    // maxResults cap is loud: exactly maxResults rows returned on truncation
+    assert(Isomorphism.getSubisomorphisms(lat3, pat, maxResults = 3).length == 3)
+  }
+
+  test("canonical_permutation: isomorphic graphs canonicalize identically (graphobject.c:15135)") {
+    def canonEdges(g: LinkGraph): Set[Set[Int]] = {
+      val perm = Isomorphism.canonicalPermutation(g)
+      g.weighted.select("src", "dst").collect()
+        .map(r => Set(perm(r.getLong(0).toInt), perm(r.getLong(1).toInt))).toSet
+    }
+    // the two isomorphic cubic graphs -> identical canonical edge sets
+    assert(canonEdges(g1) == canonEdges(g2))
+    // random graph vs a relabeled copy: identical canonical form
+    val rnd = new scala.util.Random(5)
+    for (_ <- 0 until 5) {
+      val n = 9
+      val edges = (for {
+        i <- 0 until n; j <- i + 1 until n if rnd.nextDouble() < 0.35
+      } yield (i.toLong, j.toLong)).toSeq
+      val g = LinkGraph(spark, n, edges, directed = false)
+      val relab = rnd.shuffle((0 until n).toList)
+      val h = LinkGraph(spark, n,
+        edges.map { case (a, b) => (relab(a.toInt).toLong, relab(b.toInt).toLong) },
+        directed = false)
+      assert(canonEdges(g) == canonEdges(h))
+    }
+    // non-isomorphic WL-equivalent pair (C6 vs 2xC3, both 2-regular):
+    // brute within-cell search still separates them
+    val c6 = LinkGraph.ring(spark, 6)
+    val c33 = LinkGraph(spark, 6,
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L)), directed = false)
+    assert(canonEdges(c6) != canonEdges(c33))
+    // result is a true permutation
+    val p = Isomorphism.canonicalPermutation(g1)
+    assert(p.sorted == (0 until 8))
+    // symmetric-space gate is loud
+    intercept[IllegalArgumentException](
+      Isomorphism.canonicalPermutation(LinkGraph.full(spark, 12), maxCellPerms = 1000L))
+  }
+
   test("kernel gate refuses oversized graphs") {
     val big = LinkGraph(spark, Isomorphism.maxKernelVertices + 1,
       Seq((0L, 1L)), directed = false)

@@ -152,6 +152,69 @@ class OperatorsExtraSpec extends AnyFunSuite {
     assert(edgeSet(Extras.rewireEdges(ring, 1.0, loops = false, multiple = false, seed = 3L)) == es)
   }
 
+  test("feedback_arc_set: removal leaves a DAG; DAG -> empty; cycle -> 1; GR bound (graphobject.c:4833)") {
+    import org.apache.spark.sql.functions._
+    def assertFasValid(g: LinkGraph, fas: Array[(Long, Long)]): Unit = {
+      // remove ONE instance per FAS row (multigraph-safe: counts, not sets)
+      val fasCnt = fas.groupBy(identity).map { case (k, v) => k -> v.size }
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val seen = scala.collection.mutable.Map.empty[(Long, Long), Int].withDefaultValue(0)
+      g.weighted.select("src", "dst").collect().foreach { r =>
+        val e = (r.getLong(0), r.getLong(1))
+        if (seen(e) < fasCnt.getOrElse(e, 0)) seen(e) += 1 else kept += e
+      }
+      val rest = LinkGraph(spark, g.vcount(), kept.toSeq, directed = true)
+      assert(graft.algos.Distances.isDag(rest), s"FAS removal must leave a DAG (|fas|=${fas.length})")
+    }
+    def collectFas(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // DAG: both variants return empty
+    val dag = LinkGraph(spark, 4, Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)), directed = true)
+    assert(Extras.feedbackArcSet(dag).isEmpty && Extras.feedbackArcSetEades(dag).isEmpty)
+    // 3-cycle: Eades removes exactly 1 arc; distributed removes >=1, stays acyclic
+    val cyc = LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L), (2L, 0L)), directed = true)
+    val ec = collectFas(Extras.feedbackArcSetEades(cyc))
+    assert(ec.length == 1); assertFasValid(cyc, ec)
+    assertFasValid(cyc, collectFas(Extras.feedbackArcSet(cyc)))
+    // self-loop is always in the FAS
+    val lp = LinkGraph(spark, 2, Seq((0L, 1L), (1L, 1L)), directed = true)
+    assert(collectFas(Extras.feedbackArcSet(lp)).contains((1L, 1L)))
+    assert(collectFas(Extras.feedbackArcSetEades(lp)).contains((1L, 1L)))
+    // random digraphs: acyclic after removal; Eades FAS <= m/2
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 5) {
+      val n = 12
+      val edges = (for {
+        i <- 0 until n; j <- 0 until n
+        if i != j && rnd.nextDouble() < 0.25
+      } yield (i.toLong, j.toLong)).toSeq
+      val g = LinkGraph(spark, n, edges, directed = true)
+      val ef = collectFas(Extras.feedbackArcSetEades(g))
+      assert(ef.length <= edges.length / 2, s"GR bound: ${ef.length} > ${edges.length}/2")
+      assertFasValid(g, ef)
+      assertFasValid(g, collectFas(Extras.feedbackArcSet(g)))
+    }
+    // undirected rejected
+    intercept[IllegalArgumentException](
+      Extras.feedbackArcSet(LinkGraph(spark, 2, Seq((0L, 1L)), directed = false)))
+  }
+
+  test("motifs_randesu_estimate: sampleFrac=1 exact; sampled within tolerance (graphobject.c:14341)") {
+    val rnd = new scala.util.Random(17)
+    val n = 30
+    val edges = (for {
+      i <- 0 until n; j <- 0 until n if i != j && rnd.nextDouble() < 0.12
+    } yield (i.toLong, j.toLong)).toSeq
+    val g = LinkGraph(spark, n, edges, directed = true)
+    val exact = graft.algos.Motifs.motifs4DirectedCount(g).toDouble
+    assert(graft.algos.Motifs.motifs4DirectedEstimate(g, 1.0) == exact)
+    // mean of independent-seed estimates approaches exact (unbiased estimator)
+    val est = (1 to 8).map(s =>
+      graft.algos.Motifs.motifs4DirectedEstimate(g, 0.5, seed = s.toLong)).sum / 8.0
+    assert(math.abs(est - exact) / exact < 0.35, s"est $est vs exact $exact")
+    intercept[IllegalArgumentException](graft.algos.Motifs.motifs4DirectedEstimate(g, 0.0))
+  }
+
   test("dominator tree goldens: forward, flipped (mode=IN), disconnected (test_structural.py:775-893)") {
     def domMap(g: LinkGraph, root: Long, mode: Mode = Mode.Out): Map[Long, Long] =
       Dominators.dominator(g, root, mode).collect()

@@ -77,6 +77,81 @@ class OpsSpec extends AnyFunSuite {
       math.abs(GraphOps.assortativityDegree(star) + 1.0) < 1e-9)
   }
 
+  test("general assortativity: equals degree variant with values = deg-1; hand-computed directed case") {
+    import org.apache.spark.sql.functions._
+    // undirected fixture: assortativity(deg-1) must equal assortativityDegree
+    val g = LinkGraph(spark, 6,
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L), (4L, 5L)), directed = false)
+    val degm1 = GraphOps.degrees(g, graft.core.Mode.All, loops = false)
+      .select(col("id"), (col("degree") - 1).cast("double").as("v"))
+    assert(math.abs(GraphOps.assortativity(g, degm1, None, directed = false)
+      - GraphOps.assortativityDegree(g)) < 1e-12)
+    // directed, two value vectors: corr over (v1(src), v2(dst)) edge pairs.
+    // Edges (0->1),(1->2),(2->0); v1 = id, v2 = id*id
+    // pairs: x=[0,1,2], y=[1*1,2*2,0*0]=[1,4,0]; Pearson by hand:
+    // mx=1, my=5/3; cov*3 = (0-1)(1-5/3)+(1-1)(4-5/3)+(2-1)(0-5/3) = 2/3-5/3 = -1
+    // sxx*3 = 2, syy*3 = (1-5/3)^2+(4-5/3)^2+(0-5/3)^2 = 4/9+49/9+25/9 = 78/9
+    // r = -1 / sqrt(2*78/9) = -1/sqrt(156/9) = -3/sqrt(156)
+    val d = LinkGraph(spark, 3, Seq((0L, 1L), (1L, 2L), (2L, 0L)), directed = true)
+    val v1 = d.vertices.select(col("id"), col("id").cast("double").as("v"))
+    val v2 = d.vertices.select(col("id"), (col("id") * col("id")).cast("double").as("v"))
+    assert(math.abs(GraphOps.assortativity(d, v1, Some(v2))
+      - (-3.0 / math.sqrt(156.0))) < 1e-12)
+    // values2 on an undirected graph is rejected (reference parity)
+    intercept[IllegalArgumentException](GraphOps.assortativity(g, degm1, Some(degm1)))
+  }
+
+  test("diversity: entropy/ln(degree) hand case; reference gates") {
+    import org.apache.spark.sql.functions._
+    // path 0-1-2, w(0,1)=1, w(1,2)=3: ends deg-1 -> 0;
+    // middle: S=4, H = ln4 - 3*ln3/4, diversity = H/ln2
+    val g = LinkGraph.weighted(spark, 3, Seq((0L, 1L, 1.0), (1L, 2L, 3.0)), directed = false)
+    val d = GraphOps.diversity(g).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(0L) == 0.0 && d(2L) == 0.0)
+    assert(math.abs(d(1L) - (math.log(4) - 3 * math.log(3) / 4) / math.log(2)) < 1e-12)
+    // unit weights: uniform entropy -> exactly 1.0 for every deg>=2 vertex
+    val ring = LinkGraph(spark, 4, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)), directed = false)
+    assert(GraphOps.diversity(ring).collect().forall(_.getDouble(1) == 1.0))
+    // gates: directed / multigraph / loops rejected (reference parity)
+    intercept[IllegalArgumentException](GraphOps.diversity(
+      LinkGraph(spark, 2, Seq((0L, 1L)), directed = true)))
+    intercept[IllegalArgumentException](GraphOps.diversity(
+      LinkGraph(spark, 2, Seq((0L, 1L), (1L, 0L)), directed = false)))
+    intercept[IllegalArgumentException](GraphOps.diversity(
+      LinkGraph(spark, 2, Seq((0L, 1L), (1L, 1L)), directed = false)))
+  }
+
+  test("edge multiplicity: is_loop / is_multiple / count_multiple, directed + undirected") {
+    val d = LinkGraph(spark, 3,
+      Seq((0L, 1L), (0L, 1L), (1L, 0L), (2L, 2L), (0L, 2L)), directed = true)
+    val rows = graft.ops.Extras.edgeMultiplicity(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(rows.length == 5)
+    val m = rows.toMap
+    assert(m((0L, 1L)) == ((0L, 2L, 1L)))  // directed: (0,1) x2
+    assert(m((1L, 0L)) == ((0L, 1L, 0L)))  // reverse arc NOT merged
+    assert(m((2L, 2L)) == ((1L, 1L, 0L)))  // loop, single
+    assert(m((0L, 2L)) == ((0L, 1L, 0L)))
+    val u = LinkGraph(d.edges, directed = false, Some(3L))
+    val um = graft.ops.Extras.edgeMultiplicity(u).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(um((0L, 1L)) == 3L && um((1L, 0L)) == 3L) // canonicalized pair
+  }
+
+  test("get_eids: batch lookup matches get_eid, -1 for absent") {
+    val g = LinkGraph(spark, 5, Seq((0L, 1L), (1L, 2L), (3L, 4L)), directed = true)
+    val out = GraphOps.getEids(g, Seq((1L, 2L), (0L, 1L), (2L, 1L), (3L, 4L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(0L) == GraphOps.getEid(g, 1L, 2L))
+    assert(out(1L) == GraphOps.getEid(g, 0L, 1L))
+    assert(out(2L) == -1L) // directed: reverse pair absent
+    assert(out(3L) == GraphOps.getEid(g, 3L, 4L))
+    // undirected: reverse pair resolves
+    val ug = LinkGraph(g.edges, directed = false, Some(5L))
+    val uo = GraphOps.getEids(ug, Seq((2L, 1L))).collect().head.getLong(3)
+    assert(uo == GraphOps.getEid(ug, 1L, 2L))
+  }
+
   test("streaming ingest: pages stream -> edge parquet sink, byte-identical extract") {
     val base = java.nio.file.Files.createTempDirectory("stream").toString
     val pagesDir = s"$base/pages"; val sink = s"$base/edges"; val ckpt = s"$base/ckpt"
