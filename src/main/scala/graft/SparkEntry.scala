@@ -366,6 +366,19 @@ object SparkEntry {
       import s.implicits._
       Seq((total, vocab)).toDF("total_tokens", "vocab")
     }),
+    "q_pii" -> ((s, dir) => {
+      // deterministic synthetic PII appended to each doc (re-derived
+      // identically in the oracle); redaction + per-category counts
+      val docs = Tables.read(s, dir, "documents")
+      val withPii = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach u"), col("doc_id").cast("string"), lit("@mail-ex.org or +1 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".3.7")).as("text"))
+      TextOps.redactPii(withPii)
+    }),
+    "q_token_bpe" -> ((s, dir) => TextOps.bpeStats(Tables.read(s, dir, "documents"))),
     "q_jaccard_dupes" -> ((s, dir) => TextOps.jaccardPairs(Tables.read(s, dir, "documents"), n = 3, threshold = 0.5)
       .select(col("a"), col("b"), col("jaccard"))),
     "q_minhash_cand" -> ((s, dir) => TextOps.minhashCandidates(Tables.read(s, dir, "documents"),
@@ -1636,6 +1649,29 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
     "q_token_global" ->
       """SELECT (SELECT CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) FROM documents) AS total_tokens,
         |  (SELECT COUNT(DISTINCT w) FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)) AS vocab""".stripMargin,
+    "q_pii" ->
+      // the regex PATTERNS are shared constants (the point under test is
+      // that Java-regex and RE2 semantics coincide on the common subset the
+      // engine restricts itself to); the PII synthesis and the replace
+      // chain are re-derived in SQL
+      s"""WITH t AS (SELECT doc_id, text || ' reach u' || CAST(doc_id AS VARCHAR) ||
+         |  '@mail-ex.org or +1 555-' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |  LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |  ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.3.7' AS text FROM documents)
+         |SELECT doc_id,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '${TextOps.emailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '${TextOps.phoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '${TextOps.ipv4Re}')) AS BIGINT) AS n_ips,
+         |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+         |    '${TextOps.emailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.phoneRe}', '<PHONE>', 'g'),
+         |    '${TextOps.ipv4Re}', '<IP>', 'g') AS clean_text
+         |FROM t""".stripMargin,
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe,
+        |  CAST(LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_bpe_distinct
+        |FROM documents""".stripMargin,
     "q_jaccard_dupes" ->
       """WITH sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
         |    RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),

@@ -420,6 +420,100 @@ object Formats {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.toByteArray)
   }
 
+  // ------------------------------------------------------------------ DOT
+
+  /** `write_dot` (`graphobject.c:15006`; dispatch `__init__.py:4246-4247`):
+    * GraphViz output — a `digraph`/`graph` block, one line per vertex (with
+    * a quoted `name` attribute when names are given), one line per edge
+    * (`->`/`--`) carrying the weight attribute when requested. DOT is
+    * write-only in the reference too (format table maps the reader to None);
+    * the golden asserts the emitted text parses back to the same edges.
+    */
+  def writeDot(g: LinkGraph, names: Option[DataFrame], path: String,
+               withWeights: Boolean = false): Unit = {
+    val nameOf = names.map(_.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val (kw, arrow) = if (g.directed) ("digraph", "->") else ("graph", "--")
+    val sb = new StringBuilder
+    sb.append(s"$kw {\n")
+    (0L until g.vcount()).foreach { v =>
+      nameOf.flatMap(_.get(v)) match {
+        case Some(nm) => sb.append(s"  $v [name=${q(nm)}];\n")
+        case None     => sb.append(s"  $v;\n")
+      }
+    }
+    g.weighted.collect().sortBy(r => (r.getLong(0), r.getLong(1))).foreach { r =>
+      sb.append(s"  ${r.getLong(0)} $arrow ${r.getLong(1)}")
+      if (withWeights) sb.append(s" [weight=${r.getDouble(2)}]")
+      sb.append(";\n")
+    }
+    sb.append("}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  // ----------------------------------------------------------------- LEDA
+
+  /** `write_leda(names, weights)` (`graphobject.c:15081`; extensions
+    * gw/leda/lgr, `__init__.py:4259-4261`): the LEDA.GRAPH native format —
+    * `LEDA.GRAPH` header, vertex/edge attribute type lines (`void` when no
+    * attribute is stored), `-1` directed / `-2` undirected, the vertex
+    * count + one `|{attr}|` line per vertex, the edge count + one
+    * `src dst 0 |{attr}|` line per edge with 1-based endpoints (the third
+    * field is LEDA's reversal-edge slot, 0 = none). LEDA stores at most one
+    * attribute per vertex/edge, mirrored here.
+    */
+  def writeLeda(g: LinkGraph, names: Option[DataFrame], path: String,
+                withWeights: Boolean = true): Unit = {
+    val nameOf = names.map(_.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    val sb = new StringBuilder
+    sb.append("LEDA.GRAPH\n")
+    sb.append(if (nameOf.isDefined) "string\n" else "void\n")
+    sb.append(if (withWeights) "double\n" else "void\n")
+    sb.append(if (g.directed) "-1\n" else "-2\n")
+    val n = g.vcount()
+    sb.append(s"$n\n")
+    (0L until n).foreach(v => sb.append(s"|{${nameOf.flatMap(_.get(v)).getOrElse("")}}|\n"))
+    val rows = g.weighted.collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+    sb.append(s"${rows.length}\n")
+    rows.foreach { r =>
+      val a = if (withWeights) r.getDouble(2).toString else ""
+      sb.append(s"${r.getLong(0) + 1} ${r.getLong(1) + 1} 0 |{$a}|\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  /** LEDA reader — the reference has no Read_Leda (dispatch maps it to
+    * None); this is this engine's round-trip extension, like
+    * [[writeGraphDb]]. Parses exactly what [[writeLeda]] emits plus the
+    * published LEDA.GRAPH grammar (comment `#` lines skipped).
+    */
+  def readLeda(spark: SparkSession, path: String): ForeignGraph = {
+    val lines = wholeFile(spark, path).split("\n").map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    require(lines.headOption.exists(_.startsWith("LEDA.GRAPH")), "not a LEDA.GRAPH file")
+    val vType = lines(1); val eType = lines(2)
+    val directed = lines(3).toInt == -1
+    var p = 4
+    val n = lines(p).toInt; p += 1
+    def attr(line: String): String = {
+      val i = line.indexOf("|{"); val j = line.lastIndexOf("}|")
+      require(i >= 0 && j > i, s"bad LEDA attribute line: $line")
+      line.substring(i + 2, j)
+    }
+    val names = (0 until n).map(i => attr(lines(p + i)))
+    p += n
+    val m = lines(p).toInt; p += 1
+    val weighted = eType == "double" || eType == "long" || eType == "int"
+    val edges = (0 until m).map { i =>
+      val line = lines(p + i)
+      val f = line.split("\\s+")
+      val w = if (weighted) { val a = attr(line); if (a.isEmpty) 1.0 else a.toDouble } else 1.0
+      (f(0).toLong - 1, f(1).toLong - 1, w)
+    }
+    toGraph(spark, n.toLong, edges, directed,
+      if (vType == "string") Some(names) else None, weighted)
+  }
+
   // ------------------------------------------------------------- dispatch
 
   /** `Graph.Read(path)` extension dispatch (`__init__.py:2895-2930`). */
@@ -439,6 +533,7 @@ object Formats {
       case "dimacs" | "max"    => val r = readDimacs(spark, path); ForeignGraph(r.graph, None, weighted = true)
       case "adj" | "adjacency" => readAdjacency(spark, path)
       case "graphdb"           => readGraphDb(spark, path)
+      case "gw" | "leda" | "lgr" => readLeda(spark, path)
       case "edges" | "edgelist" | "txt" =>
         ForeignGraph(Foreign.readEdgelist(spark, path), None, weighted = false)
       case other => throw new IllegalArgumentException(s"unknown graph format: $other")

@@ -413,6 +413,60 @@ object TextOps {
         floor(col("lo") / budget.toDouble).cast("long").as("shard"))
   }
 
+  // ---- PII masking (the CCNet/Dolma anonymization stage) -------------------
+
+  /** PII regexes, deliberately restricted to the java.util.regex ∩ RE2
+    * common subset (classes, counted repeats, `\b`, alternation — no
+    * lookaround, no backrefs) so the DuckDB oracle can apply the IDENTICAL
+    * pattern strings and the redaction is engine-independent.
+    */
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** International-prefixed phone shape +C[C] NXX-NXX-XXXX with space/dot/
+    * dash separators — the conservative high-precision form (bare 10-digit
+    * runs are left alone: in web text they are usually ids, not numbers
+    * worth masking). */
+  val phoneRe: String = "\\+\\d{1,2}[ .-]\\d{3}[ .-]\\d{3}[ .-]\\d{4}"
+  val ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Masks emails, then phone-shaped numbers, then IPv4 literals with typed
+    * tokens (`<EMAIL>`/`<PHONE>`/`<IP>`), and counts each category on the
+    * ORIGINAL text. Pure `regexp_replace`/`regexp_count` Column chains —
+    * whole-stage-codegen'd, zero shuffle, linear scan: the shape that holds
+    * at 100 TB. Output: (doc_id, n_emails, n_phones, n_ips, clean_text).
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(ipv4Re)).cast("long").as("n_ips"),
+      clean.as("clean_text"))
+  }
+
+  // ---- BPE-style pre-tokenization -------------------------------------------
+
+  /** GPT-2-ish pre-tokenizer split classes — letter runs, digit runs, single
+    * other non-space characters — as one `regexp_extract_all` expression
+    * (codegen'd, no UDF). The literal space class (not `\s`) keeps the Java
+    * and RE2 dialects byte-identical.
+    */
+  def tokensBpe(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+
+  /** Per-document BPE-ish token statistics: token count and distinct count —
+    * the "how many training tokens is this corpus" accounting pass, one
+    * linear scan. */
+  def bpeStats(docs: DataFrame): DataFrame = {
+    val t = tokensBpe(col("text"))
+    docs.select(col("doc_id"),
+      size(t).cast("long").as("n_bpe"),
+      size(array_distinct(t)).cast("long").as("n_bpe_distinct"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): min md5 over
     * character 8-gram windows — cheap containment-dup detector. md5 keeps
     * the fingerprint reproducible in any engine (the DuckDB oracle computes

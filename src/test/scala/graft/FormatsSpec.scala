@@ -237,6 +237,49 @@ class FormatsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { Formats.readGraphDb(spark, f.getAbsolutePath) }
   }
 
+  test("DOT writer: digraph/graph blocks, quoted names, weight attrs (graphobject.c:15006)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val g = graft.core.LinkGraph.weighted(spark, 3, Seq((0L, 1L, 2.5), (1L, 2L, 1.0)), directed = true)
+    val names = Seq((0L, "a \"quoted\" name"), (1L, "b"), (2L, "c")).toDF("id", "name")
+    val f = java.io.File.createTempFile("graft", ".dot"); f.deleteOnExit()
+    Formats.writeDot(g, Some(names), f.getAbsolutePath, withWeights = true)
+    val text = java.nio.file.Files.readString(f.toPath)
+    assert(text ==
+      "digraph {\n  0 [name=\"a \\\"quoted\\\" name\"];\n  1 [name=\"b\"];\n  2 [name=\"c\"];\n" +
+        "  0 -> 1 [weight=2.5];\n  1 -> 2 [weight=1.0];\n}\n")
+    val u = graft.core.LinkGraph(spark, 2, Seq((0L, 1L)), directed = false)
+    Formats.writeDot(u, None, f.getAbsolutePath)
+    assert(java.nio.file.Files.readString(f.toPath) == "graph {\n  0;\n  1;\n  0 -- 1;\n}\n")
+  }
+
+  test("LEDA: write + round-trip read + .gw dispatch, names/weights/void variants (graphobject.c:15081)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val g = graft.core.LinkGraph.weighted(spark, 3, Seq((0L, 1L, 2.5), (2L, 0L, 1.5)), directed = true)
+    val names = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("id", "name")
+    val f = java.io.File.createTempFile("graft", ".gw"); f.deleteOnExit()
+    Formats.writeLeda(g, Some(names), f.getAbsolutePath)
+    val text = java.nio.file.Files.readString(f.toPath)
+    assert(text.startsWith("LEDA.GRAPH\nstring\ndouble\n-1\n3\n"))
+    assert(text.contains("|{x}|") && text.contains("1 2 0 |{2.5}|") && text.contains("3 1 0 |{1.5}|"))
+    val fg = Formats.read(spark, f.getAbsolutePath) // dispatch by .gw extension
+    assert(fg.graph.directed && fg.weighted)
+    assert(fg.graph.weighted.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq == Seq((0L, 1L, 2.5), (2L, 0L, 1.5)))
+    assert(fg.names.get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(0L -> "x", 1L -> "y", 2L -> "z"))
+    // void vertex attr / void edge attr, undirected
+    val u = graft.core.LinkGraph(spark, 2, Seq((0L, 1L)), directed = false)
+    Formats.writeLeda(u, None, f.getAbsolutePath, withWeights = false)
+    val fu = Formats.readLeda(spark, f.getAbsolutePath)
+    assert(!fu.graph.directed && !fu.weighted && fu.names.isEmpty && fu.graph.ecount() == 1L)
+    // a non-LEDA file fails loudly
+    assertThrows[IllegalArgumentException] {
+      Formats.readLeda(spark, tmp("not a leda file\n", "gw"))
+    }
+  }
+
   test("Graph.Read dispatch by extension (__init__.py:2895-2930)") {
     val p = tmp("a b 1\nb c 2\n", "ncol")
     val fg = Formats.read(spark, p)

@@ -244,4 +244,40 @@ class TextSpec extends AnyFunSuite {
     assert(r.head.getLong(1) == 2L && math.abs(r.head.getDouble(2) - 1.0) < 1e-9)
     assert(r(1).getLong(1) == 3L && math.abs(r(1).getDouble(2)) < 1e-9)
   }
+
+  test("PII redaction: emails/phones/IPs masked with typed tokens, counts off the original") {
+    val fixture = Seq(
+      (1L, "write to john.doe+spam@sub.Example.org today"),
+      (2L, "call +1 555-123-4567 or +44 020-794-6000 now"),
+      (3L, "server at 10.0.255.1 and 192.168.1.1 responded"),
+      (4L, "mixed a@b.co and 8.8.8.8 and +1 555-000-1111"),
+      (5L, "clean text with no pii at all"),
+      (6L, "version 1.2.3 should NOT look like an ip"), // only 3 octets
+      (7L, "not an email: user@localhost (no TLD)")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, "write to <EMAIL> today")))
+    assert(out(2L) == ((0L, 2L, 0L, "call <PHONE> or <PHONE> now")))
+    assert(out(3L) == ((0L, 0L, 2L, "server at <IP> and <IP> responded")))
+    assert(out(4L) == ((1L, 1L, 1L, "mixed <EMAIL> and <IP> and <PHONE>")))
+    assert(out(5L) == ((0L, 0L, 0L, "clean text with no pii at all")))
+    assert(out(6L)._3 == 0L && out(6L)._4.contains("1.2.3"))
+    assert(out(7L)._1 == 0L)
+    // idempotent: redacting already-clean text is the identity
+    val cleaned = TextOps.redactPii(fixture).select(col("doc_id"), col("clean_text").as("text"))
+    val re = TextOps.redactPii(cleaned)
+    assert(re.agg(sum(col("n_emails") + col("n_phones") + col("n_ips"))).head.getLong(0) == 0L)
+  }
+
+  test("BPE-ish tokens: letter runs, digit runs, single punctuation; counts over real docs") {
+    val t = Seq((1L, "don't split2 me, ok?")).toDF("doc_id", "text")
+    val toks = t.select(TextOps.tokensBpe(col("text")).as("t")).head.getSeq[String](0)
+    assert(toks == Seq("don", "'", "t", "split", "2", "me", ",", "ok", "?"))
+    val stats = TextOps.bpeStats(docs)
+    // BPE-ish count >= whitespace token count (every split only adds tokens)
+    val cmp = stats.join(TextOps.docStats(docs), "doc_id")
+      .where(col("n_bpe") < col("n_tokens"))
+    assert(cmp.isEmpty)
+    assert(stats.where(col("n_bpe_distinct") > col("n_bpe")).isEmpty)
+  }
 }
