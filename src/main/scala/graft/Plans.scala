@@ -100,6 +100,19 @@ object Plans {
         Tables.read(spark, dir, "documents")
           .select(col("doc_id"), concat(lit("https://e.com/p/"),
             col("doc_id").cast("string"), lit("?utm_source=x")).as("url"))))
+
+    // late-round-4 pipeline ops
+    // PII masking: map-only — the whole op must live inside ONE
+    // WholeStageCodegen project over the scan, zero Exchange
+    dump("pii masking (map-only regexp chain)",
+      graft.text.TextOps.redactPii(Tables.read(spark, dir, "documents")))
+    // BPE-ish token stats: same shape — one scan, one codegen'd project
+    dump("bpe token stats (map-only regexp_extract_all)",
+      graft.text.TextOps.bpeStats(Tables.read(spark, dir, "documents")))
+    // feedback arc set: two degree aggregates + dense rank (range exchange,
+    // no single-partition Window) + two broadcast-eligible rank joins
+    dump("feedback arc set (degree-delta rank → backward arcs)",
+      graft.ops.Extras.feedbackArcSet(g))
     spark.stop()
   }
 }
