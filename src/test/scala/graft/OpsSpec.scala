@@ -231,6 +231,33 @@ class OpsSpec extends AnyFunSuite {
     assert(bandCount === 8L)
   }
 
+  test("streaming PII scrub: stateless map stage masks at ingest, batch == stream results") {
+    // redactPii is a pure Column projection, so it lifts onto readStream
+    // unchanged — the ingest-time anonymization stage of a crawl pipeline
+    val base = java.nio.file.Files.createTempDirectory("piistream").toString
+    Seq((1L, "mail me at spam@trap.net today"), (2L, "nothing sensitive here"))
+      .toDF("doc_id", "text").write.parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$base/in")
+    val q = graft.text.TextOps.redactPii(stream)
+      .writeStream.outputMode("append").format("memory").queryName("pii").start()
+    q.processAllAvailable()
+    Seq((3L, "server 10.1.2.3 or call +1 555-867-5309"))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$base/in")
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("select doc_id, n_emails, n_phones, n_ips, clean_text from pii")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((1L, 0L, 0L, "mail me at <EMAIL> today")))
+    assert(got(2L) == ((0L, 0L, 0L, "nothing sensitive here")))
+    assert(got(3L) == ((0L, 1L, 1L, "server <IP> or call <PHONE>")))
+    // stream output == batch output on the same rows (determinism of the stage)
+    val batch = graft.text.TextOps.redactPii(spark.read.parquet(s"$base/in"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(batch == got)
+  }
+
   test("streaming running degrees: mapGroupsWithState accumulates across batches") {
     val base = java.nio.file.Files.createTempDirectory("degstream").toString
     Seq((0L, 1L), (0L, 2L)).toDF("src", "dst").write.parquet(s"$base/in")
