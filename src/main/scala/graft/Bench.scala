@@ -110,6 +110,39 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Memory-bandwidth roofline probe (round-4 verdict #5): one sweep of a
+    * pure array-sum job — sequential reads over cached primitive doubles, no
+    * shuffle, no join, negligible ALU work — i.e. the closest thing to a
+    * STREAM benchmark expressible as a Spark job. Run at the same
+    * parallelism levels as the scaling section on the identical cached data,
+    * it measures what the box's shared memory system can deliver to 8 vs 32
+    * threads. If THIS job shows the same 8->32 efficiency collapse as
+    * PageRank, the collapse is the single socket's bandwidth ceiling, not a
+    * property of the graph kernel.
+    */
+  private def rooflineSec(cpus: Int, parts: Int, chunk: Int, sweeps: Int): Double = {
+    val spark = session(cpus)
+    try {
+      val sc = spark.sparkContext
+      val rdd = sc.parallelize(0 until parts, parts).map { i =>
+        val a = new Array[Double](chunk)
+        var j = 0
+        while (j < chunk) { a(j) = (i.toLong * 1315423911L + j).toDouble; j += 1 }
+        a
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      rdd.count()
+      def sweep(): Double = rdd.map { a =>
+        var s = 0.0; var j = 0
+        while (j < a.length) { s += a(j); j += 1 }
+        s
+      }.sum()
+      sweep(); sweep() // JIT + scheduler warmup
+      (0 until sweeps).map { _ =>
+        val t0 = System.nanoTime(); sweep(); (System.nanoTime() - t0) / 1e9
+      }.min
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -126,6 +159,33 @@ object Bench {
     // extra min-samples are nearly free and tighten the level minima that
     // the efficiency ratio is built from
     val benchIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "10").toInt
+
+    // --- roofline mode: SPARK_GRAFT_BENCH_ONLY=roofline prints its own JSON
+    // and exits. 128 partitions x 8M doubles = 8 GiB cached; every level
+    // sweeps the identical cached arrays, min of 5 timed sweeps after
+    // 2 warmups, 3 alternating rounds per level (same noise posture as the
+    // scaling section).
+    if (only == "roofline") {
+      val parts = 128
+      val chunk = 8 << 20
+      val levels = sys.env.getOrElse("SPARK_GRAFT_ROOFLINE_LEVELS", "2,8,32")
+        .split(",").map(_.trim.toInt).toSeq
+      val best = scala.collection.mutable.Map(levels.map(_ -> Double.PositiveInfinity): _*)
+      (0 until 3).foreach { _ =>
+        levels.foreach { p =>
+          val s = rooflineSec(p, parts, chunk, sweeps = 5)
+          if (s < best(p)) best(p) = s
+        }
+      }
+      val gib = parts.toDouble * chunk * 8 / (1L << 30)
+      val secJson = levels.map(p => s""""sec_local$p":${"%.3f".format(best(p))}""").mkString(",")
+      val bwJson = levels.map(p => s""""gibps_local$p":${"%.1f".format(gib / best(p))}""").mkString(",")
+      val effJson = levels.sliding(2).map { case Seq(a, b) =>
+        s""""efficiency_${a}_to_$b":${"%.3f".format((best(a) / best(b)) / (b.toDouble / a))}"""
+      }.mkString(",")
+      println(s"""{"metric":"roofline_array_sum","gib":${"%.1f".format(gib)},$secJson,$bwJson,$effJson}""")
+      return
+    }
 
     // --- section 1: representative operator timings on the sf tables ------
     val headline: Seq[String] =
@@ -226,27 +286,47 @@ object Bench {
 
     val qJson = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Promotion (round-4 verdict #4): the headline per-level value is the
+    // smallest CORROBORATED round-min — the smallest s(i) in the sorted
+    // series with a sibling within 6% above it. When the round cap is hit
+    // with the raw min uncorroborated (one lucky epoch — r04's local[32]
+    // 0.254 vs nearest sibling 0.301 = 18%), the raw min is NOT promoted:
+    // the best corroborated value ships instead and the level keeps its
+    // corroborated=true flag because the SHIPPED value is corroborated by
+    // construction. Only when no pair anywhere in the series agrees within
+    // 6% does the raw min ship, flagged corroborated:false. The raw mins
+    // stay visible in round_min_sec for audit.
+    def promote(p: Int): (Double, Boolean) = {
+      val s = series(p).sorted
+      s.indices.dropRight(1).find(i => s(i + 1) <= s(i) * 1.06) match {
+        case Some(i) => (s(i), true)
+        case None    => (s.headOption.getOrElse(mins(p)), false)
+      }
+    }
+    val promoted = levels.map(p => p -> promote(p)).toMap
     val scalingJson =
       if (skipScaling) """"scaling":{}"""
       else {
-        val secJson = levels.map(p => s""""sec_per_iter_local$p":${"%.3f".format(mins(p))}""").mkString(",")
+        val secJson = levels.map(p => s""""sec_per_iter_local$p":${"%.3f".format(promoted(p)._1)}""").mkString(",")
         val meanJson = levels.map(p => s""""mean_sec_per_iter_local$p":${"%.3f".format(means(p))}""").mkString(",")
-        val epsJson = levels.map(p => s""""eps_local$p":${"%.0f".format(m / mins(p))}""").mkString(",")
+        val epsJson = levels.map(p => s""""eps_local$p":${"%.0f".format(m / promoted(p)._1)}""").mkString(",")
+        val corrJson = levels.map(p => s""""local$p":${promoted(p)._2}""")
+          .mkString(""""corroborated":{""", ",", "},")
         // full per-round min series (seconds/iter) — lets a reader audit the
         // noise spread behind the headline minima instead of trusting them
         val seriesJson = levels.map(p =>
           s""""local$p":[${series(p).map(v => "%.3f".format(v)).mkString(",")}]""")
           .mkString(""""round_min_sec":{""", ",", "},")
         val effJson = levels.sliding(2).map { case Seq(a, b) =>
-          s""""efficiency_${a}_to_$b":${"%.3f".format((mins(a) / mins(b)) / (b.toDouble / a))}"""
+          s""""efficiency_${a}_to_$b":${"%.3f".format((promoted(a)._1 / promoted(b)._1) / (b.toDouble / a))}"""
         }.mkString(",")
-        s""""scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,$secJson,$meanJson,$epsJson,$seriesJson$effJson,"note":"${
+        s""""scaling":{"n_vertices":$benchN,"n_edges":$m,"iters":$benchIters,$secJson,$meanJson,$epsJson,$corrJson$seriesJson$effJson,"note":"${
           if (levels.take(2) == Seq(2, 8))
             "2->8 holds per-core bandwidth constant (the N->4N cluster-node analog, each node bringing its own memory bandwidth); higher pairs additionally contend the single socket's shared bandwidth; "
           else ""
-        }all levels read the identical parquet corpus; sec_per_iter_* are corroborated steady-state minima (robust timing), mean_* the steady-state means"}"""
+        }all levels read the identical parquet corpus; sec_per_iter_* are the smallest corroborated round-mins (a raw min with no sibling within 6% is never promoted; corroborated.* flags the fallback), mean_* the steady-state means"}"""
       }
-    val value = if (skipScaling) 0L else (m / mins(levels.last)).toLong
+    val value = if (skipScaling) 0L else (m / promoted(levels.last)._1).toLong
     val json =
       s"""{"metric":"pagerank_edges_per_sec_per_iter","value":$value,"unit":"edges/sec/iter","queries":$qJson,"sf":"$sfDir","total_query_sec":${"%.2f".format(total)},$scalingJson$convJson}"""
     println(json)

@@ -51,9 +51,12 @@ object Isomorphism {
   /** Core search: map every PATTERN vertex to a distinct TARGET vertex such
     * that pattern edges map to edges and (if `induced`) pattern non-edges to
     * non-edges among the mapped image. `onFound` returns true to STOP.
+    * `domains`, when given, restricts each pattern vertex to an explicit set
+    * of allowed target positions (the LAD-style domain constraint).
     */
   private def search(target: LocalG, pattern: LocalG, induced: Boolean,
-                     onFound: Array[Int] => Boolean): Unit = {
+                     onFound: Array[Int] => Boolean,
+                     domains: Option[Array[Set[Int]]] = None): Unit = {
     require(target.directed == pattern.directed, "directedness must match")
     if (pattern.n == 0) { onFound(Array.empty); return }
     if (pattern.n > target.n) return
@@ -82,7 +85,8 @@ object Isomorphism {
       while (cand < target.n && !stop) {
         if (!used(cand) && pattern.color(p) == target.color(cand) &&
           pattern.out(p).size <= target.out(cand).size &&
-          pattern.in(p).size <= target.in(cand).size) {
+          pattern.in(p).size <= target.in(cand).size &&
+          domains.forall(_(p).contains(cand))) {
           // consistency vs every already-mapped pattern vertex
           var ok = true
           var d = 0
@@ -219,9 +223,24 @@ object Isomorphism {
     // --- cells in canonical (color) order; singletons are fixed
     val cells: Seq[Array[Int]] = colors.zipWithIndex.groupBy(_._1).toSeq
       .sortBy(_._1).map(_._2.map(_._2).sorted)
-    val space = cells.map(cl => (1L to cl.length.toLong).product).product
+    // overflow-safe factorial product: 21! wraps a Long negative and 66!+
+    // wraps to 0, which would sail through the gate and enumerate forever on
+    // highly symmetric graphs — fold factors and saturate the moment the
+    // running product clears the gate, before it can wrap
+    val space = {
+      var acc = 1L
+      cells.foreach { cl =>
+        var f = 2L
+        while (f <= cl.length && acc <= maxCellPerms) {
+          acc = try Math.multiplyExact(acc, f)
+          catch { case _: ArithmeticException => Long.MaxValue }
+          f += 1
+        }
+      }
+      acc
+    }
     require(space <= maxCellPerms,
-      s"canonical_permutation: ambiguous-cell search space $space exceeds $maxCellPerms " +
+      s"canonical_permutation: ambiguous-cell search space >= $space exceeds $maxCellPerms " +
         s"(highly symmetric graph); raise maxCellPerms or compare by invariants")
     // --- enumerate within-cell orders, pick the adjacency-code-minimal one
     def codeOf(order: Array[Int]): IndexedSeq[Long] = {
@@ -278,6 +297,61 @@ object Isomorphism {
     val t = collect(g, colorG); val p = collect(pattern, colorP)
     val res = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
     search(t, p, induced, m => { res += m; res.length >= maxResults })
+    res.toSeq
+  }
+
+  /** Per-pattern-vertex domain lists (target vertex IDS) -> sets of target
+    * POSITIONS in the kernel's sorted-id numbering (identity on dense ids).
+    * Ids absent from the target silently shrink the domain — an unmatchable
+    * id can never be mapped anyway; an EMPTY domain makes its pattern vertex
+    * unmatchable, so the search correctly finds nothing (reference parity:
+    * `domains=[[], ...]` -> False).
+    */
+  private def domainSets(g: LinkGraph, patternN: Int,
+                         domains: Seq[Seq[Long]]): Array[Set[Int]] = {
+    require(domains.size == patternN,
+      s"domains must list one target-vertex set per pattern vertex (${domains.size} given, $patternN needed)")
+    val idx = g.vertices.collect().map(_.getLong(0)).sorted.zipWithIndex.toMap
+    domains.map(_.flatMap(idx.get).toSet).toArray
+  }
+
+  /** `subisomorphic_lad(other, domains, induced)` (`graphobject.c:9565,
+    * 15446`): does `g` contain a subgraph isomorphic to `pattern`, LAD
+    * semantics — MONOMORPHISM by default (`induced = false`, the opposite
+    * default of [[subisomorphicVf2]]), with optional per-pattern-vertex
+    * `domains` restricting which target vertices each pattern vertex may
+    * map to. The reference runs the LAD solver; the semantics are identical
+    * to the domain-constrained VF2 search this shares with the rest of the
+    * family (same require-gated driver-kernel posture), so this is an API-
+    * parity entry point, not a second solver. Goldens:
+    * `tests/test_isomorphism.py:202-237`.
+    */
+  def subisomorphicLad(g: LinkGraph, pattern: LinkGraph,
+                       domains: Option[Seq[Seq[Long]]] = None,
+                       induced: Boolean = false): Boolean = {
+    val t = collect(g, None); val p = collect(pattern, None)
+    val dom = domains.map(domainSets(g, p.n, _))
+    var found = false
+    search(t, p, induced, _ => { found = true; true }, dom)
+    found
+  }
+
+  /** `get_subisomorphisms_lad(other, domains, induced)` (`graphobject.c:
+    * 9633,15474`): every LAD-semantics embedding of `pattern` into `g` as a
+    * mapping array (pattern position i -> target position m(i)); an empty
+    * pattern yields NO mappings (reference parity — unlike the boolean
+    * face, which is vacuously true). Goldens:
+    * `tests/test_isomorphism.py:239-285`.
+    */
+  def getSubisomorphismsLad(g: LinkGraph, pattern: LinkGraph,
+                            domains: Option[Seq[Seq[Long]]] = None,
+                            induced: Boolean = false,
+                            maxResults: Int = 1 << 20): Seq[Array[Int]] = {
+    val t = collect(g, None); val p = collect(pattern, None)
+    if (p.n == 0) return Seq.empty
+    val dom = domains.map(domainSets(g, p.n, _))
+    val res = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    search(t, p, induced, m => { res += m; res.length >= maxResults }, dom)
     res.toSeq
   }
 }

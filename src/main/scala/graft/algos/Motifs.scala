@@ -214,11 +214,25 @@ object Motifs {
   private def motifs4DirectedCensus(g: LinkGraph, maxKernelVertices: Int,
                                     cutProb: Seq[Double], seed: Long): Seq[Option[Double]] = {
     require(g.directed, "motifs4Directed expects a directed graph; use motifs4")
-    require(cutProb.length == 4 && cutProb.forall(p => p >= 0.0 && p < 1.0),
-      s"cut_prob must be 4 probabilities in [0,1), got $cutProb")
+    esuCensus(g, 4, maxKernelVertices, cutProb, seed)
+  }
+
+  /** RAND-ESU kernel, size 3 or 4, directed or undirected — the reference's
+    * `igraph_motifs_randesu` core (Wernicke 2006). Exact census at
+    * cutProb = zeros; otherwise each ESU tree level d survives with
+    * probability 1 − cutProb(d) and every hit is reweighted by
+    * 1/Π(1 − cutProb(d)) (unbiased). Driver kernel by design: the exact
+    * DISTRIBUTED paths ([[motifs3]], [[motifs4]], [[Triads.triadCensus]])
+    * are the at-scale answer; this exists for the sampling API surface.
+    */
+  private def esuCensus(g: LinkGraph, size: Int, maxKernelVertices: Int,
+                        cutProb: Seq[Double], seed: Long): Seq[Option[Double]] = {
+    require(size == 3 || size == 4, s"ESU census supports size 3 or 4, got $size")
+    require(cutProb.length == size && cutProb.forall(p => p >= 0.0 && p < 1.0),
+      s"cut_prob must be $size probabilities in [0,1), got $cutProb")
     val n0 = g.vcount()
     require(n0 <= maxKernelVertices,
-      s"directed 4-motif census is a driver kernel capped at $maxKernelVertices " +
+      s"ESU $size-motif census is a driver kernel capped at $maxKernelVertices " +
         s"vertices ($n0 given); raise maxKernelVertices explicitly to override")
     val n = n0.toInt
     val ids = g.vertices.collect().map(_.getLong(0)).sorted
@@ -230,23 +244,27 @@ object Motifs {
         val i = pos(r.getLong(0)); val j = pos(r.getLong(1))
         adjOut(i).set(j); und(i).set(j); und(j).set(i)
       }
-    val table = Catalog.maskClassTable(4, directed = true)
-    val counts = new Array[Double](Catalog.isoclassCount(4, directed = true))
+    val table = Catalog.maskClassTable(size, g.directed)
+    val counts = new Array[Double](Catalog.isoclassCount(size, g.directed))
     val keep = cutProb.map(p => 1.0 - p).toArray
     val exact = keep.forall(_ == 1.0)
     val weight = 1.0 / keep.product
     val rnd = new scala.util.Random(seed)
     def sampled(depth: Int): Boolean = exact || keep(depth) >= 1.0 ||
       rnd.nextDouble() < keep(depth)
-    val sub = new Array[Int](4)
+    val sub = new Array[Int](size)
     def classify(): Unit = {
       var mask = 0
       var i = 0
-      while (i < 4) {
+      while (i < size) {
         var j = 0
-        while (j < 4) {
-          if (i != j && adjOut(sub(i)).get(sub(j)))
-            mask |= 1 << Catalog.dirPairIdx(4, i, j)
+        while (j < size) {
+          if (i != j) {
+            if (g.directed) {
+              if (adjOut(sub(i)).get(sub(j))) mask |= 1 << Catalog.dirPairIdx(size, i, j)
+            } else if (i < j && und(sub(i)).get(sub(j)))
+              mask |= 1 << Catalog.undirPairIdx(i, j)
+          }
           j += 1
         }
         i += 1
@@ -255,17 +273,17 @@ object Motifs {
     }
     // ESU: extend(subLen, ext, closed) where closed = VSub ∪ N(VSub); the
     // exclusive neighborhood of the next pick is computed against `closed`
-    // BEFORE merging, so each connected 4-set is emitted exactly once.
+    // BEFORE merging, so each connected size-set is emitted exactly once.
     // RAND-ESU: each pick at tree level `subLen` survives with keep(subLen).
     def extend(root: Int, subLen: Int, ext: List[Int], closed: java.util.BitSet): Unit = {
-      if (subLen == 4) { classify(); return }
+      if (subLen == size) { classify(); return }
       var rest = ext
       while (rest.nonEmpty) {
         val w = rest.head
         rest = rest.tail
         sub(subLen) = w
         if (!sampled(subLen)) ()
-        else if (subLen == 3) classify()
+        else if (subLen == size - 1) classify()
         else {
           val excl = und(w).clone().asInstanceOf[java.util.BitSet]
           excl.andNot(closed)
@@ -298,8 +316,30 @@ object Motifs {
       }
       v += 1
     }
-    val conn = Catalog.connectedClasses(4, directed = true)
+    val conn = Catalog.connectedClasses(size, g.directed)
     counts.indices.map(c => if (conn(c)) Some(counts(c)) else None)
+  }
+
+  /** `motifs_randesu(size=3, cut_prob=[...])` — RAND-ESU sampling on the
+    * size-3 census (directed or undirected), closing the last recorded
+    * SURVEY deviation: exact size-3 is a closed-form DISTRIBUTED statistic
+    * here ([[motifs3]] — cheaper than sampling, use it at scale), but the
+    * reference accepts cut_prob at every size, so the sampled face exists
+    * for API parity. cutProb = zeros reproduces [[motifs3]] exactly.
+    */
+  def motifs3Sampled(g: LinkGraph, cutProb: Seq[Double], seed: Long = 42L,
+                     maxKernelVertices: Int = 4096): Seq[Option[Double]] =
+    esuCensus(g, 3, maxKernelVertices, cutProb, seed)
+
+  /** `motifs_randesu_estimate(size=3, sample)` (`graphobject.c:14341`) via
+    * root sampling, like [[motifs4DirectedEstimate]]. sampleFrac = 1.0
+    * reproduces the exact [[motifs3Count]].
+    */
+  def motifs3Estimate(g: LinkGraph, sampleFrac: Double, seed: Long = 42L,
+                      maxKernelVertices: Int = 4096): Double = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0, s"sampleFrac in (0,1], got $sampleFrac")
+    motifs3Sampled(g, Seq(1.0 - sampleFrac, 0.0, 0.0), seed, maxKernelVertices)
+      .flatten.sum
   }
 
   /** `motifs_randesu_no(size=4)` on a directed graph. */

@@ -188,6 +188,11 @@ object Catalog {
     */
   def dirPairIdx(n: Int, i: Int, j: Int): Int = dpairIdx(n, i, j)
 
+  /** Undirected-pair -> bit index of the adjacency-mask layout (the public
+    * face of `upairIdx`; order-insensitive).
+    */
+  def undirPairIdx(i: Int, j: Int): Int = upairIdx(math.min(i, j), math.max(i, j))
+
   private val tableCache = scala.collection.concurrent.TrieMap.empty[(Int, Boolean), Array[Int]]
 
   /** Full mask -> isoclass lookup table over all 2^bits adjacency masks —

@@ -324,6 +324,106 @@ object Generators {
     (LinkGraph(e, directed, Some(n)), types)
   }
 
+  /** Establishment(n, k, type_dist, pref_matrix, directed)
+    * (`graphobject.c:2262,12542`; igraph_establishment_game): the GROWING
+    * typed-preference model — one vertex per time step, the new vertex makes
+    * `k` connection trials to uniformly random already-present vertices,
+    * each trial realized with the type-pair probability (the reference docs
+    * call Preference "practically the nongrowing variant" of this,
+    * `graphobject.c:12689`). The first `k` vertices seed the graph with no
+    * trials of their own, matching the reference's loop start.
+    *
+    * Spark-first shape: a trial's outcome depends only on (new vertex,
+    * trial index) — never on previously realized edges — so all n·k trials
+    * evaluate in one map + two hash joins against the type table (partner
+    * type lookup) + one broadcast join (pref matrix). No sequential growth
+    * loop survives into the plan; scales like a degree computation.
+    * Multi-edges possible (two trials may draw the same partner), loops
+    * impossible — both exactly as in the reference.
+    */
+  def establishment(spark: SparkSession, n: Long, k: Int, typeDist: Seq[Double],
+                    pref: Seq[Seq[Double]], directed: Boolean = false,
+                    seed: Long = 42L): (LinkGraph, DataFrame) = {
+    val kt = typeDist.size
+    require(k >= 1 && n > k, "Establishment needs n > k >= 1")
+    require(pref.size == kt && pref.forall(_.size == kt),
+      "pref matrix must be kt x kt for kt types")
+    require(pref.flatten.forall(p => p >= 0.0 && p <= 1.0), "probabilities must be in [0,1]")
+    val total = typeDist.sum
+    val cum = typeDist.scanLeft(0.0)(_ + _).map(_ / total)
+    val u = (shiftrightunsigned(xxhash64(lit(seed ^ 0x7f), col("id")), 11) + 1)
+      .cast("double") / lit((1L << 53).toDouble)
+    val tcol = (1 to kt).foldRight(lit(kt - 1)) { case (i, acc) =>
+      when(u < cum(i), lit(i - 1)).otherwise(acc)
+    }
+    val types = spark.range(n).select(col("id"), tcol.as("vtype")).persist()
+    types.count()
+    val pm = { import spark.implicits._
+      (for (i <- 0 until kt; j <- 0 until kt) yield (i, j, pref(i)(j))).toDF("ta", "tb", "p") }
+    // (n - k) * k trial rows, generated flat: src = k + trialId / k steps
+    // through the growth order, partner uniform over the vertices already
+    // present [0, src) via a seeded hash mod
+    val trials = spark.range((n - k) * k.toLong).select(
+      (lit(k.toLong) + floor(col("id") / lit(k)).cast("long")).as("src"),
+      (col("id") % k).as("trial"))
+    val cand = trials.select(col("src"), col("trial"),
+      pmod(xxhash64(lit(seed), col("src"), col("trial")), col("src")).as("dst"))
+    val keep = (shiftrightunsigned(
+      xxhash64(lit(seed ^ 0x5ba3L), col("src"), col("trial")), 11) + 1)
+      .cast("double") / lit((1L << 53).toDouble)
+    val e = cand
+      .join(types.select(col("id").as("src"), col("vtype").as("ta")), Seq("src"))
+      .join(types.select(col("id").as("dst"), col("vtype").as("tb")), Seq("dst"))
+      .join(broadcast(pm), Seq("ta", "tb"))
+      .where(keep < col("p"))
+      .select("src", "dst")
+    (LinkGraph(e, directed, Some(n)), types)
+  }
+
+  /** Asymmetric_Preference(n, type_dist_matrix, pref_matrix, loops)
+    * (`graphobject.c:2986,12436`; igraph_asymmetric_preference_game): every
+    * vertex draws a JOINT (out-type, in-type) pair from `typeDistMatrix`
+    * (cell (i,j) = P(out=i, in=j)), then every ordered pair (u,v) gets a
+    * directed edge with probability `pref(outType(u))(inType(v))`. Always
+    * directed (that is the point of the asymmetry).
+    *
+    * Same SBM-style declarative shape as [[preference]]: Θ(n²) candidate
+    * space, one broadcast pref-matrix join, seeded-hash coins — Catalyst
+    * sees one cross join + filter, no growth loop.
+    */
+  def asymmetricPreference(spark: SparkSession, n: Long,
+                           typeDistMatrix: Seq[Seq[Double]], pref: Seq[Seq[Double]],
+                           loops: Boolean = false,
+                           seed: Long = 42L): (LinkGraph, DataFrame) = {
+    val kt = typeDistMatrix.size
+    require(typeDistMatrix.forall(_.size == kt) && pref.size == kt && pref.forall(_.size == kt),
+      "typeDistMatrix and pref must both be kt x kt")
+    require(pref.flatten.forall(p => p >= 0.0 && p <= 1.0), "probabilities must be in [0,1]")
+    val cells = for (i <- 0 until kt; j <- 0 until kt) yield typeDistMatrix(i)(j)
+    val total = cells.sum
+    val cum = cells.scanLeft(0.0)(_ + _).map(_ / total)
+    val u = (shiftrightunsigned(xxhash64(lit(seed ^ 0x7f), col("id")), 11) + 1)
+      .cast("double") / lit((1L << 53).toDouble)
+    val cellCol = (1 to kt * kt).foldRight(lit(kt * kt - 1)) { case (i, acc) =>
+      when(u < cum(i), lit(i - 1)).otherwise(acc)
+    }
+    val types = spark.range(n).select(col("id"),
+      (cellCol / kt).cast("int").as("outType"), (cellCol % kt).as("inType")).persist()
+    types.count()
+    val pm = { import spark.implicits._
+      (for (i <- 0 until kt; j <- 0 until kt) yield (i, j, pref(i)(j))).toDF("ta", "tb", "p") }
+    val a = types.select(col("id").as("src"), col("outType").as("ta"))
+    val b = types.select(col("id").as("dst"), col("inType").as("tb"))
+    val pairCond = if (loops) lit(true) else col("src") =!= col("dst")
+    val keep = (shiftrightunsigned(xxhash64(lit(seed), col("src"), col("dst")), 11) + 1)
+      .cast("double") / lit((1L << 53).toDouble)
+    val e = a.crossJoin(b).where(pairCond)
+      .join(broadcast(pm), Seq("ta", "tb"))
+      .where(keep < col("p"))
+      .select("src", "dst")
+    (LinkGraph(e, directed = true, Some(n)), types)
+  }
+
   // ------------------------------------------- fitness-weighted edge models
 
   /** Distributed prefix sums over (id, w) in id order: per-partition sums

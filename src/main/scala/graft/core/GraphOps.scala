@@ -175,7 +175,7 @@ object GraphOps {
     val hit = eid.where(
       if (g.directed) col("src") === u && col("dst") === v
       else (col("src") === u && col("dst") === v) || (col("src") === v && col("dst") === u))
-      .select("eid").limit(1).collect()
+      .select("eid").orderBy("eid").limit(1).collect()
     if (hit.isEmpty) -1L else hit.head.getLong(0)
   }
 
@@ -212,6 +212,13 @@ object GraphOps {
   def diversity(g: LinkGraph): DataFrame = {
     require(!g.directed, "diversity is defined for undirected graphs (reference parity)")
     require(isSimple(g), "diversity requires a simple graph (reference parity)")
+    // log(w) is NULL for w <= 0 and sum() skips NULLs, so a zero/negative
+    // weight would silently vanish from the entropy term — fail loudly like
+    // the loop/multi-edge gates above (the reference requires positive
+    // weights too)
+    val minW = g.weighted.agg(min(col("weight").cast("double"))).head()
+    require(minW.isNullAt(0) || minW.getDouble(0) > 0.0,
+      "diversity requires strictly positive edge weights (reference parity)")
     val inc = g.bidirected.select(col("src").as("id"), col("weight").cast("double").as("w"))
     val agg = inc.groupBy("id").agg(
       sum("w").as("sw"), count(lit(1)).as("d"),

@@ -92,6 +92,31 @@ object Tables {
       |    FROM range(13) t(i)
       |  ) GROUP BY 1, 2)""".stripMargin
 
+  /** Small DIRECTED dominator fixture (13 vertices): the directed ring
+    * 0->1->...->12->0 guarantees every vertex is reachable from root 0, and
+    * every events-derived arc with both endpoints < 13 adds shortcuts that
+    * make the dominator tree non-trivial. Small by construction so DuckDB
+    * can verify immediate dominators straight from the definition (u
+    * dominates v iff v is unreachable from the root once u is removed).
+    */
+  def domGraph(spark: SparkSession, dir: String): LinkGraph = {
+    val data = read(spark, dir, "events").select(
+        col("user_id").as("src"),
+        (floor(col("value")).cast("long") % 97).as("dst"))
+      .where(col("src") < 13 && col("dst") < 13 && col("src") =!= col("dst"))
+    val ring = spark.range(13).select(col("id").as("src"), ((col("id") + 1) % 13).as("dst"))
+    LinkGraph(data.unionByName(ring).distinct(), directed = true, Some(13L))
+  }
+
+  /** SQL CTE mirroring [[domGraph]]. */
+  val domGraphSql: String =
+    """dg AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      |  SELECT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 97 AS dst FROM events
+      |    WHERE user_id < 13 AND CAST(FLOOR(value) AS BIGINT) % 97 < 13
+      |      AND user_id <> CAST(FLOOR(value) AS BIGINT) % 97
+      |  UNION ALL
+      |  SELECT i, (i + 1) % 13 FROM range(13) t(i)))""".stripMargin
+
   /** SQL CTE mirroring [[copartGraph]]. */
   val copartGraphSql: String =
     """pe AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

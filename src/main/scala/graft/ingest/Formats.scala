@@ -434,16 +434,21 @@ object Formats {
     val nameOf = names.map(_.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
     def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val (kw, arrow) = if (g.directed) ("digraph", "->") else ("graph", "--")
+    // non-dense vertex ids are remapped to 0..n-1 positions (identity on
+    // dense graphs) so emitted node ids always cover exactly the vertex
+    // lines — raw ids would write edges whose endpoints were never declared
+    val ids = g.vertices.collect().map(_.getLong(0)).sorted
+    val pos = ids.zipWithIndex.toMap
     val sb = new StringBuilder
     sb.append(s"$kw {\n")
-    (0L until g.vcount()).foreach { v =>
+    ids.foreach { v =>
       nameOf.flatMap(_.get(v)) match {
-        case Some(nm) => sb.append(s"  $v [name=${q(nm)}];\n")
-        case None     => sb.append(s"  $v;\n")
+        case Some(nm) => sb.append(s"  ${pos(v)} [name=${q(nm)}];\n")
+        case None     => sb.append(s"  ${pos(v)};\n")
       }
     }
     g.weighted.collect().sortBy(r => (r.getLong(0), r.getLong(1))).foreach { r =>
-      sb.append(s"  ${r.getLong(0)} $arrow ${r.getLong(1)}")
+      sb.append(s"  ${pos(r.getLong(0))} $arrow ${pos(r.getLong(1))}")
       if (withWeights) sb.append(s" [weight=${r.getDouble(2)}]")
       sb.append(";\n")
     }
@@ -470,14 +475,18 @@ object Formats {
     sb.append(if (nameOf.isDefined) "string\n" else "void\n")
     sb.append(if (withWeights) "double\n" else "void\n")
     sb.append(if (g.directed) "-1\n" else "-2\n")
-    val n = g.vcount()
-    sb.append(s"$n\n")
-    (0L until n).foreach(v => sb.append(s"|{${nameOf.flatMap(_.get(v)).getOrElse("")}}|\n"))
+    // LEDA endpoints are 1-based positions into the vertex lines — remap
+    // (identity + 1 on dense ids) so non-dense graphs stay within [1, n]
+    // and round-trip through readLeda instead of corrupting the file
+    val ids = g.vertices.collect().map(_.getLong(0)).sorted
+    val pos = ids.zipWithIndex.toMap
+    sb.append(s"${ids.length}\n")
+    ids.foreach(v => sb.append(s"|{${nameOf.flatMap(_.get(v)).getOrElse("")}}|\n"))
     val rows = g.weighted.collect().sortBy(r => (r.getLong(0), r.getLong(1)))
     sb.append(s"${rows.length}\n")
     rows.foreach { r =>
       val a = if (withWeights) r.getDouble(2).toString else ""
-      sb.append(s"${r.getLong(0) + 1} ${r.getLong(1) + 1} 0 |{$a}|\n")
+      sb.append(s"${pos(r.getLong(0)) + 1} ${pos(r.getLong(1)) + 1} 0 |{$a}|\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
   }

@@ -450,12 +450,16 @@ object TextOps {
   // ---- BPE-style pre-tokenization -------------------------------------------
 
   /** GPT-2-ish pre-tokenizer split classes — letter runs, digit runs, single
-    * other non-space characters — as one `regexp_extract_all` expression
-    * (codegen'd, no UDF). The literal space class (not `\s`) keeps the Java
-    * and RE2 dialects byte-identical.
+    * other non-whitespace characters — as one `regexp_extract_all` expression
+    * (codegen'd, no UDF). The explicit whitespace class (space/tab/CR/LF,
+    * not `\s`) keeps the Java and RE2 dialects byte-identical; tabs and
+    * newlines must NOT count as punctuation tokens or n_bpe inflates on any
+    * multi-line document. Shared verbatim with the DuckDB oracle.
     */
+  val bpeRe: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
   def tokensBpe(text: Column): Column =
-    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+    regexp_extract_all(text, lit(bpeRe), lit(0))
 
   /** Per-document BPE-ish token statistics: token count and distinct count —
     * the "how many training tokens is this corpus" accounting pass, one

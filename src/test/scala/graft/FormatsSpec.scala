@@ -280,6 +280,25 @@ class FormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("DOT/LEDA writers remap non-dense vertex ids to dense positions") {
+    val spark0 = spark
+    import spark0.implicits._
+    // vertex ids 5, 10, 42 — raw emission would write LEDA endpoints
+    // outside [1, n] (corrupt) and DOT edges over undeclared nodes
+    val e = Seq((5L, 10L), (10L, 42L)).toDF("src", "dst")
+    val g = graft.core.LinkGraph(e, directed = false, None)
+    val f = java.io.File.createTempFile("graft", ".gw"); f.deleteOnExit()
+    Formats.writeLeda(g, None, f.getAbsolutePath, withWeights = false)
+    val fg = Formats.readLeda(spark, f.getAbsolutePath)
+    assert(fg.graph.ecount() == 2)
+    assert(fg.graph.weighted.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((0L, 1L), (1L, 2L))) // 5,10,42 -> 0,1,2 preserving the path shape
+    val fd = java.io.File.createTempFile("graft", ".dot"); fd.deleteOnExit()
+    Formats.writeDot(g, None, fd.getAbsolutePath)
+    assert(java.nio.file.Files.readString(fd.toPath) ==
+      "graph {\n  0;\n  1;\n  2;\n  0 -- 1;\n  1 -- 2;\n}\n")
+  }
+
   test("Graph.Read dispatch by extension (__init__.py:2895-2930)") {
     val p = tmp("a b 1\nb c 2\n", "ncol")
     val fg = Formats.read(spark, p)

@@ -286,4 +286,66 @@ class GeneratorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(e.toSeq == e2.toSeq)
   }
+
+  test("Preference: type-block structure + determinism (graphobject.c:12685)") {
+    import org.apache.spark.sql.functions.col
+    // identity pref matrix: every realized edge joins SAME-type endpoints
+    val (g, types) = Generators.preference(spark, 80, Seq(0.5, 0.5),
+      Seq(Seq(0.4, 0.0), Seq(0.0, 0.4)), seed = 11L)
+    val tmap = types.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = g.edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty && edges.forall { case (s, d) => tmap(s) == tmap(d) })
+    // single type, p=1 -> the complete graph
+    val (full, _) = Generators.preference(spark, 12, Seq(1.0), Seq(Seq(1.0)))
+    assert(full.ecount() == 12L * 11 / 2)
+    // determinism
+    val (g2, _) = Generators.preference(spark, 80, Seq(0.5, 0.5),
+      Seq(Seq(0.4, 0.0), Seq(0.0, 0.4)), seed = 11L)
+    assert(g2.edges.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      edges.sorted.toSeq)
+  }
+
+  test("Establishment: growing typed trials — counts, partner bounds, type blocks, determinism (graphobject.c:12542)") {
+    // p=1 everywhere: every trial lands -> exactly (n-k)*k edges, every edge
+    // from a post-seed vertex to a strictly earlier one
+    val (all, _) = Generators.establishment(spark, 50, 3, Seq(1.0), Seq(Seq(1.0)))
+    val e = all.edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.length == (50 - 3) * 3)
+    assert(e.forall { case (s, d) => s >= 3 && d < s })
+    // p=0: no trial ever succeeds
+    val (none, _) = Generators.establishment(spark, 50, 3, Seq(1.0), Seq(Seq(0.0)))
+    assert(none.ecount() == 0 && none.vcount() == 50)
+    // identity pref over two types: realized edges join same-type endpoints
+    val (blk, types) = Generators.establishment(spark, 120, 2, Seq(0.5, 0.5),
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), seed = 5L)
+    val tmap = types.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val be = blk.edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(be.nonEmpty && be.forall { case (s, d) => tmap(s) == tmap(d) })
+    // determinism
+    val (blk2, _) = Generators.establishment(spark, 120, 2, Seq(0.5, 0.5),
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), seed = 5L)
+    assert(blk2.edges.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      be.sorted.toSeq)
+    // gates
+    intercept[IllegalArgumentException](
+      Generators.establishment(spark, 3, 3, Seq(1.0), Seq(Seq(1.0))))
+  }
+
+  test("Asymmetric_Preference: joint in/out types drive directed blocks (graphobject.c:12436)") {
+    // single type, p=1, no loops -> the complete directed graph
+    val (full, _) = Generators.asymmetricPreference(spark, 10, Seq(Seq(1.0)), Seq(Seq(1.0)))
+    assert(full.directed && full.ecount() == 10L * 9)
+    // diagonal joint dist (out-type == in-type per vertex); pref only lets
+    // out-type 0 reach in-type 0 -> every edge stays inside type-0 vertices
+    val (g, types) = Generators.asymmetricPreference(spark, 80,
+      Seq(Seq(0.5, 0.0), Seq(0.0, 0.5)), Seq(Seq(0.7, 0.0), Seq(0.0, 0.0)), seed = 9L)
+    val outT = types.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = g.edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty && edges.forall { case (s, d) => outT(s) == 0 && outT(d) == 0 })
+    // no loops unless requested
+    assert(edges.forall { case (s, d) => s != d })
+    val (lp, _) = Generators.asymmetricPreference(spark, 10, Seq(Seq(1.0)), Seq(Seq(1.0)),
+      loops = true)
+    assert(lp.ecount() == 10L * 10)
+  }
 }

@@ -32,6 +32,12 @@ class GraphApiSpec extends AnyFunSuite {
     assert(GraphOps.getEid(g, 0L, 1L) == 0L) // (0,1) first in (src,dst) order
     assert(GraphOps.getEid(g, 2L, 3L) == 3L)
     assert(GraphOps.getEid(g, 3L, 0L) == -1L)
+    // undirected graph storing BOTH orientations of a pair: single and
+    // batch lookups must agree on the (deterministic) min matching eid
+    val both = LinkGraph(spark, 2, Seq((0L, 1L), (1L, 0L)), directed = false)
+    assert(GraphOps.getEid(both, 0L, 1L) == 0L)
+    assert(GraphOps.getEids(both, Seq((0L, 1L), (1L, 0L)))
+      .collect().map(_.getLong(3)).toSeq == Seq(0L, 0L))
   }
 
   test("vs.find / es.find / findByName (__init__.py:4375-4424)") {

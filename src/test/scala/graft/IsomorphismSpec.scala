@@ -135,6 +135,78 @@ class IsomorphismSpec extends AnyFunSuite {
     // symmetric-space gate is loud
     intercept[IllegalArgumentException](
       Isomorphism.canonicalPermutation(LinkGraph.full(spark, 12), maxCellPerms = 1000L))
+    // factorial overflow cannot slip the gate: a 25-vertex WL cell's 25!
+    // wraps a Long, but the saturating product still fails loudly (and
+    // fast) instead of enumerating factorially many permutations
+    intercept[IllegalArgumentException](
+      Isomorphism.canonicalPermutation(LinkGraph.full(spark, 25)))
+  }
+
+  // --- LAD API parity (round-4 verdict ask #6) ------------------------------
+  // g3 = the 3x3 lattice plus the reference's 8 extra edges
+  private def latticeExtra: LinkGraph = {
+    val base = LinkGraph.lattice(spark, Seq(3, 3)).weighted
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val extra = Seq((0L, 4L), (2L, 4L), (6L, 4L), (8L, 4L),
+      (3L, 1L), (1L, 5L), (5L, 7L), (7L, 3L))
+    LinkGraph(spark, 9, base ++ extra, directed = false)
+  }
+  private val fullDomain: Seq[Long] = Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L)
+
+  test("subisomorphic_lad: monomorphism default, induced, domains, corners (test_isomorphism.py:202-237)") {
+    val g = LinkGraph.lattice(spark, Seq(3, 3))
+    val pat = LinkGraph(spark, 4, Seq((0L, 1L), (1L, 2L), (1L, 3L)), directed = false)
+    val g3 = latticeExtra
+    assert(Isomorphism.subisomorphicLad(g, pat))
+    assert(!Isomorphism.subisomorphicLad(pat, g))
+    // induced: g3 has no induced 3x3-lattice copy, but a monomorphic one
+    assert(!Isomorphism.subisomorphicLad(g3, g, induced = true))
+    assert(Isomorphism.subisomorphicLad(g3, g, induced = false))
+    assert(Isomorphism.subisomorphicLad(g3, g))
+    assert(Isomorphism.subisomorphicLad(g3, pat, induced = true))
+    assert(Isomorphism.subisomorphicLad(g3, pat))
+    // domain-constrained: pattern center pinned to lattice center 4
+    assert(Isomorphism.subisomorphicLad(g, pat,
+      Some(Seq(Seq(4L), fullDomain, fullDomain, fullDomain))))
+    // empty domain for a pattern vertex -> unmatchable
+    assert(!Isomorphism.subisomorphicLad(g, pat,
+      Some(Seq(Seq.empty, fullDomain, fullDomain, fullDomain))))
+    // corner cases: empty pattern is vacuously contained
+    val empty = LinkGraph(spark, 0, Seq.empty, directed = false)
+    assert(Isomorphism.subisomorphicLad(g, empty))
+    assert(Isomorphism.subisomorphicLad(empty, empty))
+  }
+
+  test("get_subisomorphisms_lad: full enumeration + induced + domains (test_isomorphism.py:239-285)") {
+    import scala.math.Ordering.Implicits.seqOrdering
+    val g = LinkGraph.lattice(spark, Seq(3, 3))
+    val c4 = LinkGraph(spark, 4,
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)), directed = false)
+    val g3 = latticeExtra
+    val allSubiso = ("0143 0341 1034 1254 1430 1452 2145 2541 3014 3410 3476 " +
+      "3674 4103 4125 4301 4367 4521 4587 4763 4785 5214 5412 5478 5874 6347 " +
+      "6743 7436 7458 7634 7854 8547 8745")
+      .split(" ").toSeq.map(_.map(_.asDigit).toVector).sorted
+    assert(Isomorphism.getSubisomorphismsLad(g, c4)
+      .map(_.toVector).sorted == allSubiso)
+    assert(Isomorphism.getSubisomorphismsLad(c4, g).isEmpty)
+    // induced: only the diamond 1-3-7-5 (and its symmetries) is an INDUCED C4 in g3
+    val inducedSubiso = "1375 1573 3751 5731 7513 7315 5137 3157"
+      .split(" ").toSeq.map(_.map(_.asDigit).toVector).sorted
+    assert(Isomorphism.getSubisomorphismsLad(g3, c4, induced = true)
+      .map(_.toVector).sorted == inducedSubiso)
+    assert(Isomorphism.getSubisomorphismsLad(g3, g, induced = true).isEmpty)
+    // domains: pin the pattern's first vertex to the lattice center
+    val dom = Some(Seq(Seq(4L), fullDomain, fullDomain, fullDomain))
+    assert(Isomorphism.getSubisomorphismsLad(g, c4, dom)
+      .map(_.toVector).sorted == allSubiso.filter(_.head == 4))
+    val domEmpty = Some(Seq(Seq.empty[Long], fullDomain, fullDomain, fullDomain))
+    assert(Isomorphism.getSubisomorphismsLad(g, c4, domEmpty).isEmpty)
+    // corner cases: an empty pattern enumerates NO mappings (unlike the
+    // vacuously-true boolean face — reference parity)
+    val empty = LinkGraph(spark, 0, Seq.empty, directed = false)
+    assert(Isomorphism.getSubisomorphismsLad(g, empty).isEmpty)
+    assert(Isomorphism.getSubisomorphismsLad(empty, empty).isEmpty)
   }
 
   test("kernel gate refuses oversized graphs") {

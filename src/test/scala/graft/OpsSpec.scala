@@ -119,6 +119,12 @@ class OpsSpec extends AnyFunSuite {
       LinkGraph(spark, 2, Seq((0L, 1L), (1L, 0L)), directed = false)))
     intercept[IllegalArgumentException](GraphOps.diversity(
       LinkGraph(spark, 2, Seq((0L, 1L), (1L, 1L)), directed = false)))
+    // zero/negative weights would silently vanish from the entropy sum
+    // (log(w) -> NULL, sum skips NULLs) — gated loudly instead
+    intercept[IllegalArgumentException](GraphOps.diversity(
+      LinkGraph.weighted(spark, 3, Seq((0L, 1L, 0.0), (1L, 2L, 1.0)), directed = false)))
+    intercept[IllegalArgumentException](GraphOps.diversity(
+      LinkGraph.weighted(spark, 3, Seq((0L, 1L, -2.0), (1L, 2L, 1.0)), directed = false)))
   }
 
   test("edge multiplicity: is_loop / is_multiple / count_multiple, directed + undirected") {

@@ -273,6 +273,11 @@ class TextSpec extends AnyFunSuite {
     val t = Seq((1L, "don't split2 me, ok?")).toDF("doc_id", "text")
     val toks = t.select(TextOps.tokensBpe(col("text")).as("t")).head.getSeq[String](0)
     assert(toks == Seq("don", "'", "t", "split", "2", "me", ",", "ok", "?"))
+    // tabs / newlines / CR are whitespace, NOT punctuation tokens — a
+    // multi-line document must count the same as its space-joined form
+    val ml = Seq((1L, "a\tb\nc\r\nd e")).toDF("doc_id", "text")
+    val mt = ml.select(TextOps.tokensBpe(col("text")).as("t")).head.getSeq[String](0)
+    assert(mt == Seq("a", "b", "c", "d", "e"))
     val stats = TextOps.bpeStats(docs)
     // BPE-ish count >= whitespace token count (every split only adds tokens)
     val cmp = stats.join(TextOps.docStats(docs), "doc_id")

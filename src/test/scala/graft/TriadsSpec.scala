@@ -279,6 +279,34 @@ class TriadsSpec extends AnyFunSuite {
       Motifs.motifs4DirectedSampled(g, Seq(0.0, 0.0, 1.0, 0.0)))
   }
 
+  test("motifs3 RAND-ESU sampling: zeros == exact (both directednesses); unbiased estimate") {
+    import graft.algos.Motifs
+    val rnd = new scala.util.Random(11)
+    val n = 12
+    val dEdges = (for {
+      i <- 0 until n; j <- 0 until n if i != j && rnd.nextDouble() < 0.25
+    } yield (i.toLong, j.toLong)).toSeq
+    val gd = LinkGraph(spark, n.toLong, dEdges, directed = true)
+    val gu = LinkGraph(spark, n.toLong, dEdges, directed = false)
+    // cut_prob all zero reproduces the exact (distributed closed-form) census
+    assert(Motifs.motifs3Sampled(gd, Seq(0.0, 0.0, 0.0)).map(_.map(_.toLong)) ==
+      Motifs.motifs3(gd))
+    assert(Motifs.motifs3Sampled(gu, Seq(0.0, 0.0, 0.0)).map(_.map(_.toLong)) ==
+      Motifs.motifs3(gu))
+    // deterministic per seed
+    val s1 = Motifs.motifs3Sampled(gd, Seq(0.0, 0.3, 0.3), seed = 5L)
+    assert(s1 == Motifs.motifs3Sampled(gd, Seq(0.0, 0.3, 0.3), seed = 5L))
+    // unbiased: seed-averaged total approaches the exact count (like motifs4's)
+    val total = Motifs.motifs3Count(gd).toDouble
+    val est = (1 to 40).map(s =>
+      Motifs.motifs3Sampled(gd, Seq(0.2, 0.3, 0.2), seed = s.toLong).flatten.sum).sum / 40.0
+    assert(math.abs(est - total) / total < 0.15, s"estimate $est vs exact $total")
+    // estimate face: sampleFrac 1.0 is exact; invalid inputs fail loudly
+    assert(Motifs.motifs3Estimate(gd, 1.0) == total)
+    intercept[IllegalArgumentException](Motifs.motifs3Estimate(gd, 0.0))
+    intercept[IllegalArgumentException](Motifs.motifs3Sampled(gd, Seq(0.0, 1.0, 0.0)))
+  }
+
   test("motifs4 directed: goldens, vector shape and the kernel gate") {
     import graft.algos.Motifs
     // directed 4-cycle: exactly one connected 4-set, its own class
