@@ -502,6 +502,10 @@ object SparkEntry {
       .select(col("doc_id"), col("pred_lang"))),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.read(s, dir, "documents"))
       .select(col("doc_id"), col("fingerprint"))),
+    // exact substring dedup (Lee et al. 2022): maximal removal spans over
+    // 40-char windows shared by >=2 distinct docs
+    "q_dup_spans" -> ((s, dir) => TextOps.dupSpans(Tables.read(s, dir, "documents"), minLen = 40)
+      .select(col("doc_id"), col("span_start"), col("span_end"))),
 
     // --- similarity search (embeddings) ---
     "q_ann_brute" -> ((s, dir) => {
@@ -1070,6 +1074,26 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
       """SELECT doc_id, MIN(MD5(SUBSTR(text, CAST(i AS INTEGER), 8))) AS fingerprint
         |FROM (SELECT doc_id, text, UNNEST(RANGE(1, GREATEST(LENGTH(text) - 7, 1) + 1)) AS i FROM documents)
         |GROUP BY doc_id""".stripMargin,
+    "q_dup_spans" ->
+      // independent re-derivation: window every position, keep windows seen
+      // in >=2 distinct docs, merge overlapping marks with the cumulative-max
+      // interval trick (same algebra, DuckDB window functions)
+      """WITH win AS MATERIALIZED (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p, SUBSTR(text, CAST(p AS INTEGER), 40) AS w
+        |  FROM (SELECT doc_id, text, UNNEST(RANGE(1, LENGTH(text) - 39 + 1)) AS p
+        |        FROM documents WHERE LENGTH(text) >= 40)),
+        |dup AS (SELECT w FROM win GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+        |marks AS (SELECT doc_id, p AS s, p + 40 AS e FROM win JOIN dup USING (w)),
+        |flag AS (SELECT doc_id, s, e,
+        |  MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM marks),
+        |grp AS (SELECT doc_id, s, e,
+        |  SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM flag)
+        |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
     "q_minhash_cand" ->
       """WITH tk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
         |sh AS MATERIALIZED (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(

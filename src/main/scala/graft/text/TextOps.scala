@@ -482,4 +482,97 @@ object TextOps {
     val grams = transform(idx, i => md5(col("text").substr(i, lit(window))))
     docs.select(col("doc_id"), array_min(grams).as("fingerprint"))
   }
+
+  // ---- exact substring dedup (Lee et al. 2022, arXiv:2107.06499) -----------
+
+  /** Maximal per-document removal spans covering every length-`minLen`
+    * character window that occurs in at least `minDocs` DISTINCT documents —
+    * the exact-substring training-data dedup of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), re-expressed as a
+    * relational pipeline instead of a monolithic suffix array.
+    *
+    * Shape: positions explode as a pure Column (`sequence` + `explode`, no
+    * UDF), windows group on their content (exact — no hash false positives;
+    * at 100 TB swap the group key to a 128-bit hash of the window so only
+    * (hash, doc, pos) shuffles, never the text), duplicated windows join
+    * back, and overlapping marks merge into maximal spans with the standard
+    * cumulative-max interval trick — one window function over (doc, start),
+    * partitioned by document, so the merge never leaves the doc's partition.
+    *
+    * `winnow` > 1 thins candidate positions for the very largest corpora by
+    * winnowing (Schleimer et al. 2003 "local algorithms for document
+    * fingerprinting"): keep a position only when its window's hash is the
+    * minimum of the last `winnow` hashes. Selection is CONTENT-defined, so
+    * two documents sharing a run pick the same in-run positions regardless
+    * of alignment — any duplicated run of length >= minLen + winnow - 1 is
+    * guaranteed to be detected (a positional stride has no such guarantee:
+    * offsets differing mod stride would sample disjoint windows). A recall
+    * knob, never a false span: marks are still content-grouped exactly.
+    *
+    * Output: (doc_id, span_start, span_end) — 1-based, end-exclusive.
+    */
+  def dupSpans(docs: DataFrame, minLen: Int = 40, minDocs: Int = 2,
+               winnow: Int = 1): DataFrame = {
+    require(minLen > 0 && winnow > 0 && minDocs >= 2,
+      s"need minLen>0, winnow>0, minDocs>=2; got ($minLen, $winnow, $minDocs)")
+    val all = docs
+      .where(length(col("text")) >= minLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (minLen - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"), col("text").substr(col("p"), lit(minLen)).as("w"))
+    val win = if (winnow <= 1) all else {
+      val recent = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p").rowsBetween(-(winnow - 1), 0)
+      all.withColumn("h", xxhash64(col("w")))
+        .withColumn("hmin", min("h").over(recent))
+        .where(col("h") === col("hmin"))
+        .select("doc_id", "p", "w")
+    }
+    val dup = win.groupBy("w").agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= minDocs).select("w")
+    val marks = win.join(dup, Seq("w"))
+      .select(col("doc_id"), col("p").cast("long").as("s"),
+        (col("p") + minLen).cast("long").as("e"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("s", "e")
+    marks
+      .withColumn("pmax", max("e").over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("fresh", when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+      .withColumn("g", sum("fresh").over(byDoc))
+      .groupBy("doc_id", "g")
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Apply [[dupSpans]]: cut every span out of its document and stitch the
+    * remainder — returns every input doc with its `clean` text (docs with no
+    * span pass through unchanged). The stitch is a higher-order `aggregate`
+    * over the doc's sorted spans (pure Column; per-doc work only), after one
+    * shuffle grouping the spans onto their doc.
+    */
+  def removeDupSpans(docs: DataFrame, minLen: Int = 40, minDocs: Int = 2,
+                     winnow: Int = 1): DataFrame = {
+    val spans = dupSpans(docs, minLen, minDocs, winnow)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e")))).as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(
+          // fold spans left->right: acc = (next copy starts at pos, kept text)
+          concat(
+            aggregate(col("spans"),
+              struct(lit(1L).as("pos"), lit("").as("kept")),
+              (acc, sp) => struct(
+                sp.getField("e").as("pos"),
+                concat(acc.getField("kept"),
+                  col("text").substr(acc.getField("pos"),
+                    sp.getField("s") - acc.getField("pos"))).as("kept")),
+              acc => acc.getField("kept")),
+            col("text").substr(
+              element_at(col("spans"), -1).getField("e"),
+              length(col("text")).cast("long")))).as("clean"))
+  }
 }

@@ -285,4 +285,74 @@ class TextSpec extends AnyFunSuite {
     assert(cmp.isEmpty)
     assert(stats.where(col("n_bpe_distinct") > col("n_bpe")).isEmpty)
   }
+
+  /** Brute-force reference for [[TextOps.dupSpans]]: mark every position whose
+    * minLen-window occurs in >= minDocs distinct docs, merge overlapping
+    * marks. 1-based end-exclusive, like the operator.
+    */
+  private def bruteSpans(texts: Map[Long, String], minLen: Int,
+                         minDocs: Int = 2): Map[Long, Seq[(Long, Long)]] = {
+    val occ = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, t) <- texts; p <- 0 to t.length - minLen)
+      occ.getOrElseUpdate(t.substring(p, p + minLen), scala.collection.mutable.Set.empty) += id
+    val dup = occ.collect { case (w, ids) if ids.size >= minDocs => w }.toSet
+    texts.map { case (id, t) =>
+      val marks = (0 to t.length - minLen)
+        .filter(p => dup(t.substring(p, p + minLen)))
+        .map(p => (p + 1L, p + 1L + minLen)) // 1-based, end-exclusive
+      val merged = marks.foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: rest, (s, e)) if s <= e0 => (s0, math.max(e0, e)) :: rest
+        case (acc, sp) => sp :: acc
+      }.reverse
+      id -> merged
+    }
+  }
+
+  test("dupSpans == brute reference on the real corpus; removeDupSpans stitches exactly") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = bruteSpans(texts, minLen = 40).filter(_._2.nonEmpty)
+    val got = TextOps.dupSpans(docs, minLen = 40).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+      }
+    assert(got == expected, "span sets differ from the brute-force reference")
+    // sanity on shape: every span >= minLen and spans are separated by a gap
+    got.values.flatten.foreach { case (s, e) => assert(e - s >= 40 && s >= 1) }
+    got.values.foreach { sp =>
+      sp.sliding(2).foreach { case Seq((_, e0), (s1, _)) => assert(s1 > e0); case _ => }
+    }
+    // stitch parity: cutting the reference spans by hand == removeDupSpans
+    val cleaned = TextOps.removeDupSpans(docs, minLen = 40).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      val spans = expected.getOrElse(id, Seq.empty)
+      val kept = new StringBuilder
+      var pos = 1L
+      spans.foreach { case (s, e) => kept ++= t.substring(pos.toInt - 1, s.toInt - 1); pos = e }
+      kept ++= t.substring(math.min(pos.toInt - 1, t.length))
+      assert(cleaned(id) == kept.toString, s"stitch mismatch for doc $id")
+    }
+  }
+
+  test("dupSpans winnowing catches misaligned shared runs >= minLen + winnow - 1") {
+    // offsets 4 and 8: a positional stride would sample disjoint window sets;
+    // winnowing is content-defined, so both docs select the same in-run
+    // positions and the duplicate is guaranteed (run >> 40 + 8 - 1)
+    val shared = ("x" * 30) + "the quick brown fox jumps over the lazy dog " * 2
+    val a = s"AAA $shared BBB"
+    val b = s"CCCCCCC $shared DDD"
+    val two = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val w = 8
+    val spans = TextOps.dupSpans(two, minLen = 40, winnow = w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.exists(_._1 == 1L) && spans.exists(_._1 == 2L))
+    // in-run selected positions are <= w apart and each mark is 40 long, so
+    // the run interior merges into one span of length >= L - 2(w-1)
+    Seq(1L, 2L).foreach { id =>
+      val longest = spans.filter(_._1 == id).map(sp => sp._3 - sp._2).max
+      assert(longest >= shared.length - 2 * (w - 1), s"doc $id span too short: $longest")
+    }
+  }
 }
