@@ -4,7 +4,7 @@ import graft.algos._
 import graft.core._
 import graft.data.Tables
 import graft.ingest.Pages
-import graft.sim.Ann
+import graft.sim.{Ann, KMeans}
 import graft.text.{TextOps, WebOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -454,6 +454,19 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => TextOps.bm25(Tables.read(s, dir, "documents"),
       Seq("the", "data", "graph"))
       .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))),
+    // corpus-unigram LM quality proxy (CCNet-style perplexity scoring)
+    "q_unigram_lm" -> ((s, dir) =>
+      TextOps.unigramLogProb(Tables.read(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("logprob"), col("ppl"))),
+    // DSIR importance weights; target = every 50th doc (same split as
+    // q_decontaminate), raw = the rest; 256 md5 feature buckets
+    "q_dsir" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      TextOps.dsirWeights(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), buckets = 256)
+        .select(col("doc_id"), col("n_feats"), col("logweight"))
+    }),
     "q_gopher" -> ((s, dir) => TextOps.gopherStats(Tables.read(s, dir, "documents"))
       .select(col("doc_id"), col("word_count").cast("long").as("word_count"),
         col("mean_word_len"), col("alpha_word_frac"),
@@ -527,6 +540,15 @@ object SparkEntry {
     "q_embed_dedup_lsh" -> ((s, dir) =>
       Ann.dedupByEmbedding(Tables.read(s, dir, "embeddings"), 0.45,
         exact = false, nBits = 4, tables = 4)
+        .select(col("vec_id"), col("cluster"), col("keep").cast("long").as("keep"))),
+    // Lloyd's k-means, deterministic seed (4 smallest vec_ids), 3 fixed
+    // assignment rounds — the DuckDB oracle unrolls the identical math
+    "q_kmeans" -> ((s, dir) =>
+      KMeans.assign(Tables.read(s, dir, "embeddings"), k = 4, iters = 3)
+        .select(col("vec_id"), col("cluster"))),
+    // SemDeDup: cluster-local semantic near-dup drop (cos >= 0.45, keep-min)
+    "q_semdedup" -> ((s, dir) =>
+      KMeans.semDedup(Tables.read(s, dir, "embeddings"), k = 4, iters = 2, tau = 0.45)
         .select(col("vec_id"), col("cluster"), col("keep").cast("long").as("keep"))),
 
     // --- ingest pipeline (synthetic pages; deterministic, dir-independent) ---
@@ -1169,6 +1191,36 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |FROM tf JOIN dlen ON dlen.doc_id = tf.doc_id
         |JOIN df ON df.term = tf.term CROSS JOIN nn CROSS JOIN avgdl
         |GROUP BY tf.doc_id""".stripMargin,
+    // add-1-smoothed corpus unigram LM: p(w) = (c+1)/(total+V)
+    "q_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        |tv AS (SELECT COUNT(*) AS total, COUNT(DISTINCT w) AS v FROM toks)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(AVG(LN((c + 1.0) / (total + 1.0 * v))), 6) AS logprob,
+        |  ROUND(EXP(-AVG(LN((c + 1.0) / (total + 1.0 * v)))), 6) AS ppl
+        |FROM toks t JOIN cnt ON cnt.w = t.w CROSS JOIN tv
+        |GROUP BY t.doc_id""".stripMargin,
+    // DSIR: unigram+bigram features -> 256 md5 buckets; add-1 smoothing on
+    // both distributions; logweight = sum ln(p_target/p_raw) per raw doc
+    "q_dsir" ->
+      """WITH sp AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |fe AS (SELECT doc_id,
+        |    ('0x' || SUBSTR(MD5(g), 1, 6))::BIGINT % 256 AS b
+        |  FROM (SELECT doc_id, UNNEST(tk || LIST_TRANSFORM(RANGE(1, LEN(tk)),
+        |      i -> ARRAY_TO_STRING(tk[i:i+1], ' '))) AS g FROM sp)),
+        |tfe AS (SELECT * FROM fe WHERE doc_id % 50 = 0),
+        |rfe AS (SELECT * FROM fe WHERE doc_id % 50 <> 0),
+        |tc AS (SELECT b, COUNT(*) AS ct FROM tfe GROUP BY b),
+        |rc AS (SELECT b, COUNT(*) AS cr FROM rfe GROUP BY b),
+        |tt AS (SELECT COUNT(*) AS tot FROM tfe),
+        |rt AS (SELECT COUNT(*) AS tot FROM rfe),
+        |lr AS (SELECT rc.b,
+        |    LN((COALESCE(ct, 0) + 1.0) / (tt.tot + 256.0))
+        |      - LN((cr + 1.0) / (rt.tot + 256.0)) AS lr
+        |  FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tt CROSS JOIN rt)
+        |SELECT f.doc_id, COUNT(*) AS n_feats, ROUND(SUM(lr), 6) AS logweight
+        |FROM rfe f JOIN lr ON lr.b = f.b GROUP BY f.doc_id""".stripMargin,
     "q_gopher" -> (s"WITH $gopherCteSql\n" +
       """SELECT doc_id, word_count, mean_word_len, alpha_word_frac, stopword_hits,
         |  dup_word_frac, dup_2gram_frac, dup_3gram_frac, top_2gram_char_frac,
@@ -1930,6 +1982,55 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |  UNION SELECT r.a, ue.b FROM reach r JOIN ue ON ue.a = r.b)
         |SELECT a AS vec_id, MIN(b) AS cluster,
         |  CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM reach GROUP BY a""".stripMargin
+        |FROM reach GROUP BY a""".stripMargin,
+    // Lloyd's k-means, the SAME fixed-round unrolled math as KMeans.assign
+    "q_kmeans" ->
+      (kmeansSql(4, 3) + "\nSELECT vec_id, cid AS cluster FROM a3"),
+    // SemDeDup: k-means (2 rounds) then cluster-local cosine>=0.45 keep-min
+    "q_semdedup" ->
+      (kmeansSql(4, 2) +
+        """,
+          |norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id),
+          |cp AS (SELECT p.vec_id AS a, q.vec_id AS b, SUM(p.x * q.x) AS dot
+          |  FROM ex p JOIN ex q ON p.i = q.i AND p.vec_id < q.vec_id
+          |  JOIN a2 ca ON ca.vec_id = p.vec_id
+          |  JOIN a2 cb ON cb.vec_id = q.vec_id AND cb.cid = ca.cid
+          |  GROUP BY 1, 2),
+          |drops AS (SELECT DISTINCT cp.b FROM cp
+          |  JOIN norms na ON na.vec_id = cp.a JOIN norms nb ON nb.vec_id = cp.b
+          |  WHERE cp.dot / (na.nrm * nb.nrm) >= 0.45)
+          |SELECT e.vec_id, a.cid AS cluster,
+          |  CAST(CASE WHEN d.b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM embeddings e JOIN a2 a ON a.vec_id = e.vec_id
+          |LEFT JOIN drops d ON d.b = e.vec_id""".stripMargin)
   )
+
+  /** Unrolled Lloyd's k-means as a DuckDB CTE chain: `ex` (exploded
+    * embeddings), `seeds`/`c0` (the k smallest vec_ids as centroids),
+    * then per round t: `dt` (squared distances), `at` (argmin assignment,
+    * ties to smallest cid), `ct` (mean update — skipped after the last
+    * round). Mirrors [[graft.sim.KMeans.assign]] term for term.
+    */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ex AS MATERIALIZED (SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+         |    GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings),
+         |seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |c0 AS (SELECT s.cid, e.i, e.x AS cx FROM ex e JOIN seeds s ON s.vec_id = e.vec_id)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(
+        s""",
+           |d$t AS (SELECT e.vec_id, c.cid, SUM((e.x - c.cx) * (e.x - c.cx)) AS d2
+           |  FROM ex e JOIN c${t - 1} c ON c.i = e.i GROUP BY 1, 2),
+           |a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d$t) WHERE rn = 1)""".stripMargin)
+      if (t < iters) sb.append(
+        s""",
+           |c$t AS (SELECT a.cid, e.i, AVG(e.x) AS cx
+           |  FROM ex e JOIN a$t a ON a.vec_id = e.vec_id GROUP BY 1, 2)""".stripMargin)
+    }
+    sb.toString
+  }
 }

@@ -268,6 +268,42 @@ object Isomorphism {
     perm.toSeq
   }
 
+  /** `isomorphic_bliss` (`graphobject.c:15157`): isomorphism decision via
+    * canonical forms, the BLISS approach (Junttila & Kaski 2007) — permute
+    * both graphs to their canonical labelings and compare adjacency codes.
+    * The reference's `sh1`/`sh2` splitting heuristics only steer search
+    * order, never the decision, so they have no counterpart here. Colors
+    * use the VF2 family's absolute-equality semantics (a color-1 vertex can
+    * only map to a color-1 vertex of the OTHER graph), hence the shared
+    * rank over the union below. Agrees with [[isomorphicVf2]] by
+    * construction; cross-checked in the spec.
+    */
+  def isomorphicBliss(g1: LinkGraph, g2: LinkGraph,
+                      color1: Option[Seq[Int]] = None,
+                      color2: Option[Seq[Int]] = None,
+                      maxCellPerms: Long = 1000000L): Boolean = {
+    val a = collect(g1, color1)
+    val b = collect(g2, color2)
+    if (a.n != b.n || a.directed != b.directed) return false
+    // shared dense rank across BOTH graphs' colors: per-graph ranking would
+    // erase absolute color mismatches (g1 colors {1,2} vs g2 {1,3})
+    val rank = (a.color ++ b.color).distinct.sorted.zipWithIndex.toMap
+    val ca = a.color.map(rank).toSeq
+    val cb = b.color.map(rank).toSeq
+    if (ca.sorted != cb.sorted) return false
+    val p1 = canonicalPermutation(g1, Some(ca), maxCellPerms)
+    val p2 = canonicalPermutation(g2, Some(cb), maxCellPerms)
+    def canonEdges(c: LocalG, p: Seq[Int]): Set[(Int, Int)] =
+      (0 until c.n).flatMap(v => c.out(v).map(u => (p(v), p(u)))).toSet
+    def canonColors(c: LocalG, cc: Seq[Int], p: Seq[Int]): Seq[Int] = {
+      val arr = new Array[Int](c.n)
+      (0 until c.n).foreach(v => arr(p(v)) = cc(v))
+      arr.toSeq
+    }
+    canonEdges(a, p1) == canonEdges(b, p2) &&
+      canonColors(a, ca, p1) == canonColors(b, cb, p2)
+  }
+
   /** `get_isomorphisms_vf2` (`graphobject.c:15193`): EVERY isomorphism
     * g1 -> g2 as a mapping array (g1 position i maps to g2 position m(i));
     * same graph twice reproduces [[getAutomorphisms]], reference parity.

@@ -47,9 +47,12 @@ object Louvain {
     val kv = e.select(col("src").as("id"), col("weight"))
       .union(e.select(col("dst").as("id"), col("weight")))
       .groupBy("id").agg(sum("weight").as("k"))
-    val kvAll = g.vertices.join(kv, Seq("id"), "left")
-      .select(col("id"), coalesce(col("k"), lit(0.0)).as("k"))
-      .transform(Lineage.cut)
+    // soft cut (persist+count): the cached InMemoryRelation carries REAL
+    // size stats, so when this level's vertex set is small Catalyst
+    // broadcasts it into every sweep join statically — a hard cut resets
+    // stats to the default leaf estimate and forces a shuffle per join
+    val kvAll = Lineage.soft(g.vertices.join(kv, Seq("id"), "left")
+      .select(col("id"), coalesce(col("k"), lit(0.0)).as("k")))
     val nb = e.where(col("src") =!= col("dst"))
       .select(col("src").as("v"), col("dst").as("nbr"), col("weight").as("w"))
       .union(e.where(col("src") =!= col("dst"))
@@ -57,7 +60,7 @@ object Louvain {
       .repartition(col("v")).persist()
     nb.count()
 
-    var memb = g.vertices.select(col("id"), col("id").as("label")).transform(Lineage.cut)
+    var memb = Lineage.cutAdaptive(g.vertices.select(col("id"), col("id").as("label")))
     var lastMoves = 1L
     var moves = 1L
     var sweep = 0
@@ -98,17 +101,22 @@ object Louvain {
         else pmod(xxhash64(lit(42L), lit(sweep), col("id")), lit(2L)) === 0L
       // old label rides as a column so the convergence count below is a
       // scan of the checkpointed frame, not a shuffle join per sweep
-      val next = base.join(best, Seq("id"), "left")
+      val plan = base.join(best, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           when(mayMove && col("gain").isNotNull && col("gain") > col("stay_gain") + minGain,
             col("clabel")).otherwise(col("label")).as("label"))
-        .transform(Lineage.cut)
+      // adaptive hard cut: the superstep barrier truncates the plan every
+      // sweep (memb appears twice above, so any lineage-keeping scheme
+      // doubles the plan per sweep); tiny contracted levels come back as a
+      // LocalRelation whose real stats broadcast into both sweep joins
+      val next = Lineage.cutAdaptive(plan)
       lastMoves = moves
       if (fixedSweeps.isEmpty)
         moves = next.where(col("label") =!= col("old")).count()
       memb = next.select("id", "label")
       sweep += 1
     }
+    kvAll.unpersist()
     nb.unpersist()
     e.unpersist()
     memb

@@ -88,14 +88,44 @@ object Lineage {
 
   /** Cheap materialization without plan truncation: persist + count. The
     * cached InMemoryRelation carries REAL size stats (no estimate
-    * compounding) and downstream iterations reuse the cache, so a loop can
-    * soft-cut most supersteps and hard-[[cut]] every ~8th to bound logical
-    * plan depth — saving the Row<->InternalRow round-trip of the hard cut.
+    * compounding), so joins against it broadcast when it is genuinely
+    * small. ONLY for state computed once and reused (a loop that soft-cuts
+    * its per-iteration state keeps full lineage: a state referenced twice
+    * per step doubles the logical plan every iteration, and analysis /
+    * cache-canonicalization cost grows exponentially — observed as an
+    * effective hang by sweep ~12).
     */
   def soft(df: DataFrame): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df.count()
     df
+  }
+
+  /** Hard [[cut]] that collapses provably tiny state to a driver-local
+    * relation. The superstep state is materialized exactly as in [[cut]];
+    * if its schema-estimated size is at most `maxLocalBytes` (default 4 MB,
+    * under the 10 MB autoBroadcastJoinThreshold) the rows are pulled to the
+    * driver and re-emitted as a LocalRelation, whose REAL tiny stats make
+    * every downstream join a static broadcast-hash-join — no exchange on
+    * either side when the other side is cached. Otherwise this IS [[cut]].
+    *
+    * The scale posture mirrors AQE's broadcast decision, applied to
+    * iterative state: at web scale a level-0 membership is GBs and takes
+    * the distributed branch every sweep; once a community graph contracts
+    * below ~200k vertices the per-sweep state is KBs and the driver-local
+    * barrier removes all shuffle latency from the tail levels.
+    */
+  def cutAdaptive(df: DataFrame, maxLocalBytes: Long = 4L << 20): DataFrame = {
+    val spark = df.sparkSession
+    val rowBytes = df.schema.map(_.dataType.defaultSize).sum.max(1)
+    val maxRows = maxLocalBytes / rowBytes
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    val n = rdd.count() // materialize eagerly (superstep barrier)
+    if (n <= maxRows) {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rdd.collect().toSeq.asJava, df.schema)
+    } else spark.createDataFrame(rdd, df.schema)
   }
 }
 

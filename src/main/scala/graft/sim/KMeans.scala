@@ -1,0 +1,99 @@
+package graft.sim
+
+import graft.core.Lineage
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over an embedding table and SemDeDup-style semantic
+  * deduplication built on it (Abbas et al. 2023, "SemDeDup: Data-efficient
+  * learning at web-scale through semantic deduplication" — cluster first so
+  * the quadratic near-dup scan runs within small clusters, never all-pairs).
+  *
+  * Everything is deterministic and oracle-friendly:
+  *   - init = the k smallest vec_ids, cluster ids 0..k-1 in that order;
+  *   - a FIXED number of assignment rounds (no convergence test), so the
+  *     DuckDB oracle unrolls the exact same math iteration by iteration;
+  *   - argmin ties break to the smallest cluster id.
+  *
+  * Scale shape: the embedding table is exploded once to (vec_id, dim, x)
+  * rows — assignment is a join against the k·d centroid rows (broadcast:
+  * k·d is tiny by construction at any corpus size) followed by a
+  * (vec_id, cid) hash aggregate with map-side partial combine; the centroid
+  * update is a (cid, dim) aggregate that reduces N·d rows to k·d with
+  * map-side combine. No step materializes anything larger than the
+  * exploded input, and nothing is quadratic in N.
+  */
+object KMeans {
+
+  /** Exploded (vec_id, i, x) view of (vec_id, embedding). */
+  private def exploded(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("x"))
+
+  /** Final cluster assignment (vec_id, cluster) after `iters` rounds of
+    * Lloyd's algorithm: assign-then-update `iters - 1` times, then one last
+    * assignment against the final centroids.
+    */
+  def assign(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"kmeans: need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    val ex = Lineage.soft(exploded(vectors))
+    // deterministic seed: the k smallest vec_ids, cid in vec_id order
+    val w = Window.orderBy("vec_id")
+    val seeds = vectors.select(col("vec_id")).orderBy("vec_id").limit(k)
+      .select(col("vec_id"), (row_number().over(w) - 1).cast("long").as("cid"))
+    // hard-cut the iterating state (centroids are k*d rows -> LocalRelation;
+    // assignments are N rows -> distributed cut): keeps each round's plan
+    // constant-size instead of doubling per round
+    var cent = Lineage.cutAdaptive(ex.join(seeds, Seq("vec_id"))
+      .select(col("cid"), col("i"), col("x").as("cx")))
+
+    def assignTo(c: DataFrame): DataFrame = {
+      val d = ex.join(broadcast(c), Seq("i"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+      d.groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("b.cid").as("cluster"))
+    }
+
+    var asg: DataFrame = null
+    var t = 0
+    while (t < iters) {
+      asg = Lineage.cutAdaptive(assignTo(cent))
+      if (t < iters - 1)
+        cent = Lineage.cutAdaptive(
+          ex.join(asg.select(col("vec_id"), col("cluster").as("cid")), Seq("vec_id"))
+            .groupBy("cid", "i").agg(avg("x").as("cx")))
+      t += 1
+    }
+    val out = asg.select(col("vec_id"), col("cluster"))
+    ex.unpersist()
+    out
+  }
+
+  /** SemDeDup: k-means cluster, then inside each cluster drop every vector
+    * that has a semantically-near twin (cosine >= tau) with a SMALLER
+    * vec_id — the same greedy keep-min convention as the exact/MinHash
+    * dedup family. Returns every input row as (vec_id, cluster, keep).
+    *
+    * The pairwise scan is cluster-local: cost is sum over clusters of
+    * |c|^2, the SemDeDup trade — k controls the quadratic term, and the
+    * self-join key is the cluster id, so it is one shuffle at N rows.
+    */
+  def semDedup(vectors: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    val asg = assign(vectors, k, iters)
+    val v = vectors.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .join(asg, Seq("vec_id"))
+    val a = v.select(col("cluster"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
+    val b = v.select(col("cluster"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
+    val drops = a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .where(Ann.cosine(col("a_emb"), col("b_emb")) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    v.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        not(coalesce(col("dropped"), lit(false))).as("keep"))
+  }
+}

@@ -575,4 +575,81 @@ object TextOps {
               element_at(col("spans"), -1).getField("e"),
               length(col("text")).cast("long")))).as("clean"))
   }
+
+  /** Non-distinct n-grams of a text column, occurrence order preserved
+    * (unlike [[shingles]], which deduplicates for set semantics — LM
+    * feature counting needs every occurrence).
+    */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+  }
+
+  /** Corpus-unigram language-model score per document — the CCNet-style
+    * quality proxy (Wenzek et al. 2020 score docs by LM perplexity; here
+    * the LM is the corpus's own add-alpha-smoothed unigram model, so the
+    * whole thing stays inside the engine and the oracle). For token w:
+    * p(w) = (count(w) + alpha) / (total + alpha * |V|); per doc we report
+    * mean log p and the perplexity exp(-mean). Low-perplexity docs look
+    * like the corpus average; high perplexity flags outliers/noise.
+    *
+    * Scale shape: one explode, one vocab hash-aggregate (map-side combine;
+    * vocab is Zipf-bounded far below corpus size), one hash join token->
+    * vocab, one per-doc aggregate. Nothing quadratic; the totals are a
+    * single tiny agg.
+    */
+  def unigramLogProb(docs: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val Array(total, v) = toks.agg(count(lit(1)), countDistinct(col("w")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val logp = log((col("c") + alpha) / (total + alpha * v))
+    toks.join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(logp), 6).as("logprob"),
+        round(exp(-avg(logp)), 6).as("ppl"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score each raw document by how much
+    * more likely its hashed n-gram features are under the TARGET
+    * distribution than under the raw-corpus distribution —
+    * log w(doc) = sum over feature instances of [ln p_target(b) − ln
+    * p_raw(b)], with features = unigrams + bigrams hashed into `buckets`
+    * bins (md5-derived so the DuckDB oracle reproduces the bucketing
+    * bit-for-bit) and add-alpha smoothing on both distributions. High-weight
+    * docs are the ones importance resampling would keep.
+    *
+    * Scale shape: the two distributions are hash aggregates down to at most
+    * `buckets` rows; the per-doc scoring joins the exploded features
+    * against that broadcast-sized ratio table and aggregates per doc — one
+    * explode + three aggregates, no step larger than the feature stream.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
+                  alpha: Double = 1.0): DataFrame = {
+    require(buckets >= 2, s"dsir: need buckets >= 2, got $buckets")
+    def feats(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        explode(concat(ngramsAll(col("text"), 1), ngramsAll(col("text"), 2))).as("g"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    val tFeats = feats(target)
+    val rFeats = feats(raw)
+    val tCounts = tFeats.groupBy("b").agg(count(lit(1)).as("ct"))
+    val rCounts = rFeats.groupBy("b").agg(count(lit(1)).as("cr"))
+    val totT = tFeats.count().toDouble
+    val totR = rFeats.count().toDouble
+    // every bucket raw features touch appears in rCounts, so the left join
+    // only needs smoothing on the target side
+    val ratio = rCounts.join(tCounts, Seq("b"), "left")
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + alpha) / (totT + alpha * buckets))
+          - log((col("cr") + alpha) / (totR + alpha * buckets))).as("lr"))
+    rFeats.join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), round(sum(col("lr")), 6).as("logweight"))
+  }
 }

@@ -39,6 +39,44 @@ class IsomorphismSpec extends AnyFunSuite {
       Some(Seq(0, 1, 0, 1, 0, 1, 0, 1)), Some(Seq(0, 0, 1, 1, 0, 1, 1, 0))))
   }
 
+  test("isomorphic_bliss: canonical-form decision incl. colors (test_isomorphism.py:61-100)") {
+    assert(Isomorphism.isomorphicBliss(g1, g2))
+    assert(Isomorphism.isomorphicBliss(g1, g1))
+    // color goldens from the reference bliss block
+    assert(Isomorphism.isomorphicBliss(g1, g2,
+      Some(Seq.fill(8)(0)), Some(Seq.fill(8)(0))))
+    assert(Isomorphism.isomorphicBliss(g1, g2,
+      Some(Seq(1, 0, 2, 0, 0, 0, 0, 0)), Some(Seq(1, 0, 2, 0, 0, 0, 0, 0))))
+    assert(Isomorphism.isomorphicBliss(g1, g2,
+      Some(Seq(0, 1, 0, 1, 0, 1, 0, 1)), Some(Seq(0, 0, 1, 1, 0, 0, 1, 1))))
+    // the VF2 negative color case must be negative here too
+    assert(!Isomorphism.isomorphicBliss(g1, g2,
+      Some(Seq(0, 1, 0, 1, 0, 1, 0, 1)), Some(Seq(0, 0, 1, 1, 0, 1, 1, 0))))
+    // absolute color semantics: same structure, colors {1,2} vs {1,3}
+    assert(!Isomorphism.isomorphicBliss(g1, g1,
+      Some(Seq(1, 2, 1, 2, 1, 2, 1, 2)), Some(Seq(1, 3, 1, 3, 1, 3, 1, 3))))
+    // WL-equivalent non-isomorphic pair
+    val c6 = LinkGraph.ring(spark, 6)
+    val c33 = LinkGraph(spark, 6,
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L)), directed = false)
+    assert(!Isomorphism.isomorphicBliss(c6, c33))
+    // random relabeled pairs: bliss agrees with VF2
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 5) {
+      val n = 8
+      val edges = (for {
+        i <- 0 until n; j <- i + 1 until n if rnd.nextDouble() < 0.4
+      } yield (i.toLong, j.toLong)).toSeq
+      val g = LinkGraph(spark, n, edges, directed = false)
+      val relab = rnd.shuffle((0 until n).toList)
+      val h = LinkGraph(spark, n,
+        edges.map { case (a, b) => (relab(a.toInt).toLong, relab(b.toInt).toLong) },
+        directed = false)
+      assert(Isomorphism.isomorphicBliss(g, h) == Isomorphism.isomorphicVf2(g, h))
+      assert(Isomorphism.isomorphicBliss(g, h))
+    }
+  }
+
   test("count/get automorphisms (test_isomorphism.py:153-199)") {
     assert(Isomorphism.countAutomorphisms(LinkGraph.full(spark, 4)) == 24L)
     val ladder = LinkGraph(spark, 6,

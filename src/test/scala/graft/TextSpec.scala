@@ -355,4 +355,52 @@ class TextSpec extends AnyFunSuite {
       assert(longest >= shared.length - 2 * (w - 1), s"doc $id span too short: $longest")
     }
   }
+
+  test("unigram LM: brute-force parity; corpus-average docs score above outliers") {
+    val four = Seq(
+      (1L, "a a a b"), (2L, "a b a b"), (3L, "a a b b"),
+      (4L, "z q w v")).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(four).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // corpus: a=7, b=5, z=q=w=v=1, total=16, V=6; p(w)=(c+1)/22
+    def lp(cs: Seq[Int]) = cs.map(c => math.log((c + 1.0) / 22.0)).sum / cs.size
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got(1L)._1 == 4L)
+    assert(got(1L)._2 == r6(lp(Seq(7, 7, 7, 5))))
+    assert(got(4L)._2 == r6(lp(Seq(1, 1, 1, 1))))
+    assert(got(4L)._3 == r6(math.exp(-lp(Seq(1, 1, 1, 1)))))
+    // the all-rare doc has strictly higher perplexity than the common docs
+    assert(got(4L)._3 > got(1L)._3 && got(4L)._3 > got(2L)._3)
+  }
+
+  test("DSIR weights: target-like docs outweigh off-target docs; brute parity") {
+    // target talks about "alpha beta"; raw doc 1 matches it, doc 2 doesn't
+    val target = Seq((100L, "alpha beta alpha beta alpha")).toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta alpha"), (2L, "zeta eta theta")).toDF("doc_id", "text")
+    val B = 64
+    val got = TextOps.dsirWeights(raw, target, buckets = B).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // features: unigrams + bigrams, every occurrence
+    def feats(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      w ++ w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    def bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    val tb = target.collect().flatMap(r => feats(r.getString(1))).map(bucket)
+    val rb = raw.collect().flatMap(r => feats(r.getString(1))).map(bucket)
+    val (tt, rt) = (tb.length.toDouble, rb.length.toDouble)
+    def lw(t: String): Double = feats(t).map(bucket).map { b =>
+      math.log((tb.count(_ == b) + 1.0) / (tt + B)) -
+        math.log((rb.count(_ == b) + 1.0) / (rt + B))
+    }.sum
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got(1L)._1 == 5L) // 3 unigrams + 2 bigrams
+    assert(got(1L)._2 == r6(lw("alpha beta alpha")))
+    assert(got(2L)._2 == r6(lw("zeta eta theta")))
+    assert(got(1L)._2 > got(2L)._2, "on-target doc must outweigh off-target doc")
+  }
 }
