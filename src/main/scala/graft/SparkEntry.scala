@@ -4,7 +4,7 @@ import graft.algos._
 import graft.core._
 import graft.data.Tables
 import graft.ingest.Pages
-import graft.sim.{Ann, KMeans}
+import graft.sim.{Ann, KMeans, Pq}
 import graft.text.{TextOps, WebOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -550,6 +550,14 @@ object SparkEntry {
     "q_semdedup" -> ((s, dir) =>
       KMeans.semDedup(Tables.read(s, dir, "embeddings"), k = 4, iters = 2, tau = 0.45)
         .select(col("vec_id"), col("cluster"), col("keep").cast("long").as("keep"))),
+    // product quantization ADC top-5 (m=2 subspaces, k=4 codewords,
+    // 2 Lloyd rounds); queries = the 3 smallest vec_ids, exact-side
+    "q_pq" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Pq.adcTopK(emb, emb.orderBy("vec_id").limit(3), m = 2, k = 4, iters = 2, topK = 5)
+        .select(col("query_id"), col("neighbor_id"), col("adc"),
+          col("rank").cast("long").as("rank"))
+    }),
 
     // --- ingest pipeline (synthetic pages; deterministic, dir-independent) ---
     // arithmetic-link corpus: the full html -> extract -> link-parse ->
@@ -2002,7 +2010,34 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
           |SELECT e.vec_id, a.cid AS cluster,
           |  CAST(CASE WHEN d.b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
           |FROM embeddings e JOIN a2 a ON a.vec_id = e.vec_id
-          |LEFT JOIN drops d ON d.b = e.vec_id""".stripMargin)
+          |LEFT JOIN drops d ON d.b = e.vec_id""".stripMargin),
+    // product quantization: two per-subspace k-means chains (prefixes s0/s1
+    // over embedding[1:32]/[33:64]), codebook = round-1 centroids, codes =
+    // round-2 assignments, ADC = summed per-subspace squared distances
+    "q_pq" ->
+      ("WITH " + kmeansSql(4, 2, "embedding[1:32]", "s0") + ",\n" +
+        kmeansSql(4, 2, "embedding[33:64]", "s1") +
+        """,
+          |codes AS (SELECT vec_id, 0 AS sub, cid AS code FROM s0a2
+          |  UNION ALL SELECT vec_id, 1, cid FROM s1a2),
+          |cb AS (SELECT 0 AS sub, cid, i, cx FROM s0c1
+          |  UNION ALL SELECT 1, cid, i, cx FROM s1c1),
+          |q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 3),
+          |qx AS (SELECT e.vec_id AS query_id, CAST((e.i - 1) // 32 AS INT) AS sub,
+          |    ((e.i - 1) % 32) + 1 AS i, e.x
+          |  FROM (SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+          |      GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings) e
+          |  JOIN q ON q.query_id = e.vec_id),
+          |dist AS (SELECT qx.query_id, cb.sub, cb.cid,
+          |    SUM((qx.x - cb.cx) * (qx.x - cb.cx)) AS d2
+          |  FROM qx JOIN cb ON cb.sub = qx.sub AND cb.i = qx.i GROUP BY 1, 2, 3),
+          |adc AS (SELECT d.query_id, c.vec_id AS neighbor_id, SUM(d.d2) AS adc
+          |  FROM codes c JOIN dist d ON d.sub = c.sub AND d.cid = c.code
+          |  WHERE c.vec_id <> d.query_id GROUP BY 1, 2)
+          |SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc, CAST(rank AS BIGINT) AS rank
+          |FROM (SELECT query_id, neighbor_id, adc,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+          |  FROM adc) WHERE rank <= 5""".stripMargin)
   )
 
   /** Unrolled Lloyd's k-means as a DuckDB CTE chain: `ex` (exploded
@@ -2010,27 +2045,31 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
     * then per round t: `dt` (squared distances), `at` (argmin assignment,
     * ties to smallest cid), `ct` (mean update — skipped after the last
     * round). Mirrors [[graft.sim.KMeans.assign]] term for term.
+    * `src` selects the (sub)vector to cluster (a slice for PQ subspaces);
+    * `p` prefixes every CTE name so several chains compose in one WITH.
     */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  private def kmeansSql(k: Int, iters: Int, src: String = "embedding",
+                        p: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH ex AS MATERIALIZED (SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
-         |    GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings),
-         |seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      s"""WITH ${p}ex AS MATERIALIZED (SELECT vec_id, UNNEST($src)::DOUBLE AS x,
+         |    GENERATE_SUBSCRIPTS($src, 1) AS i FROM embeddings),
+         |${p}seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
          |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
-         |c0 AS (SELECT s.cid, e.i, e.x AS cx FROM ex e JOIN seeds s ON s.vec_id = e.vec_id)""".stripMargin)
+         |${p}c0 AS (SELECT s.cid, e.i, e.x AS cx FROM ${p}ex e JOIN ${p}seeds s ON s.vec_id = e.vec_id)""".stripMargin)
     for (t <- 1 to iters) {
       sb.append(
         s""",
-           |d$t AS (SELECT e.vec_id, c.cid, SUM((e.x - c.cx) * (e.x - c.cx)) AS d2
-           |  FROM ex e JOIN c${t - 1} c ON c.i = e.i GROUP BY 1, 2),
-           |a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d$t) WHERE rn = 1)""".stripMargin)
+           |${p}d$t AS (SELECT e.vec_id, c.cid, SUM((e.x - c.cx) * (e.x - c.cx)) AS d2
+           |  FROM ${p}ex e JOIN ${p}c${t - 1} c ON c.i = e.i GROUP BY 1, 2),
+           |${p}a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM ${p}d$t) WHERE rn = 1)""".stripMargin)
       if (t < iters) sb.append(
         s""",
-           |c$t AS (SELECT a.cid, e.i, AVG(e.x) AS cx
-           |  FROM ex e JOIN a$t a ON a.vec_id = e.vec_id GROUP BY 1, 2)""".stripMargin)
+           |${p}c$t AS (SELECT a.cid, e.i, AVG(e.x) AS cx
+           |  FROM ${p}ex e JOIN ${p}a$t a ON a.vec_id = e.vec_id GROUP BY 1, 2)""".stripMargin)
     }
-    sb.toString
+    if (p.isEmpty) sb.toString
+    else sb.toString.stripPrefix("WITH ")
   }
 }

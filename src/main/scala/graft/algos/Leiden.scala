@@ -365,10 +365,9 @@ object Leiden {
         .select(col("dst").as("v"), col("src").as("nbr"), col("weight").as("w")))
       .repartition(col("v")).persist()
     nb.count()
-    // soft cut: cached with REAL size stats so a small vertex side
-    // broadcasts into the per-sweep joins statically (see Louvain.localMove)
-    val nwAll = Lineage.soft(g.vertices.join(nodeWeights, Seq("id"), "left")
-      .select(col("id"), coalesce(col("nw"), lit(1.0)).as("nw")))
+    val nwAll = g.vertices.join(nodeWeights, Seq("id"), "left")
+      .select(col("id"), coalesce(col("nw"), lit(1.0)).as("nw"))
+      .transform(Lineage.cut)
 
     // Refinement invariant: the refinement call starts from singleton labels
     // (label = vertex id) and only ever moves a vertex into a community
@@ -385,8 +384,8 @@ object Leiden {
       cp
     }
 
-    var memb = Lineage.cutAdaptive(initial.getOrElse(g.vertices.select(col("id"), col("id").as("label")))
-      .select(col("id"), col("label")))
+    var memb = initial.getOrElse(g.vertices.select(col("id"), col("id").as("label")))
+      .select(col("id"), col("label")).transform(Lineage.cut)
     var lastMoves = 1L
     var moves = 1L
     var sweep = 0
@@ -428,20 +427,17 @@ object Leiden {
         else pmod(xxhash64(lit(43L), lit(sweep), col("id")), lit(2L)) === 0L
       // old label rides as a column so the convergence count below is a
       // scan of the checkpointed frame, not a shuffle join per sweep
-      val plan = base.join(best, Seq("id"), "left")
+      val next = base.join(best, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           when(mayMove && col("gain").isNotNull && col("gain") > col("stay_gain") + 1e-12,
             col("clabel")).otherwise(col("label")).as("label"))
-      // adaptive hard cut per sweep (see Louvain.localMove): plan stays
-      // constant-size; tiny state comes back broadcastable (LocalRelation)
-      val next = Lineage.cutAdaptive(plan)
+        .transform(Lineage.cut)
       lastMoves = moves
       if (fixedSweeps.isEmpty)
         moves = next.where(col("label") =!= col("old")).count()
       memb = next.select("id", "label")
       sweep += 1
     }
-    nwAll.unpersist()
     nb.unpersist(); e.unpersist(); commParent.foreach(_.unpersist())
     memb
   }

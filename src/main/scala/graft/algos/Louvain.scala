@@ -47,12 +47,9 @@ object Louvain {
     val kv = e.select(col("src").as("id"), col("weight"))
       .union(e.select(col("dst").as("id"), col("weight")))
       .groupBy("id").agg(sum("weight").as("k"))
-    // soft cut (persist+count): the cached InMemoryRelation carries REAL
-    // size stats, so when this level's vertex set is small Catalyst
-    // broadcasts it into every sweep join statically — a hard cut resets
-    // stats to the default leaf estimate and forces a shuffle per join
-    val kvAll = Lineage.soft(g.vertices.join(kv, Seq("id"), "left")
-      .select(col("id"), coalesce(col("k"), lit(0.0)).as("k")))
+    val kvAll = g.vertices.join(kv, Seq("id"), "left")
+      .select(col("id"), coalesce(col("k"), lit(0.0)).as("k"))
+      .transform(Lineage.cut)
     val nb = e.where(col("src") =!= col("dst"))
       .select(col("src").as("v"), col("dst").as("nbr"), col("weight").as("w"))
       .union(e.where(col("src") =!= col("dst"))
@@ -60,7 +57,7 @@ object Louvain {
       .repartition(col("v")).persist()
     nb.count()
 
-    var memb = Lineage.cutAdaptive(g.vertices.select(col("id"), col("id").as("label")))
+    var memb = g.vertices.select(col("id"), col("id").as("label")).transform(Lineage.cut)
     var lastMoves = 1L
     var moves = 1L
     var sweep = 0
@@ -101,22 +98,17 @@ object Louvain {
         else pmod(xxhash64(lit(42L), lit(sweep), col("id")), lit(2L)) === 0L
       // old label rides as a column so the convergence count below is a
       // scan of the checkpointed frame, not a shuffle join per sweep
-      val plan = base.join(best, Seq("id"), "left")
+      val next = base.join(best, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           when(mayMove && col("gain").isNotNull && col("gain") > col("stay_gain") + minGain,
             col("clabel")).otherwise(col("label")).as("label"))
-      // adaptive hard cut: the superstep barrier truncates the plan every
-      // sweep (memb appears twice above, so any lineage-keeping scheme
-      // doubles the plan per sweep); tiny contracted levels come back as a
-      // LocalRelation whose real stats broadcast into both sweep joins
-      val next = Lineage.cutAdaptive(plan)
+        .transform(Lineage.cut)
       lastMoves = moves
       if (fixedSweeps.isEmpty)
         moves = next.where(col("label") =!= col("old")).count()
       memb = next.select("id", "label")
       sweep += 1
     }
-    kvAll.unpersist()
     nb.unpersist()
     e.unpersist()
     memb

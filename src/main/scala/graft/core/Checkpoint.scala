@@ -109,11 +109,13 @@ object Lineage {
     * every downstream join a static broadcast-hash-join — no exchange on
     * either side when the other side is cached. Otherwise this IS [[cut]].
     *
-    * The scale posture mirrors AQE's broadcast decision, applied to
-    * iterative state: at web scale a level-0 membership is GBs and takes
-    * the distributed branch every sweep; once a community graph contracts
-    * below ~200k vertices the per-sweep state is KBs and the driver-local
-    * barrier removes all shuffle latency from the tail levels.
+    * Use ONLY for state that is tiny BY CONSTRUCTION (k-means centroids:
+    * k·d rows regardless of corpus size — [[graft.sim.KMeans]]). Do NOT
+    * use it for corpus-sized loop state that merely happens to be small at
+    * the test scale: an A/B at sf0.1 showed Louvain's per-sweep membership
+    * through this path regressing 21.9 s -> 38.1 s (the per-sweep
+    * collect + single-slice LocalRelation costs more than the distributed
+    * cut it replaced), so Louvain/Leiden stay on [[cut]].
     */
   def cutAdaptive(df: DataFrame, maxLocalBytes: Long = 4L << 20): DataFrame = {
     val spark = df.sparkSession

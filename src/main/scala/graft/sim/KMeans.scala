@@ -36,7 +36,15 @@ object KMeans {
     * Lloyd's algorithm: assign-then-update `iters - 1` times, then one last
     * assignment against the final centroids.
     */
-  def assign(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+  def assign(vectors: DataFrame, k: Int, iters: Int): DataFrame =
+    lloyd(vectors, k, iters)._1
+
+  /** Lloyd's loop exposing both results: the final assignment (vec_id,
+    * cluster) AND the centroid table (cid, i, cx — 1-based dim) that final
+    * assignment was computed against. [[graft.sim.Pq]] uses the centroids
+    * as its per-subspace codebook; [[assign]] keeps only the membership.
+    */
+  def lloyd(vectors: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1, s"kmeans: need k >= 1 and iters >= 1, got k=$k iters=$iters")
     val ex = Lineage.soft(exploded(vectors))
     // deterministic seed: the k smallest vec_ids, cid in vec_id order
@@ -70,7 +78,8 @@ object KMeans {
     }
     val out = asg.select(col("vec_id"), col("cluster"))
     ex.unpersist()
-    out
+    // cent was cutAdaptive-materialized, so it survives the unpersist of ex
+    (out, cent)
   }
 
   /** SemDeDup: k-means cluster, then inside each cluster drop every vector
