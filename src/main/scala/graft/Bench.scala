@@ -195,7 +195,9 @@ object Bench {
         case None => Seq("q_pagerank", "q_wcc", "q_triangles", "q_local_cc",
           "q_lpa", "q_louvain", "q_leiden", "q_dedup_exact", "q_minhash_cand",
           "q_simhash", "q_embed_dedup_lsh", "q_ann_brute", "q_ann_lsh",
-          "q_gopher", "q_url_dedup", "q_pii", "q_token_bpe")
+          "q_gopher", "q_url_dedup", "q_pii", "q_token_bpe",
+          "q_kmeans", "q_semdedup", "q_pq", "q_unigram_lm", "q_dsir",
+          "q_mixture")
       }
     // best-of-qReps per query: single-shot walls swing up to 7x on this
     // shared host (GC epochs + neighbor noise); the min is the reproducible

@@ -509,6 +509,12 @@ object SparkEntry {
       .select(col("doc_id"), col("stratum"))),
     "q_pack_shards" -> ((s, dir) => TextOps.packShards(Tables.read(s, dir, "documents"), budget = 2000L)
       .select(col("doc_id"), col("n_tokens"), col("shard"))),
+    // data-mixture sampling: 4 weighted sources, 3000-token budget,
+    // rate = min(1, desired/available), md5-uniform selection
+    "q_mixture" -> ((s, dir) => TextOps.mixtureSample(Tables.read(s, dir, "documents"),
+      Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0), budget = 3000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"),
+        col("keep").cast("long").as("keep"))),
     "q_simhash" -> ((s, dir) => TextOps.simhashPairs(Tables.read(s, dir, "documents"), maxDist = 6)
       .select(col("a"), col("b"), col("dist"))),
     "q_langid" -> ((s, dir) => TextOps.langId(Tables.read(s, dir, "documents"))
@@ -1263,6 +1269,24 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo FROM t)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(FLOOR(lo / 2000.0) AS BIGINT) AS shard FROM p""".stripMargin,
+    // rate = LEAST(1, (w/8)*3000/avail) with the identical double ops as
+    // TextOps.mixtureSample; selection via the 16-bit md5 uniform
+    "q_mixture" ->
+      """WITH tk AS (SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS nt FROM documents),
+        |av AS (SELECT source, SUM(nt) AS a FROM tk GROUP BY source),
+        |w AS (SELECT * FROM (VALUES ('src0', 4.0), ('src1', 2.0),
+        |    ('src2', 1.0), ('src3', 1.0)) t(source, wt)),
+        |rt AS (SELECT av.source,
+        |    LEAST(1.0, COALESCE(w.wt, 0.0) / 8.0 * 3000 / av.a) AS rate
+        |  FROM av LEFT JOIN w ON w.source = av.source),
+        |u AS (SELECT doc_id,
+        |    ('0x' || SUBSTR(MD5('42|' || doc_id::VARCHAR), 1, 4))::BIGINT / 65536.0 AS u
+        |  FROM documents)
+        |SELECT tk.doc_id, tk.source, CAST(tk.nt AS BIGINT) AS n_tokens,
+        |  ROUND(rt.rate, 6) AS rate,
+        |  CAST(CASE WHEN u.u < rt.rate THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM tk JOIN rt ON rt.source = tk.source
+        |JOIN u ON u.doc_id = tk.doc_id""".stripMargin,
     "q_simhash" ->
       """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
         |th AS MATERIALIZED (SELECT doc_id, MD5(t) AS h FROM tok),

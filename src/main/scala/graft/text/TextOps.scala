@@ -413,6 +413,41 @@ object TextOps {
         floor(col("lo") / budget.toDouble).cast("long").as("shard"))
   }
 
+  /** Data-mixture sampling — the recipe step that turns per-source target
+    * weights + a total token budget into per-source sampling rates and a
+    * deterministic document selection. desired_s = weight_s/Σw × budget;
+    * rate_s = min(1, desired_s / available_s) (sources short of their quota
+    * are taken whole — rates never exceed 1, i.e. no repetition epochs);
+    * selection = the same seeded md5 uniform as [[stratifiedSample]].
+    * Sources absent from `weights` get rate 0.
+    *
+    * Scale shape: one per-source token aggregate (map-side combine, at most
+    * |sources| rows on the driver), then a pure scan — zero shuffle on the
+    * selection pass. Output: (doc_id, source, n_tokens, rate, keep).
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double], budget: Long,
+                    seed: Long = 42L): DataFrame = {
+    require(budget > 0, "mixture token budget must be positive")
+    require(weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      "mixture weights must be non-negative and not all zero")
+    val wSum = weights.values.sum
+    val avail = docs.groupBy("source")
+      .agg(sum(size(tokens(col("text")))).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = avail.map { case (s, a) =>
+      val desired = weights.getOrElse(s, 0.0) / wSum * budget
+      s -> math.min(1.0, if (a == 0) 0.0 else desired / a)
+    }
+    val rcol = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    val u = conv(substring(md5(concat_ws("|", lit(seed.toString), col("doc_id"))), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+    docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      round(rcol, 6).as("rate"), (u < rcol).as("keep"))
+  }
+
   // ---- PII masking (the CCNet/Dolma anonymization stage) -------------------
 
   /** PII regexes, deliberately restricted to the java.util.regex ∩ RE2

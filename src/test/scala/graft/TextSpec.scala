@@ -356,6 +356,29 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureSample: rates honor the target mixture; capped at 1; absent sources dropped") {
+    val d = Seq(
+      (1L, "a b c d", "web"), (2L, "a b c d", "web"), (3L, "a b c d", "web"),
+      (4L, "x y z w", "code"),
+      (5L, "p q", "junk")
+    ).toDF("doc_id", "text", "source")
+    // web avail 12, code avail 4, junk unlisted; budget 8, weights 3:1
+    // -> web desired 6, rate 0.5; code desired 2, rate 0.5
+    val got = TextOps.mixtureSample(d, Map("web" -> 3.0, "code" -> 1.0), budget = 8L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got(1L)._2 == 0.5 && got(4L)._2 == 0.5)
+    assert(got(5L)._2 == 0.0 && !got(5L)._3, "unlisted source rate 0, never kept")
+    // budget larger than everything -> all rates cap at 1, everything kept
+    val all = TextOps.mixtureSample(d, Map("web" -> 1.0, "code" -> 1.0), budget = 1000L)
+    assert(all.where(col("source") =!= "junk").where(!col("keep")).isEmpty)
+    assert(all.where(col("source") =!= "junk").where(col("rate") =!= 1.0).isEmpty)
+    // determinism across partitionings
+    val a1 = TextOps.mixtureSample(d.repartition(5), Map("web" -> 3.0, "code" -> 1.0), 8L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).toSet
+    val a2 = got.map { case (id, (_, _, k)) => (id, k) }.toSet
+    assert(a1 == a2)
+  }
+
   test("unigram LM: brute-force parity; corpus-average docs score above outliers") {
     val four = Seq(
       (1L, "a a a b"), (2L, "a b a b"), (3L, "a a b b"),
