@@ -525,6 +525,26 @@ object SparkEntry {
     // 40-char windows shared by >=2 distinct docs
     "q_dup_spans" -> ((s, dir) => TextOps.dupSpans(Tables.read(s, dir, "documents"), minLen = 40)
       .select(col("doc_id"), col("span_start"), col("span_end"))),
+    // corpus-level line dedup (C4/Dolma recipe): the fixture text has no
+    // newlines, so lines are injected deterministically first (every 8
+    // tokens -> one line) and the op dedups those corpus-wide
+    "q_line_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), " ", -1)
+      val lined = Tables.read(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", transform(
+          sequence(lit(0), (size(toks) + lit(7)).divide(lit(8)).cast("int") - 1),
+          i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))).as("text"))
+      TextOps.lineDedup(lined)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_lines"), col("n_kept"))
+    }),
+    // trainable linear quality classifier (CCNet/fastText stage): logistic
+    // regression over 32 hashed tf features, 3 full-batch GD steps,
+    // label = (lang = 'en'); the oracle unrolls the identical arithmetic
+    "q_quality_lr" -> ((s, dir) =>
+      TextOps.qualityLr(Tables.read(s, dir, "documents"),
+        col("lang") === "en", buckets = 32, lr = 1.0, iters = 3)
+        .select(col("doc_id"), col("y"), col("score"))),
 
     // --- similarity search (embeddings) ---
     "q_ann_brute" -> ((s, dir) => {
@@ -561,6 +581,15 @@ object SparkEntry {
     "q_pq" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Pq.adcTopK(emb, emb.orderBy("vec_id").limit(3), m = 2, k = 4, iters = 2, topK = 5)
+        .select(col("query_id"), col("neighbor_id"), col("adc"),
+          col("rank").cast("long").as("rank"))
+    }),
+    // IVF-PQ (residual encoding): 3 coarse lists (2 Lloyd rounds), shared
+    // 2x4 residual codebook (2 rounds), probe 2 lists, ADC top-5
+    "q_ivfpq" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Pq.ivfAdcTopK(emb, emb.orderBy("vec_id").limit(3), kc = 3, citers = 2,
+        m = 2, k = 4, iters = 2, nprobe = 2, topK = 5)
         .select(col("query_id"), col("neighbor_id"), col("adc"),
           col("rank").cast("long").as("rank"))
     }),
@@ -1130,6 +1159,53 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |  FROM flag)
         |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
         |FROM grp GROUP BY doc_id, g""".stripMargin,
+    // line dedup: same deterministic 8-token line injection, then
+    // first-occurrence-wins via a window (the oracle's skew-oblivious
+    // equivalent of the engine's min(struct) aggregate)
+    "q_line_dedup" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |lx AS (SELECT doc_id, UNNEST(RANGE((LEN(toks) + 7) // 8)) AS ci, toks FROM t),
+        |ln AS MATERIALIZED (SELECT doc_id, ci,
+        |  ARRAY_TO_STRING(toks[ci*8 + 1 : ci*8 + 8], ' ') AS line FROM lx),
+        |keep AS (SELECT doc_id, ci, line FROM (SELECT doc_id, ci, line,
+        |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ci) AS rk FROM ln)
+        |  WHERE rk = 1),
+        |st AS (SELECT doc_id, STRING_AGG(line, CHR(10) ORDER BY ci) AS text2,
+        |  COUNT(*) AS n_kept FROM keep GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM ln GROUP BY doc_id)
+        |SELECT t.doc_id, MD5(COALESCE(s.text2, '')) AS text_md5, t.n_lines,
+        |  COALESCE(s.n_kept, 0) AS n_kept
+        |FROM tot t LEFT JOIN st s USING (doc_id)""".stripMargin,
+    // logistic-regression quality classifier: the 3 GD steps unrolled as a
+    // CTE chain over the same hashed-tf features (bias = bucket -1)
+    "q_quality_lr" -> {
+      val n = "(SELECT COUNT(*)::DOUBLE FROM documents)"
+      val sb = new StringBuilder
+      sb.append(
+        """WITH base AS (SELECT doc_id, (lang = 'en')::DOUBLE AS y,
+          |  STRING_SPLIT(text, ' ') AS toks FROM documents),
+          |tk AS (SELECT doc_id, y, LEN(toks)::DOUBLE AS nt, UNNEST(toks) AS w FROM base),
+          |f AS MATERIALIZED (SELECT doc_id, y,
+          |    ('0x' || SUBSTR(MD5(w), 1, 6))::BIGINT % 32 AS b,
+          |    COUNT(*)::DOUBLE / MAX(nt) AS x FROM tk GROUP BY doc_id, y, b
+          |  UNION ALL SELECT doc_id, y, -1, 1.0 FROM base),
+          |w0 AS (SELECT DISTINCT b, 0.0 AS wv FROM f)""".stripMargin)
+      for (t <- 1 to 3) {
+        sb.append(s""",
+          |z$t AS (SELECT f.doc_id, ANY_VALUE(f.y) AS y, SUM(f.x * w.wv) AS z
+          |  FROM f JOIN w${t - 1} w USING (b) GROUP BY f.doc_id),
+          |g$t AS (SELECT f.b, SUM((1.0 / (1.0 + EXP(-z.z)) - z.y) * f.x) AS g
+          |  FROM f JOIN z$t z USING (doc_id) GROUP BY f.b),
+          |w$t AS (SELECT w.b, w.wv - 1.0 * g.g / $n AS wv
+          |  FROM w${t - 1} w JOIN g$t g USING (b))""".stripMargin)
+      }
+      sb.append(
+        """
+          |SELECT f.doc_id, ANY_VALUE(f.y) AS y,
+          |  ROUND(1.0 / (1.0 + EXP(-SUM(f.x * w.wv))), 6) AS score
+          |FROM f JOIN w3 w USING (b) GROUP BY f.doc_id""".stripMargin)
+      sb.toString
+    },
     "q_minhash_cand" ->
       """WITH tk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
         |sh AS MATERIALIZED (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
@@ -2061,6 +2137,47 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
           |SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc, CAST(rank AS BIGINT) AS rank
           |FROM (SELECT query_id, neighbor_id, adc,
           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+          |  FROM adc) WHERE rank <= 5""".stripMargin),
+    // IVF-PQ: coarse chain (prefix c, k=3), residual table, two residual
+    // PQ chains (r0/r1), probe top-2 lists, per-list residual LUT, ADC
+    "q_ivfpq" ->
+      ("WITH " + kmeansSql(3, 2, "embedding", "c") +
+        """,
+          |res AS (SELECT e.vec_id, LIST(e.x - c.cx ORDER BY e.i) AS embedding
+          |  FROM cex e JOIN ca2 a ON a.vec_id = e.vec_id
+          |  JOIN cc1 c ON c.cid = a.cid AND c.i = e.i
+          |  GROUP BY e.vec_id),
+          |""".stripMargin +
+        kmeansSql(4, 2, "embedding[1:32]", "r0", "res") + ",\n" +
+        kmeansSql(4, 2, "embedding[33:64]", "r1", "res") +
+        """,
+          |q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 3),
+          |qx AS (SELECT e.vec_id AS query_id, e.i, e.x FROM cex e
+          |  JOIN q ON q.query_id = e.vec_id),
+          |dcq AS (SELECT qx.query_id, c.cid, SUM((qx.x - c.cx) * (qx.x - c.cx)) AS dc
+          |  FROM qx JOIN cc1 c ON c.i = qx.i GROUP BY 1, 2),
+          |probes AS (SELECT query_id, cid FROM (SELECT query_id, cid,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dc, cid) AS pr
+          |  FROM dcq) WHERE pr <= 2),
+          |qr AS (SELECT qx.query_id, p.cid AS list_cid,
+          |    CAST((qx.i - 1) // 32 AS INT) AS sub, ((qx.i - 1) % 32) + 1 AS i2,
+          |    qx.x - c.cx AS xr
+          |  FROM qx JOIN probes p ON p.query_id = qx.query_id
+          |  JOIN cc1 c ON c.cid = p.cid AND c.i = qx.i),
+          |cb AS (SELECT 0 AS sub, cid, i, cx FROM r0c1
+          |  UNION ALL SELECT 1, cid, i, cx FROM r1c1),
+          |codes AS (SELECT vec_id, 0 AS sub, cid AS code FROM r0a2
+          |  UNION ALL SELECT vec_id, 1, cid FROM r1a2),
+          |lutq AS (SELECT qr.query_id, qr.list_cid, cb.sub, cb.cid AS pcid,
+          |    SUM((qr.xr - cb.cx) * (qr.xr - cb.cx)) AS d2
+          |  FROM qr JOIN cb ON cb.sub = qr.sub AND cb.i = qr.i2 GROUP BY 1, 2, 3, 4),
+          |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.d2) AS adc
+          |  FROM codes c JOIN ca2 a ON a.vec_id = c.vec_id
+          |  JOIN lutq l ON l.list_cid = a.cid AND l.sub = c.sub AND l.pcid = c.code
+          |  WHERE c.vec_id <> l.query_id GROUP BY 1, 2)
+          |SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc, CAST(rank AS BIGINT) AS rank
+          |FROM (SELECT query_id, neighbor_id, adc,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
           |  FROM adc) WHERE rank <= 5""".stripMargin)
   )
 
@@ -2070,16 +2187,17 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
     * ties to smallest cid), `ct` (mean update — skipped after the last
     * round). Mirrors [[graft.sim.KMeans.assign]] term for term.
     * `src` selects the (sub)vector to cluster (a slice for PQ subspaces);
-    * `p` prefixes every CTE name so several chains compose in one WITH.
+    * `p` prefixes every CTE name so several chains compose in one WITH;
+    * `table` is the clustered relation (a prior CTE for e.g. residuals).
     */
   private def kmeansSql(k: Int, iters: Int, src: String = "embedding",
-                        p: String = ""): String = {
+                        p: String = "", table: String = "embeddings"): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH ${p}ex AS MATERIALIZED (SELECT vec_id, UNNEST($src)::DOUBLE AS x,
-         |    GENERATE_SUBSCRIPTS($src, 1) AS i FROM embeddings),
+         |    GENERATE_SUBSCRIPTS($src, 1) AS i FROM $table),
          |${p}seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
-         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |  FROM (SELECT vec_id FROM $table ORDER BY vec_id LIMIT $k)),
          |${p}c0 AS (SELECT s.cid, e.i, e.x AS cx FROM ${p}ex e JOIN ${p}seeds s ON s.vec_id = e.vec_id)""".stripMargin)
     for (t <- 1 to iters) {
       sb.append(

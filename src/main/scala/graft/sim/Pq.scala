@@ -86,4 +86,75 @@ object Pq {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), round(col("adc"), 6).as("adc"), col("rank"))
   }
+
+  /** IVF-PQ with residual encoding (Jégou et al. 2011 §IV, the FAISS
+    * `IVFPQ` recipe): a coarse `kc`-centroid quantizer partitions the
+    * corpus into inverted lists; vectors are PQ-encoded on their RESIDUAL
+    * against their coarse centroid (one shared codebook across lists);
+    * a query probes only its `nprobe` closest coarse lists and runs the
+    * ADC scan against those lists' candidates, with a per-probed-list LUT
+    * built from the query's residual against THAT list's centroid.
+    *
+    * Scale shape: candidates shrink from N to the probed lists' share
+    * (~nprobe/kc of the corpus); everything broadcast is bounded by
+    * kc·d (coarse centroids), k·d (codebook) or |Q|·nprobe·m·k (LUTs) —
+    * all corpus-size-independent. The corpus-side scan stays the wide
+    * codes table: 3 longs + m codes per row, never the embeddings.
+    * Determinism conventions are [[KMeans.lloyd]]'s throughout; probe
+    * ties break to the smaller coarse cid.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, kc: Int, citers: Int,
+                 m: Int, k: Int, iters: Int, nprobe: Int, topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= kc, s"ivfpq: need 1 <= nprobe=$nprobe <= kc=$kc")
+    val (casg, ccent) = KMeans.lloyd(corpus, kc, citers)
+    val ex = corpus.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("x"))
+    // residual vectors, rebuilt in dim order — the PQ training input
+    val res = ex.join(casg.select(col("vec_id"), col("cluster").as("cid")), Seq("vec_id"))
+      .join(broadcast(ccent), Seq("cid", "i"))
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("i"), (col("x") - col("cx")).as("r")))),
+        e => e.getField("r")).as("embedding"))
+    val (codes, codebook) = encode(res, m, k, iters)
+    val dims = corpus.select(size(col("embedding"))).head.getInt(0)
+    val dsub = dims / m
+
+    val qex = queries.select(col("vec_id").as("query_id"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("query_id"), (col("pos") + 1).as("i"), col("col").as("x"))
+    // nprobe closest coarse lists per query (ties -> smaller cid)
+    val dc = qex.join(broadcast(ccent), Seq("i"))
+      .groupBy(col("query_id"), col("cid"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dc"))
+    val wp = Window.partitionBy("query_id").orderBy(col("dc"), col("cid"))
+    val probes = dc.withColumn("pr", row_number().over(wp)).where(col("pr") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    // per (query, probed list): residual query dims, then the m*k LUT
+    val qres = qex.join(broadcast(probes), Seq("query_id"))
+      .join(broadcast(ccent), Seq("cid", "i"))
+      .select(col("query_id"), col("cid").as("list_cid"),
+        ((col("i") - 1) / dsub).cast("int").as("sub"),
+        ((col("i") - 1) % dsub + 1).as("i2"), (col("x") - col("cx")).as("xr"))
+    val lut = qres.join(broadcast(codebook.withColumnRenamed("i", "i2")
+        .withColumnRenamed("cid", "pcid")), Seq("sub", "i2"))
+      .groupBy(col("query_id"), col("list_cid"), col("sub"), col("pcid"))
+      .agg(sum((col("xr") - col("cx")) * (col("xr") - col("cx"))).as("d2"))
+      .groupBy("query_id", "list_cid")
+      .agg(map_from_entries(collect_list(
+        struct((col("sub") * k + col("pcid")).cast("long"), col("d2")))).as("lut"))
+    // scan: candidates are exactly the probed lists' members
+    val cand = codes
+      .join(casg.select(col("vec_id"), col("cluster").as("list_cid")), Seq("vec_id"))
+      .join(broadcast(lut), Seq("list_cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0L), lit(m - 1L)),
+            (code, s) => element_at(col("lut"), s * k + code)),
+          lit(0.0d), (acc, v) => acc + v).as("adc"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), round(col("adc"), 6).as("adc"), col("rank"))
+  }
 }

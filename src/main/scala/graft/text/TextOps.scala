@@ -687,4 +687,107 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), round(sum(col("lr")), 6).as("logweight"))
   }
+
+  /** Corpus-level line deduplication (the C4 "discard duplicate three-
+    * sentence spans" / Dolma paragraph-dedup recipe, at line granularity):
+    * every line keeps only its FIRST occurrence corpus-wide (smallest
+    * (doc_id, line_no)); later occurrences are dropped and each document's
+    * surviving lines are re-stitched in order.
+    *
+    * Scale shape: the first-occurrence pass is `groupBy(line).agg(min(
+    * struct(doc_id, line_no)))` — map-side combinable, so a boilerplate
+    * line repeated a billion times reduces to one row per map partition
+    * before the shuffle (a `row_number` window would ship every copy of
+    * every hot line to one reducer — exactly the skew dedup exists to kill).
+    * The aggregate's output IS the kept-occurrence set, so no join back to
+    * the line stream is needed; re-stitching is one doc-granularity
+    * aggregate. At 100 TB, group on a 128-bit hash of the line and carry
+    * the text only on the kept row.
+    *
+    * Output: (doc_id, text, n_lines, n_kept) — `text` is the deduplicated
+    * document ("" when every line first occurred elsewhere), `n_lines` the
+    * pre-dedup line count.
+    */
+  def lineDedup(docs: DataFrame, delim: String = "\n"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(delim), -1)))
+      .select(col("doc_id"), col("pos").cast("long").as("line_no"), col("col").as("line"))
+    val kept = lines.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.line_no").as("line_no"), col("line"))
+    val stitched = kept.groupBy("doc_id").agg(
+      concat_ws(delim, transform(
+        array_sort(collect_list(struct(col("line_no"), col("line")))),
+        e => e.getField("line"))).as("text"),
+      count(lit(1)).as("n_kept"))
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(stitched, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Linear quality classifier trained and applied entirely as relational
+    * aggregates — the CCNet/fastText pipeline stage ("train a cheap linear
+    * model on seed-labeled documents, score the whole corpus"), with
+    * logistic regression over hashed bag-of-words features and full-batch
+    * gradient descent at a FIXED iteration count so the run is deterministic
+    * and the DuckDB oracle can unroll the identical arithmetic.
+    *
+    * Features: tokens hashed into `buckets` bins (md5-derived, the proven
+    * cross-engine bucketing idiom), tf-normalized per document. Model:
+    * p_i = sigmoid(sum_j x_ij w_j + b), batch updates
+    * w_j -= lr * sum_i (p_i - y_i) x_ij / N (bias likewise), weights
+    * initialized to zero.
+    *
+    * Scale shape: the feature stream is one explode + one (doc, bucket)
+    * aggregate; each GD step is a broadcast join of the stream against the
+    * <=buckets-row weight table plus two doc-granularity aggregates — the
+    * weight state is by-construction tiny (buckets rows), the sanctioned
+    * collect-and-rebroadcast case, and nothing per-step grows with the
+    * corpus. Scoring is the same broadcast join once more.
+    *
+    * `label` is evaluated against the input columns (e.g. `col("lang") ===
+    * "en"`). Output: (doc_id, y, score) with score rounded to 6.
+    */
+  def qualityLr(docs: DataFrame, label: Column, buckets: Int = 32,
+                lr: Double = 1.0, iters: Int = 3): DataFrame = {
+    require(buckets >= 2 && iters >= 1 && lr > 0.0,
+      s"qualityLr: need buckets>=2, iters>=1, lr>0; got ($buckets, $iters, $lr)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"),
+      label.cast("boolean").cast("double").as("y"))
+    // tf-normalized hashed bag-of-words, plus the bias as a constant
+    // feature in bucket -1 so one weight table carries the whole model
+    val feats = graft.core.Lineage.soft(base
+      .select(col("doc_id"), col("y"), size(col("toks")).cast("double").as("nt"),
+        explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("y"),
+        pmod(conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+      .agg((count(lit(1)) / first(col("nt"))).as("x"))
+      .unionByName(base.select(col("doc_id"), col("y"),
+        lit(-1L).as("b"), lit(1.0).as("x"))))
+    val n = base.count().toDouble
+    // weight state: one row per OBSERVED bucket (<= buckets + 1) —
+    // by-construction tiny, collected and re-broadcast each step (the
+    // sanctioned k-means-centroid pattern; see Lineage.cutAdaptive notes)
+    var w: Seq[(Long, Double)] =
+      feats.select(col("b")).distinct().as[Long].collect().sorted.map(_ -> 0.0).toSeq
+    def scores(wDf: DataFrame): DataFrame = feats.join(wDf, Seq("b"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("x") * col("wv")).as("z"))
+      .select(col("doc_id"), col("y"),
+        (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
+    for (_ <- 1 to iters) {
+      val resid = scores(broadcast(w.toDF("b", "wv")))
+        .select(col("doc_id"), (col("p") - col("y")).as("r"))
+      val grads = feats.join(broadcast(resid), Seq("doc_id"))
+        .groupBy("b").agg(sum(col("r") * col("x")).as("g"))
+        .as[(Long, Double)].collect().toMap
+      w = w.map { case (b, wv) => (b, wv - lr * grads.getOrElse(b, 0.0) / n) }
+    }
+    scores(broadcast(w.toDF("b", "wv")))
+      .select(col("doc_id"), col("y"), round(col("p"), 6).as("score"))
+  }
 }

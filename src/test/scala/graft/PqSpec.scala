@@ -85,6 +85,69 @@ class PqSpec extends AnyFunSuite {
     assert(again == neigh)
   }
 
+  /** Driver-side Lloyd's over full vectors, returning the final assignment
+    * AND the centroids it was computed against (KMeans.lloyd's contract).
+    */
+  private def bruteLloydFull(vecs: Seq[(Long, Array[Double])], k: Int,
+                             iters: Int): (Map[Long, Int], Map[Int, Array[Double]]) = {
+    val dims = vecs.head._2.length
+    var cent: Seq[(Int, Array[Double])] =
+      vecs.sortBy(_._1).take(k).zipWithIndex.map { case ((_, v), c) => (c, v.clone()) }
+    var asg: Map[Long, Int] = Map.empty
+    for (t <- 1 to iters) {
+      asg = vecs.map { case (id, v) =>
+        id -> cent.map { case (c, cv) =>
+          (cv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+        }.minBy(identity)._2
+      }.toMap
+      if (t < iters) {
+        cent = asg.groupBy(_._2).toSeq.map { case (c, members) =>
+          val vs = members.keys.toSeq.map(id => vecs.find(_._1 == id).get._2)
+          (c, Array.tabulate(dims)(i => vs.map(_(i)).sum / vs.size))
+        }.sortBy(_._1)
+      }
+    }
+    (asg, cent.toMap)
+  }
+
+  test("IVF-PQ ADC (residual encoding) matches driver-side brute implementation") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextDouble()))).toSeq
+    val df = vecs.map { case (i, v) => (i, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+    val (kc, citers, m, k, iters, nprobe, topK) = (3, 2, 2, 3, 2, 2, 4)
+    val dsub = 8 / m
+    // brute: coarse lloyd -> residuals -> per-subspace lloyd -> probe + ADC
+    val (casg, ccent) = bruteLloydFull(vecs, kc, citers)
+    val res = vecs.map { case (id, v) =>
+      (id, v.zip(ccent(casg(id))).map { case (a, b) => a - b }) }
+    val (codes, book) = brutePq(res, m, k, iters)
+    val got = Pq.ivfAdcTopK(df, df.where($"vec_id" < 2), kc, citers, m, k, iters, nprobe, topK)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    for (q <- 0L until 2L) {
+      val qv = vecs.find(_._1 == q).get._2
+      val probed = ccent.toSeq.map { case (c, cv) =>
+        (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.sorted.take(nprobe).map(_._2).toSet
+      val want = vecs.map(_._1)
+        .filter(id => id != q && probed.contains(casg(id)))
+        .map { id =>
+          val qr = qv.zip(ccent(casg(id))).map { case (a, b) => a - b }
+          val adc = (0 until m).map { s =>
+            val cw = book((s, codes(id)(s)))
+            qr.slice(s * dsub, (s + 1) * dsub).zip(cw)
+              .map { case (a, b) => (a - b) * (a - b) }.sum
+          }.sum
+          (adc, id)
+        }.sorted.take(topK)
+      want.zipWithIndex.foreach { case ((d, nid), i) =>
+        val (gd, gr) = got((q, nid))
+        assert(gr == i + 1, s"q=$q nid=$nid rank $gr vs ${i + 1}")
+        assert(math.abs(gd - d) < 1e-6, s"q=$q nid=$nid dist $gd vs $d")
+      }
+      assert(got.keys.count(_._1 == q) == math.min(topK, want.size))
+    }
+  }
+
   test("encode: m codes per vector, codes < k, codebook dims 1-based per subspace") {
     val rnd = new scala.util.Random(5)
     val df = (0L until 20L).map(i => (i, Array.fill(6)(rnd.nextFloat()))).toSeq

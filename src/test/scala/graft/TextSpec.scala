@@ -426,4 +426,63 @@ class TextSpec extends AnyFunSuite {
     assert(got(2L)._2 == r6(lw("zeta eta theta")))
     assert(got(1L)._2 > got(2L)._2, "on-target doc must outweigh off-target doc")
   }
+
+  test("lineDedup: first occurrence corpus-wide wins; stitching preserves order") {
+    val d = Seq(
+      (1L, "boiler\nunique one\nboiler"),   // self-dup: 2nd "boiler" dropped
+      (2L, "unique two\nboiler\nunique three"),
+      (3L, "boiler"))                       // fully deduped away
+      .toDF("doc_id", "text")
+    val got = TextOps.lineDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("boiler\nunique one", 3L, 2L)))
+    assert(got(2L) == (("unique two\nunique three", 3L, 2L)))
+    assert(got(3L) == (("", 1L, 0L)))
+    // invariant: kept lines across the corpus == distinct lines
+    assert(got.values.map(_._3).sum ==
+      d.select(explode(split(col("text"), "\n", -1))).distinct().count())
+  }
+
+  test("qualityLr: brute-force GD parity; label-correlated corpus separates") {
+    val d = Seq(
+      (1L, "alpha beta alpha", "en"), (2L, "alpha beta beta", "en"),
+      (3L, "zeta eta theta", "de"), (4L, "eta theta zeta zeta", "de"),
+      (5L, "alpha beta gamma", "en"), (6L, "theta zeta eta", "de"))
+      .toDF("doc_id", "text", "lang")
+    val B = 8; val lr = 1.0; val iters = 3
+    val got = TextOps.qualityLr(d, col("lang") === "en", buckets = B,
+        lr = lr, iters = iters).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    // brute: identical arithmetic on the driver
+    def bucket(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val feats: Map[Long, Map[Long, Double]] = rows.map { case (id, t, _) =>
+      val toks = t.split(" ").toSeq
+      val tf = toks.groupBy(bucket).map { case (b, ws) => b -> ws.size.toDouble / toks.size }
+      id -> (tf + (-1L -> 1.0))
+    }.toMap
+    val y = rows.map { case (id, _, l) => id -> (if (l == "en") 1.0 else 0.0) }.toMap
+    val n = rows.length.toDouble
+    var w = feats.values.flatMap(_.keys).toSeq.distinct.map(_ -> 0.0).toMap
+    def p(id: Long, wm: Map[Long, Double]): Double =
+      1.0 / (1.0 + math.exp(-feats(id).map { case (b, x) => x * wm(b) }.sum))
+    for (_ <- 1 to iters) {
+      val g = feats.toSeq.flatMap { case (id, fx) =>
+        fx.map { case (b, x) => b -> (p(id, w) - y(id)) * x } }
+        .groupBy(_._1).map { case (b, vs) => b -> vs.map(_._2).sum }
+      w = w.map { case (b, wv) => b -> (wv - lr * g.getOrElse(b, 0.0) / n) }
+    }
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    rows.foreach { case (id, _, _) =>
+      assert(got(id)._1 == y(id))
+      assert(got(id)._2 == r6(p(id, w)), s"doc $id: ${got(id)._2} vs ${r6(p(id, w))}")
+    }
+    // disjoint vocabularies: every en doc must outscore every de doc
+    val (en, de) = got.partition { case (_, (yy, _)) => yy == 1.0 }
+    assert(en.values.map(_._2).min > de.values.map(_._2).max)
+  }
 }
