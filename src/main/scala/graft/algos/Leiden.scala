@@ -391,11 +391,20 @@ object Leiden {
     var sweep = 0
     val cap = fixedSweeps.getOrElse(sweepCap)
     while ((fixedSweeps.isDefined || moves + lastMoves > 0) && sweep < cap) {
-      val ctot = memb.join(nwAll, Seq("id")).groupBy("label").agg(sum("nw").as("tot"))
-      val kvcBase = nb.join(memb.select(col("id").as("nbr"), col("label").as("clabel")), Seq("nbr"))
-        .groupBy(col("v").as("id"), col("clabel")).agg(sum("w").as("kvc"))
+      // (id, label, nw) once per sweep — ctot and the gain scoring both hang
+      // off it (same 8-joins→5 fusion as Louvain.localMove)
+      val mk = memb.join(nwAll, Seq("id"))
+      val ctot = mk.groupBy("label").agg(sum("nw").as("tot"))
+      // kvc with a guaranteed OWN-community row per vertex (zero row unioned
+      // before the aggregate, replacing the old stay-side left join)
+      val kvcBase = nb.join(mk.select(col("id").as("nbr"), col("label").as("clabel")), Seq("nbr"))
+        .select(col("v").as("id"), col("clabel"), col("w"))
+        .union(mk.select(col("id"), col("label").as("clabel"), lit(0.0).as("w")))
+        .groupBy("id", "clabel").agg(sum("w").as("kvc"))
       // refinement restriction: candidate community must live in the same
-      // parent (static community→parent map hoisted above)
+      // parent (static community→parent map hoisted above). Own rows always
+      // survive it — a vertex's own community shares its parent by the
+      // refinement invariant — so the stay row is never dropped here
       val kvc = (restrictTo, commParent) match {
         case (Some(parents), Some(cp)) =>
           kvcBase.join(parents, Seq("id"))
@@ -404,33 +413,30 @@ object Leiden {
             .select(col("id"), col("clabel"), col("kvc"))
         case _ => kvcBase
       }
-      val stayKvc = kvc.select(col("id").as("sid"), col("clabel").as("slabel"), col("kvc").as("kvc_own"))
-      val base = memb.join(nwAll, Seq("id"))
-        .join(ctot.select(col("label"), col("tot").as("tot_own")), Seq("label"))
-        .join(stayKvc, col("id") === col("sid") && col("slabel") === col("label"), "left")
-        .select(col("id"), col("label"), col("nw"),
-          (coalesce(col("kvc_own"), lit(0.0))
-            - lit(gammaEff) * col("nw") * (col("tot_own") - col("nw"))).as("stay_gain"))
-      val cand = kvc.join(memb, Seq("id"))
-        .where(col("clabel") =!= col("label"))
+      // one scored frame carries the stay row AND every move candidate
+      val scored = kvc
         .join(ctot.select(col("label").as("clabel"), col("tot")), Seq("clabel"))
-        .join(nwAll, Seq("id"))
-        .select(col("id"), col("clabel"),
-          (col("kvc") - lit(gammaEff) * col("nw") * col("tot")).as("gain"))
+        .join(mk, Seq("id"))
+      val own = col("clabel") === col("label")
+      val moveGain = col("kvc") - lit(gammaEff) * col("nw") * col("tot")
       // argmax(gain, tie -> min clabel) as a hash aggregate — identical
-      // selection to a desc-gain/asc-clabel window, with map-side combine
-      val best = cand.groupBy("id")
-        .agg(min(struct(negate(col("gain")).as("ng"), col("clabel"), col("gain"))).as("b"))
-        .select(col("id"), col("b.clabel").as("clabel"), col("b.gain").as("gain"))
+      // selection to a desc-gain/asc-clabel window, with map-side combine;
+      // min/max skip the NULL when() branch, so stay and move fold in ONE
+      // aggregate
+      val best = scored.groupBy("id").agg(
+        max(when(own,
+          col("kvc") - lit(gammaEff) * col("nw") * (col("tot") - col("nw")))).as("stay_gain"),
+        min(when(!own, struct(negate(moveGain).as("ng"), col("clabel"), moveGain.as("gain")))).as("b"))
       val mayMove =
         if (fixedSweeps.isDefined) pmod(col("id"), lit(2L)) === lit((sweep % 2).toLong)
         else pmod(xxhash64(lit(43L), lit(sweep), col("id")), lit(2L)) === 0L
       // old label rides as a column so the convergence count below is a
-      // scan of the checkpointed frame, not a shuffle join per sweep
-      val next = base.join(best, Seq("id"), "left")
+      // scan of the checkpointed frame, not a shuffle join per sweep;
+      // every vertex has a stay row, so the join is inner, not left
+      val next = memb.join(best, Seq("id"))
         .select(col("id"), col("label").as("old"),
-          when(mayMove && col("gain").isNotNull && col("gain") > col("stay_gain") + 1e-12,
-            col("clabel")).otherwise(col("label")).as("label"))
+          when(mayMove && col("b").isNotNull && col("b.gain") > col("stay_gain") + 1e-12,
+            col("b.clabel")).otherwise(col("label")).as("label"))
         .transform(Lineage.cut)
       lastMoves = moves
       if (fixedSweeps.isEmpty)

@@ -68,28 +68,35 @@ object Louvain {
     // Converged when a full even+odd cycle produces no move.
     val cap = fixedSweeps.getOrElse(sweepCap)
     while ((fixedSweeps.isDefined || moves + lastMoves > 0) && sweep < cap) {
-      val ctot = memb.join(kvAll, Seq("id")).groupBy("label").agg(sum("k").as("tot"))
-      val kvc = nb.join(memb.select(col("id").as("nbr"), col("label").as("clabel")), Seq("nbr"))
-        .groupBy(col("v").as("id"), col("clabel")).agg(sum("w").as("kvc"))
-      val stayKvc = kvc.select(col("id").as("sid"), col("clabel").as("slabel"), col("kvc").as("kvc_own"))
-      val base = memb.join(kvAll, Seq("id"))
-        .join(ctot.select(col("label"), col("tot").as("tot_own")), Seq("label"))
-        .join(stayKvc, col("id") === col("sid") && col("slabel") === col("label"), "left")
-        .select(col("id"), col("label"), col("k"),
-          (coalesce(col("kvc_own"), lit(0.0))
-            - (col("tot_own") - col("k")) * col("k") / m2).as("stay_gain"))
-      val cand = kvc.join(memb, Seq("id"))
-        .where(col("clabel") =!= col("label"))
+      // (id, label, k) once per sweep — both ctot and the gain scoring hang
+      // off it, so the membership⋈strength join happens once, not four times
+      val mk = memb.join(kvAll, Seq("id"))
+      val ctot = mk.groupBy("label").agg(sum("k").as("tot"))
+      // kvc with a guaranteed OWN-community row per vertex: union a zero row
+      // (id, own label, 0) before the aggregate, so the stay-gain term needs
+      // no separate left join — isolated vertices and vertices with no
+      // own-community neighbor get kvc_own = 0 exactly as the old
+      // coalesce(kvc_own, 0) path did
+      val kvcAug = nb.join(mk.select(col("id").as("nbr"), col("label").as("clabel")), Seq("nbr"))
+        .select(col("v").as("id"), col("clabel"), col("w"))
+        .union(mk.select(col("id"), col("label").as("clabel"), lit(0.0).as("w")))
+        .groupBy("id", "clabel").agg(sum("w").as("kvc"))
+      // one scored frame carries BOTH the stay row (clabel == own label,
+      // gain = kvc_own − (tot−k)·k/2m) and every move candidate
+      // (gain = kvc − tot·k/2m) — the old separate base/cand paths fused
+      val scored = kvcAug
         .join(ctot.select(col("label").as("clabel"), col("tot")), Seq("clabel"))
-        .join(kvAll, Seq("id"))
-        .select(col("id"), col("clabel"),
-          (col("kvc") - col("tot") * col("k") / m2).as("gain"))
+        .join(mk, Seq("id"))
+      val own = col("clabel") === col("label")
+      val moveGain = col("kvc") - col("tot") * col("k") / m2
       // argmax(gain, tie -> min clabel) as a hash aggregate (map-side
       // partial combine), NOT a sort-based window — same selection, no
-      // per-vertex sort of the full candidate set
-      val best = cand.groupBy("id")
-        .agg(min(struct(negate(col("gain")).as("ng"), col("clabel"), col("gain"))).as("b"))
-        .select(col("id"), col("b.clabel").as("clabel"), col("b.gain").as("gain"))
+      // per-vertex sort of the full candidate set; min/max skip the NULL
+      // branch of the when(), so each vertex folds its stay row and its
+      // move candidates in ONE aggregate
+      val best = scored.groupBy("id").agg(
+        max(when(own, col("kvc") - (col("tot") - col("k")) * col("k") / m2)).as("stay_gain"),
+        min(when(!own, struct(negate(moveGain).as("ng"), col("clabel"), moveGain.as("gain")))).as("b"))
       // seeded parity (not plain id parity): a 2-cycle between two same-
       // parity neighbors (e.g. both odd) would otherwise swap labels forever.
       // Fixed-sweep oracle mode uses plain id parity (deterministic + SQL).
@@ -97,11 +104,12 @@ object Louvain {
         if (fixedSweeps.isDefined) pmod(col("id"), lit(2L)) === lit((sweep % 2).toLong)
         else pmod(xxhash64(lit(42L), lit(sweep), col("id")), lit(2L)) === 0L
       // old label rides as a column so the convergence count below is a
-      // scan of the checkpointed frame, not a shuffle join per sweep
-      val next = base.join(best, Seq("id"), "left")
+      // scan of the checkpointed frame, not a shuffle join per sweep;
+      // every vertex has a stay row, so the join is inner, not left
+      val next = memb.join(best, Seq("id"))
         .select(col("id"), col("label").as("old"),
-          when(mayMove && col("gain").isNotNull && col("gain") > col("stay_gain") + minGain,
-            col("clabel")).otherwise(col("label")).as("label"))
+          when(mayMove && col("b").isNotNull && col("b.gain") > col("stay_gain") + minGain,
+            col("b.clabel")).otherwise(col("label")).as("label"))
         .transform(Lineage.cut)
       lastMoves = moves
       if (fixedSweeps.isEmpty)
