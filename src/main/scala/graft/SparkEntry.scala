@@ -89,7 +89,11 @@ object SparkEntry {
       val r = PageRank.run(Tables.eventsGraph(s, dir), damping = 0.85, fixedIters = Some(15))
       r.ranks.select(col("id"), round(col("rank"), 6).as("pagerank"))
     }),
-    "q_wcc" -> ((s, dir) => Components.wcc(Tables.eventsGraph(s, dir)).select(col("id"), col("comp"))),
+    // smallThreshold = 0 pins the DISTRIBUTED min-label loop: this oracle
+    // row exists to validate that path (the small-input union-find kernel
+    // is spec-tested equal to it and is what the dedup pipelines inherit)
+    "q_wcc" -> ((s, dir) => Components.wcc(Tables.eventsGraph(s, dir), smallThreshold = 0L)
+      .select(col("id"), col("comp"))),
     "q_scc" -> ((s, dir) => Components.scc(Tables.eventsGraph(s, dir)).select(col("id"), col("comp"))),
     "q_bfs" -> ((s, dir) => Paths.bfs(Tables.eventsGraph(s, dir), 0L, Mode.Out)
       .select(col("id"), col("dist"))),

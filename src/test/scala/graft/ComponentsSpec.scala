@@ -96,6 +96,17 @@ class ComponentsSpec extends AnyFunSuite {
         s"scc membership disagrees with mutual reachability at ($i,$j)")
   }
 
+  test("WCC small-input union-find kernel == distributed min-label loop") {
+    // seeded random sparse digraph: many components, loops, isolated tails
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val g = LinkGraph(spark, n, edges, directed = true)
+    val fast = TestSession.longVector(Components.wcc(g), "comp").toSeq
+    val dist = TestSession.longVector(Components.wcc(g, smallThreshold = 0L), "comp").toSeq
+    assert(fast == dist) // identical min-id labels, not just same partition
+  }
+
   test("SCC refines WCC (property)") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (4L, 5L), (5L, 4L), (6L, 6L))
     val g = LinkGraph(spark, 8, edges, directed = true)
