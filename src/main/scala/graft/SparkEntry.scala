@@ -608,6 +608,19 @@ object SparkEntry {
       val (_, g) = Pages.toGraph(pages)
       PageRank.run(g, fixedIters = Some(10)).ranks
         .select(col("id"), round(col("rank"), 6).as("pagerank"))
+    }),
+    // domain authority: contract the page graph to its 50 hosts, PageRank
+    // the host graph, join the score back per page — the domain-level
+    // quality prior of a crawl pipeline. host = id % 50 is this corpus's
+    // explicit page→host map (the arithmetic corpus is single-host by URL;
+    // production derives the map with WebOps.host over real URLs)
+    "q_domain_authority" -> ((s, dir) => {
+      val pages = Pages.generateArithmetic(s, n = 1000, outDeg = 8, partitions = 8)
+      val (_, g) = Pages.toGraph(pages)
+      val hostOf = g.vertices.select(col("id"), (col("id") % 50).as("host"))
+      val auth = WebOps.domainAuthority(g, hostOf, nHosts = 50, iters = 10)
+      hostOf.join(auth, Seq("host"))
+        .select(col("id"), col("host"), round(col("authority"), 6).as("authority"))
     })
   )
 
@@ -1128,6 +1141,20 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |e AS MATERIALIZED (SELECT i AS src, (i * 31 + 7 * jj.j + 1) % 1000 AS dst,
         |  CAST(1.0 AS DOUBLE) AS weight FROM pg CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS j) jj),
         |v AS (SELECT i AS id FROM pg)""".stripMargin, "e", "v"),
+    // same arithmetic corpus contracted to its 50 hosts, then the identical
+    // unrolled PageRank over the host graph, joined back per page
+    "q_domain_authority" -> {
+      val hostPr = pagerankSql(10,
+        """pg AS (SELECT UNNEST(RANGE(0, 1000)) AS i),
+          |pe AS (SELECT i AS src, (i * 31 + 7 * jj.j + 1) % 1000 AS dst,
+          |  CAST(1.0 AS DOUBLE) AS weight FROM pg CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS j) jj),
+          |e AS MATERIALIZED (SELECT src % 50 AS src, dst % 50 AS dst, SUM(weight) AS weight
+          |  FROM pe GROUP BY 1, 2),
+          |v AS (SELECT UNNEST(RANGE(0, 50)) AS id)""".stripMargin, "e", "v")
+      s"""SELECT p.i AS id, p.i % 50 AS host, pr.pagerank AS authority
+         |FROM (SELECT UNNEST(RANGE(0, 1000)) AS i) p
+         |JOIN ($hostPr) pr ON pr.id = p.i % 50""".stripMargin
+    },
     "q_langid" -> {
       val cands = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
         val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")

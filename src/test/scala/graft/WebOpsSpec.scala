@@ -58,6 +58,25 @@ class WebOpsSpec extends AnyFunSuite {
     assert(WebOps.domainFilter(pages, big).count() == 1)
   }
 
+  test("domainAuthority == PageRank on the hand-contracted host graph") {
+    // 6 pages on 3 hosts (host = id % 3); links chosen so host 0 is the hub
+    val g = graft.core.LinkGraph(spark, 6,
+      Seq((1L, 0L), (2L, 0L), (4L, 3L), (5L, 3L), (3L, 0L), (0L, 1L), (1L, 2L)),
+      directed = true)
+    val hostOf = g.vertices.select(col("id"), (col("id") % 3).as("host"))
+    val auth = WebOps.domainAuthority(g, hostOf, nHosts = 3, iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand-contracted host graph: (1,0),(2,0),(1,0),(0,0),(0,1),(1,2) with
+    // summed weights -> same kernel directly
+    val he = Seq((1L, 0L, 2.0), (2L, 0L, 2.0), (0L, 0L, 1.0), (0L, 1L, 1.0), (1L, 2L, 1.0))
+      .toDF("src", "dst", "weight")
+    val hg = graft.core.LinkGraph(he, directed = true, Some(3L))
+    val direct = graft.algos.PageRank.run(hg, fixedIters = Some(12)).ranks
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L until 3L).foreach(h => assert(math.abs(auth(h) - direct(h)) < 1e-12))
+    assert(auth(0L) == auth.values.max) // the all-links-in host dominates
+  }
+
   test("gopherStats: hand-computed doc + degenerate short docs") {
     val docs = Seq(
       // 6 words: "the cat sat on the mat": one dup word (the), 5 2-grams all
