@@ -462,6 +462,10 @@ object SparkEntry {
     "q_unigram_lm" -> ((s, dir) =>
       TextOps.unigramLogProb(Tables.read(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("logprob"), col("ppl"))),
+    // CCNet head/middle/tail perplexity buckets per language
+    "q_ppl_buckets" -> ((s, dir) =>
+      TextOps.perplexityBuckets(Tables.read(s, dir, "documents"), k = 3)
+        .select(col("doc_id"), col("lang"), col("bucket"))),
     // DSIR importance weights; target = every 50th doc (same split as
     // q_decontaminate), raw = the rest; 256 md5 feature buckets
     "q_dsir" -> ((s, dir) => {
@@ -1322,6 +1326,20 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |  ROUND(EXP(-AVG(LN((c + 1.0) / (total + 1.0 * v)))), 6) AS ppl
         |FROM toks t JOIN cnt ON cnt.w = t.w CROSS JOIN tv
         |GROUP BY t.doc_id""".stripMargin,
+    // same smoothed unigram LM, then per-language k=3 bucketing by
+    // (rounded ppl, doc_id) rank — the rounding is shared with the Spark
+    // side, so the orderings agree exactly
+    "q_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        |tv AS (SELECT COUNT(*) AS total, COUNT(DISTINCT w) AS v FROM toks),
+        |ppl AS (SELECT t.doc_id, ROUND(EXP(-AVG(LN((c + 1.0) / (total + 1.0 * v)))), 6) AS ppl
+        |  FROM toks t JOIN cnt ON cnt.w = t.w CROSS JOIN tv GROUP BY t.doc_id),
+        |scored AS (SELECT d.doc_id, d.lang, p.ppl FROM documents d JOIN ppl p ON p.doc_id = d.doc_id)
+        |SELECT doc_id, lang,
+        |  CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ppl, doc_id) - 1) * 3.0
+        |    / COUNT(*) OVER (PARTITION BY lang)) AS BIGINT) AS bucket
+        |FROM scored""".stripMargin,
     // DSIR: unigram+bigram features -> 256 md5 buckets; add-1 smoothing on
     // both distributions; logweight = sum ln(p_target/p_raw) per raw doc
     "q_dsir" ->

@@ -648,6 +648,33 @@ object TextOps {
         round(exp(-avg(logp)), 6).as("ppl"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+    * order documents by LM perplexity (fluent first) and cut into `k`
+    * equal-size buckets — bucket 0 is CCNet's "head", k-1 the "tail".
+    * Deterministic: ties in (rounded) ppl break by doc_id.
+    *
+    * Scale shape: NO per-language global Window (that would put a whole
+    * language in one task). The per-language rank is the repo's standard
+    * distributed dense-rank — [[graft.core.Ids.assignDense]] over the
+    * (lang, ppl, doc_id) sort key (range partition + per-partition
+    * offsets), then rank-within-language = global rank − the language's
+    * min rank (one tiny broadcast agg). bucket = floor(rank·k / n_lang).
+    */
+  def perplexityBuckets(docs: DataFrame, k: Int = 3, alpha: Double = 1.0): DataFrame = {
+    require(k >= 2, s"perplexityBuckets: need k >= 2, got $k")
+    val scored = unigramLogProb(docs, alpha)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(struct(col("lang"), col("ppl"), col("doc_id")).as("key"))
+    val ranked = graft.core.Ids.assignDense(scored, "key")
+      .select(col("key.doc_id").as("doc_id"), col("key.lang").as("lang"),
+        col("id").as("grank"))
+    val offs = ranked.groupBy("lang")
+      .agg(min("grank").as("lang_off"), count(lit(1)).as("n_lang"))
+    ranked.join(broadcast(offs), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        floor((col("grank") - col("lang_off")) * k / col("n_lang")).cast("long").as("bucket"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): score each raw document by how much
     * more likely its hashed n-gram features are under the TARGET

@@ -396,6 +396,27 @@ class TextSpec extends AnyFunSuite {
     assert(got(4L)._3 > got(1L)._3 && got(4L)._3 > got(2L)._3)
   }
 
+  test("perplexity buckets: per-language equal cuts, fluent docs land in head") {
+    // en: 6 docs — 3 corpus-average (low ppl), 3 all-rare (high ppl);
+    // de: 3 docs so the per-language offset logic is exercised
+    val docs = Seq(
+      (1L, "a a a b", "en"), (2L, "a b a b", "en"), (3L, "a a b b", "en"),
+      (4L, "z1 q1 w1", "en"), (5L, "z2 q2 w2", "en"), (6L, "z3 q3 w3", "en"),
+      (10L, "a b a", "de"), (11L, "a a b", "de"), (12L, "y8 y9 y7", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.perplexityBuckets(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.size == 9)
+    // en: 6 docs / 3 buckets = 2 each; the common-token docs fill head+middle
+    val enBuckets = got.filter(_._2._1 == "en").values.map(_._2).toSeq.sorted
+    assert(enBuckets == Seq(0L, 0L, 1L, 1L, 2L, 2L))
+    // the three all-rare en docs have the highest ppl -> middle+tail end
+    assert(Seq(4L, 5L, 6L).map(got(_)._2).sorted == Seq(1L, 2L, 2L))
+    // de: 3 docs / 3 buckets = 1 each; rare-token doc 12 is the tail
+    assert(Seq(10L, 11L, 12L).map(got(_)._2).sorted == Seq(0L, 1L, 2L))
+    assert(got(12L)._2 == 2L)
+  }
+
   test("DSIR weights: target-like docs outweigh off-target docs; brute parity") {
     // target talks about "alpha beta"; raw doc 1 matches it, doc 2 doesn't
     val target = Seq((100L, "alpha beta alpha beta alpha")).toDF("doc_id", "text")
