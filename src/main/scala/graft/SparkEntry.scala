@@ -553,6 +553,14 @@ object SparkEntry {
       TextOps.qualityLr(Tables.read(s, dir, "documents"),
         col("lang") === "en", buckets = 32, lr = 1.0, iters = 3)
         .select(col("doc_id"), col("y"), col("score"))),
+    // context-window chunking (sequence prep): 64-token windows, 16-token
+    // overlap (stride 48); the oracle re-derives every window by list
+    // slicing
+    "q_chunk" -> ((s, dir) =>
+      TextOps.chunkDocs(Tables.read(s, dir, "documents"),
+        chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))),
 
     // --- similarity search (embeddings) ---
     "q_ann_brute" -> ((s, dir) => {
@@ -625,6 +633,20 @@ object SparkEntry {
       val auth = WebOps.domainAuthority(g, hostOf, nHosts = 50, iters = 10)
       hostOf.join(auth, Seq("host"))
         .select(col("id"), col("host"), round(col("authority"), 6).as("authority"))
+    }),
+    // TrustRank + relative spam mass (Gyöngyi et al. 2004) over the same
+    // 50-host contraction: trusted seeds {0,7,13,21,34}, 10 iterations —
+    // the oracle unrolls BOTH chains (personalized + plain) and re-derives
+    // spam_mass = (PR - trust)/PR
+    "q_trustrank" -> ((s, dir) => {
+      val pages = Pages.generateArithmetic(s, n = 1000, outDeg = 8, partitions = 8)
+      val (_, g) = Pages.toGraph(pages)
+      val hostOf = g.vertices.select(col("id"), (col("id") % 50).as("host"))
+      WebOps.trustRank(g, hostOf, nHosts = 50,
+        trustedHosts = Seq(0L, 7L, 13L, 21L, 34L), iters = 10)
+        .select(col("host"), round(col("trust"), 6).as("trust"),
+          round(col("authority"), 6).as("authority"),
+          round(col("spam_mass"), 6).as("spam_mass"))
     })
   )
 
@@ -709,6 +731,47 @@ s$i AS (SELECT COALESCE(SUM(msg), 0) AS t FROM m$i),
 r$i AS MATERIALIZED (SELECT v.id, (${1 - d} + $d * GREATEST(1.0 - (SELECT t FROM s$i), 0)) * rz.reset + $d * COALESCE(m.msg, 0) AS r FROM v JOIN rz ON rz.id = v.id LEFT JOIN m$i m ON v.id = m.id)""")
     }
     sb.append(s"\nSELECT id, ROUND(r, 6) AS pagerank FROM r$k")
+    sb.toString
+  }
+
+  /** Unrolled k-iteration TrustRank over the 50-host contraction of the
+    * arithmetic page corpus: BOTH chains — personalized (reset on the
+    * trusted seed set, t-prefixed CTEs, dangling mass to the reset
+    * distribution) and plain PageRank (r-prefixed, uniform) — then
+    * spam_mass = (PR − trust)/PR re-derived at the end. Mirrors
+    * [[graft.text.WebOps.trustRank]] exactly.
+    */
+  private def trustrankSql(k: Int, damping: Double = 0.85): String = {
+    val d = damping
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pg AS (SELECT UNNEST(RANGE(0, 1000)) AS i),
+        |pe AS (SELECT i AS src, (i * 31 + 7 * jj.j + 1) % 1000 AS dst,
+        |  CAST(1.0 AS DOUBLE) AS weight FROM pg CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS j) jj),
+        |e AS MATERIALIZED (SELECT src % 50 AS src, dst % 50 AS dst, SUM(weight) AS weight
+        |  FROM pe GROUP BY 1, 2),
+        |v AS (SELECT UNNEST(RANGE(0, 50)) AS id),
+        |outd AS MATERIALIZED (SELECT src, SUM(weight) AS ow FROM e GROUP BY src),
+        |le AS (SELECT src, dst, SUM(weight) AS w FROM e GROUP BY src, dst),
+        |links AS MATERIALIZED (SELECT le.src, le.dst, le.w / o.ow AS p FROM le JOIN outd o ON le.src = o.src),
+        |nn AS (SELECT COUNT(*) AS n FROM v),
+        |rw AS (SELECT id, CASE WHEN id IN (0, 7, 13, 21, 34) THEN 1.0 ELSE 0.0 END AS w FROM v),
+        |rz AS MATERIALIZED (SELECT id, w / (SELECT SUM(w) FROM rw) AS reset FROM rw),
+        |t0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM v),
+        |r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM v)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+tm$i AS MATERIALIZED (SELECT l.dst AS id, SUM(l.p * r.r) AS msg FROM links l JOIN t${i - 1} r ON l.src = r.id GROUP BY l.dst),
+ts$i AS (SELECT COALESCE(SUM(msg), 0) AS t FROM tm$i),
+t$i AS MATERIALIZED (SELECT v.id, (${1 - d} + $d * GREATEST(1.0 - (SELECT t FROM ts$i), 0)) * rz.reset + $d * COALESCE(m.msg, 0) AS r FROM v JOIN rz ON rz.id = v.id LEFT JOIN tm$i m ON v.id = m.id),
+m$i AS MATERIALIZED (SELECT l.dst AS id, SUM(l.p * r.r) AS msg FROM links l JOIN r${i - 1} r ON l.src = r.id GROUP BY l.dst),
+s$i AS (SELECT COALESCE(SUM(msg), 0) AS t FROM m$i),
+r$i AS MATERIALIZED (SELECT v.id, ((${1 - d} + $d * GREATEST(1.0 - (SELECT t FROM s$i), 0)) * (1.0 / (SELECT n FROM nn))) + $d * COALESCE(m.msg, 0) AS r FROM v LEFT JOIN m$i m ON v.id = m.id)""")
+    }
+    sb.append(s"""
+SELECT t.id AS host, ROUND(t.r, 6) AS trust, ROUND(r.r, 6) AS authority,
+  ROUND((r.r - t.r) / r.r, 6) AS spam_mass
+FROM t$k t JOIN r$k r ON r.id = t.id""")
     sb.toString
   }
 
@@ -1159,6 +1222,7 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |FROM (SELECT UNNEST(RANGE(0, 1000)) AS i) p
          |JOIN ($hostPr) pr ON pr.id = p.i % 50""".stripMargin
     },
+    "q_trustrank" -> trustrankSql(10),
     "q_langid" -> {
       val cands = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
         val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
@@ -1211,6 +1275,17 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |SELECT t.doc_id, MD5(COALESCE(s.text2, '')) AS text_md5, t.n_lines,
         |  COALESCE(s.n_kept, 0) AS n_kept
         |FROM tot t LEFT JOIN st s USING (doc_id)""".stripMargin,
+    // context-window chunking: every 64-token window at stride 48,
+    // re-derived by list slicing (list bounds clamp in both engines)
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |nt AS (SELECT doc_id, toks, LEN(toks) AS n FROM t),
+        |c AS (SELECT doc_id, toks,
+        |  UNNEST(RANGE(1 + CAST(CEIL(GREATEST(n - 64, 0) / 48.0) AS BIGINT))) AS ci FROM nt)
+        |SELECT doc_id, ci AS chunk_id,
+        |  MD5(ARRAY_TO_STRING(toks[ci*48 + 1 : ci*48 + 64], ' ')) AS chunk_md5,
+        |  LEN(toks[ci*48 + 1 : ci*48 + 64]) AS n_tokens
+        |FROM c""".stripMargin,
     // logistic-regression quality classifier: the 3 GD steps unrolled as a
     // CTE chain over the same hashed-tf features (bias = bucket -1)
     "q_quality_lr" -> {

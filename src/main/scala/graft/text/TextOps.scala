@@ -817,4 +817,37 @@ object TextOps {
     scores(broadcast(w.toDF("b", "wv")))
       .select(col("doc_id"), col("y"), round(col("p"), 6).as("score"))
   }
+
+  /** Context-window chunking — split each document into overlapping
+    * fixed-size token windows, the sequence-preparation step that turns
+    * cleaned documents into training examples (every LLM pipeline ends
+    * here): chunk `i` covers tokens `[i·stride, i·stride + chunkTokens)`
+    * with `stride = chunkTokens − overlap`, so consecutive chunks share
+    * exactly `overlap` tokens and their stride-prefixes concatenate back to
+    * the original document. A document shorter than `chunkTokens` yields
+    * one (short) chunk; the last chunk may be short but is never empty.
+    *
+    * Scale shape: one `transform(sequence(...))` + `posexplode` projection —
+    * map-only, zero shuffle, whole-stage codegen; output rows ≈
+    * tokens/stride per document regardless of corpus size.
+    *
+    * Output: (doc_id, chunk_id, chunk_text, n_tokens).
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col("text"))
+    // chunks needed: 1 + ceil(max(n - chunkTokens, 0) / stride)
+    val extra = greatest(size(toks) - chunkTokens, lit(0))
+    val nChunks = (lit(1) + ceil(extra.cast("double") / stride)).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(
+        array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        size(slice(toks, i * stride + 1, lit(chunkTokens))).cast("long").as("n_tokens")))
+    docs.select(col("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col.chunk_text"), col("col.n_tokens"))
+  }
 }

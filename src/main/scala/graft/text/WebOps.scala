@@ -90,31 +90,74 @@ object WebOps {
       pages.join(block, host(col(urlCol)) === col("blocked_host"), "left_anti")
     }
 
-  /** Domain authority: PageRank over the HOST graph — the standard crawl
-    * quality prior (domain-level centrality as a per-document ranking
-    * signal, the posture of Common-Crawl domain ranking). The page graph is
-    * contracted by `hostOf` (id → dense host id, the
-    * `GraphOps.contract_vertices` shape: two hash joins + one weight-summing
-    * aggregate, so the contracted edge table is host-pair-scale), PageRank
-    * runs on the contracted graph with the engine's standard kernel, and
-    * the result is (host, authority).
-    *
-    * At 100 TB the host graph is ~10^7-8 vertices from 10^12 pages — the
-    * contraction is THE size reducer; everything after it is small-graph
-    * work. Join `authority` back to documents by host for the per-doc
-    * signal (see `q_domain_authority`).
+  /** Contract the page graph to its HOST graph: two hash joins against the
+    * (id → dense host id) map + one weight-summing aggregate, the
+    * `GraphOps.contract_vertices` shape — so the contracted edge table is
+    * host-pair-scale. At 100 TB the host graph is ~10^7-8 vertices from
+    * 10^12 pages: this contraction is THE size reducer, and everything
+    * downstream of it is small-graph work.
     *
     * @param hostOf (id, host) with dense host ids 0..nHosts-1
     */
-  def domainAuthority(g: graft.core.LinkGraph, hostOf: DataFrame, nHosts: Long,
-                      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  def hostGraph(g: graft.core.LinkGraph, hostOf: DataFrame,
+                nHosts: Long): graft.core.LinkGraph = {
     val he = g.weighted
       .join(hostOf.select(col("id").as("src"), col("host").as("hsrc")), Seq("src"))
       .join(hostOf.select(col("id").as("dst"), col("host").as("hdst")), Seq("dst"))
       .groupBy(col("hsrc").as("src"), col("hdst").as("dst"))
       .agg(sum("weight").as("weight"))
-    val hg = graft.core.LinkGraph(he, directed = g.directed, Some(nHosts))
-    graft.algos.PageRank.run(hg, damping = damping, fixedIters = Some(iters)).ranks
+    graft.core.LinkGraph(he, directed = g.directed, Some(nHosts))
+  }
+
+  /** Domain authority: PageRank over the HOST graph — the standard crawl
+    * quality prior (domain-level centrality as a per-document ranking
+    * signal, the posture of Common-Crawl domain ranking). PageRank runs on
+    * [[hostGraph]] with the engine's standard kernel; the result is
+    * (host, authority). Join back to documents by host for the per-doc
+    * signal (see `q_domain_authority`).
+    */
+  def domainAuthority(g: graft.core.LinkGraph, hostOf: DataFrame, nHosts: Long,
+                      iters: Int = 10, damping: Double = 0.85): DataFrame =
+    graft.algos.PageRank.run(hostGraph(g, hostOf, nHosts),
+      damping = damping, fixedIters = Some(iters)).ranks
       .select(col("id").as("host"), col("rank").as("authority"))
+
+  /** TrustRank + spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) —
+    * the classic web-spam prior: personalized PageRank over the HOST graph
+    * with the reset (teleport) mass restricted to a hand-vetted trusted seed
+    * set, so score can only flow out along links from good hosts; spam-heavy
+    * neighborhoods receive PageRank but no trust. Output per host:
+    *
+    *   - `trust`     — TrustRank score (reset on `trustedHosts`);
+    *   - `authority` — plain PageRank, same damping/iterations;
+    *   - `spam_mass` — the paper's RELATIVE spam-mass estimator
+    *     (PR − trust)/PR: the fraction of a host's PageRank NOT accounted
+    *     for by trusted sources (≈1 ⇒ rank is link-spam-driven, ≤0 ⇒
+    *     over-accounted, i.e. clean core).
+    *
+    * Scale shape: both runs share the contracted [[hostGraph]] (host-pair-
+    * scale), the reset vector is a Column expression over the host id space
+    * (never a collected map), and each run is the engine's standard PageRank
+    * kernel — the whole op is two small-graph PageRanks after one
+    * contraction, regardless of page count.
+    *
+    * @param trustedHosts dense host ids of the vetted seed set (non-empty)
+    */
+  def trustRank(g: graft.core.LinkGraph, hostOf: DataFrame, nHosts: Long,
+                trustedHosts: Seq[Long], iters: Int = 10,
+                damping: Double = 0.85): DataFrame = {
+    require(trustedHosts.nonEmpty, "trustRank needs a non-empty trusted seed set")
+    val hg = hostGraph(g, hostOf, nHosts)
+    val reset = hg.vertices.select(col("id"),
+      when(col("id").isin(trustedHosts: _*), lit(1.0)).otherwise(lit(0.0)).as("reset"))
+    val trust = graft.algos.PageRank.run(hg, damping = damping,
+      reset = Some(reset), fixedIters = Some(iters)).ranks
+      .select(col("id").as("host"), col("rank").as("trust"))
+    val auth = graft.algos.PageRank.run(hg, damping = damping,
+      fixedIters = Some(iters)).ranks
+      .select(col("id").as("host"), col("rank").as("authority"))
+    trust.join(auth, Seq("host"))
+      .select(col("host"), col("trust"), col("authority"),
+        ((col("authority") - col("trust")) / col("authority")).as("spam_mass"))
   }
 }

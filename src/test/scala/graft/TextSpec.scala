@@ -506,4 +506,43 @@ class TextSpec extends AnyFunSuite {
     val (en, de) = got.partition { case (_, (yy, _)) => yy == 1.0 }
     assert(en.values.map(_._2).min > de.values.map(_._2).max)
   }
+
+  test("chunkDocs: hand windows, overlap arithmetic, short docs") {
+    val d = Seq((0L, "a b c d e f g h i j"), (1L, "x y z"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    // chunk 4, overlap 2 (stride 2): 4 windows, each sharing 2 tokens
+    val c42 = TextOps.chunkDocs(d.where(col("doc_id") === 0), 4, 2)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(c42 == Seq((0L, "a b c d", 4L), (1L, "c d e f", 4L),
+      (2L, "e f g h", 4L), (3L, "g h i j", 4L)))
+    // overlap 0: exact partition, ragged tail
+    val c40 = TextOps.chunkDocs(d.where(col("doc_id") === 0), 4, 0)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getString(2), r.getLong(3))).toSeq
+    assert(c40 == Seq(("a b c d", 4L), ("e f g h", 4L), ("i j", 2L)))
+    // shorter than the window: ONE short chunk, never empty
+    val short = TextOps.chunkDocs(d.where(col("doc_id") > 0), 4, 1)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(short == Set((1L, "x y z", 3L), (2L, "solo", 1L)))
+  }
+
+  test("chunkDocs: stride-prefix concatenation reconstructs every document") {
+    val (chunk, overlap) = (16, 5)
+    val stride = chunk - overlap
+    val chunks = TextOps.chunkDocs(docs, chunk, overlap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val original = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == original.keySet)
+    chunks.foreach { case (id, cs) =>
+      val rebuilt = (cs.init.map(_.split(" ", -1).take(stride).mkString(" "))
+        :+ cs.last).mkString(" ")
+      assert(rebuilt == original(id), s"doc $id failed to reconstruct")
+      // every window is at most `chunk` tokens; all but the last exactly
+      cs.init.foreach(c => assert(c.split(" ", -1).length == chunk))
+      assert(cs.last.split(" ", -1).length <= chunk)
+    }
+  }
 }

@@ -77,6 +77,32 @@ class WebOpsSpec extends AnyFunSuite {
     assert(auth(0L) == auth.values.max) // the all-links-in host dominates
   }
 
+  test("trustRank: trust stays in the seed-reachable set; spam mass flags the rest") {
+    // two disconnected host pairs: {0,1} mutual (0 trusted), {2,3} mutual
+    // (a link farm) — identical link structure, so plain PageRank can't
+    // tell them apart but TrustRank can
+    val g = graft.core.LinkGraph(spark, 4,
+      Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)), directed = true)
+    val hostOf = g.vertices.select(col("id"), col("id").as("host"))
+    val tr = WebOps.trustRank(g, hostOf, nHosts = 4, trustedHosts = Seq(0L),
+      iters = 60)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // trust is a distribution (dangling-free graph): sums to 1
+    assert(math.abs(tr.values.map(_._1).sum - 1.0) < 1e-9)
+    // plain PageRank is symmetric across the two pairs: 0.25 each
+    tr.values.foreach { case (_, auth, _) => assert(math.abs(auth - 0.25) < 1e-9) }
+    // the farm gets (geometrically vanishing) trust and spam_mass ≈ 1;
+    // the trusted pair's rank is over-accounted by trust (clean core)
+    assert(tr(2L)._1 < 1e-4 && tr(3L)._1 < 1e-4)
+    assert(tr(2L)._3 > 0.999 && tr(3L)._3 > 0.999)
+    assert(tr(0L)._3 < 0 && tr(1L)._3 < 0)
+    // converged closed form for the trusted pair: t0 = 1/(1+d), t1 = d/(1+d)
+    // (geometric convergence: residual ~ 0.85^60 ≈ 6e-5 at 60 iterations)
+    assert(math.abs(tr(0L)._1 - 1 / 1.85) < 1e-4)
+    assert(math.abs(tr(1L)._1 - 0.85 / 1.85) < 1e-4)
+  }
+
   test("gopherStats: hand-computed doc + degenerate short docs") {
     val docs = Seq(
       // 6 words: "the cat sat on the mat": one dup word (the), 5 2-grams all
