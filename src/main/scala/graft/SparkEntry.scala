@@ -494,6 +494,22 @@ object SparkEntry {
       .select(col("doc_id"), synthUrl(col("doc_id")).as("url"), col("text")))
       .select(col("host"), col("n_pages"), col("n_urls"),
         col("total_chars").cast("long").as("total_chars"), col("mean_chars"))),
+    // per-domain cap (FineWeb "no domain dominates"): keep the 5 largest
+    // docs per host, n_chars-descending with doc_id tiebreak
+    "q_domain_cap" -> ((s, dir) => WebOps.capPerDomain(
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), synthUrl(col("doc_id")).as("url"), col("n_chars")),
+      maxPerDomain = 5, orderCol = "n_chars")
+      .select(col("doc_id"), col("host"), col("rk"))),
+    // incremental cross-snapshot dedup: docs with doc_id % 3 = 0 are the
+    // "previous crawl"; the rest are the new snapshot, flagged novel iff
+    // their content hash was never seen before
+    "q_dedup_incr" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val seen = TextOps.seenHashes(docs.where(col("doc_id") % 3 === 0))
+      TextOps.dedupIncremental(docs.where(col("doc_id") % 3 =!= 0), seen)
+        .select(col("doc_id"), col("text_md5"), col("is_new"))
+    }),
     // composite pipeline: per-domain quality rollup of the Gopher stats —
     // the "which domains do we keep" decision table of a crawl pipeline
     "q_domain_quality" -> ((s, dir) => {
@@ -1453,6 +1469,20 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
         |  ROUND(AVG(LENGTH(text) * 1.0), 6) AS mean_chars
         |FROM nu JOIN documents d ON d.doc_id = nu.doc_id GROUP BY host""".stripMargin),
+    "q_domain_cap" -> (s"WITH $urlSynthSql,\n" +
+      """h AS (SELECT u.doc_id, d.n_chars,
+        |  LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
+        |  FROM u JOIN documents d ON d.doc_id = u.doc_id),
+        |r AS (SELECT doc_id, host, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY host ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk FROM h)
+        |SELECT doc_id, host, rk FROM r WHERE rk <= 5""".stripMargin),
+    "q_dedup_incr" ->
+      """WITH seen AS (SELECT DISTINCT MD5(text) AS text_md5 FROM documents
+        |  WHERE doc_id % 3 = 0)
+        |SELECT d.doc_id, MD5(d.text) AS text_md5,
+        |  CASE WHEN seen.text_md5 IS NULL THEN 1 ELSE 0 END AS is_new
+        |FROM documents d LEFT JOIN seen ON seen.text_md5 = MD5(d.text)
+        |WHERE d.doc_id % 3 <> 0""".stripMargin,
     "q_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang, MD5('42|' || doc_id::VARCHAR) AS hx FROM documents),
         |u AS (SELECT doc_id, lang,

@@ -850,4 +850,35 @@ object TextOps {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         col("col.chunk_text"), col("col.n_tokens"))
   }
+
+  /** The seen-content hash table of a processed snapshot: distinct md5 of
+    * every document text. This is what an incremental crawl pipeline
+    * persists between snapshots (hash column only — 32 bytes/doc, not the
+    * corpus).
+    */
+  def seenHashes(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("text_md5")).distinct()
+
+  /** Incremental (cross-snapshot) exact dedup: flag each new-snapshot
+    * document as novel iff its content hash is absent from the previously
+    * `seen` hash table (CommonCrawl-style "only keep pages not already in an
+    * earlier crawl"). Keeps every row with an `is_new` flag rather than
+    * dropping, so downstream stats can count both sides; filter
+    * `is_new = 1` for the anti-join semantics.
+    *
+    * Scale shape: one hash join on the 16-byte digest. The seen table for a
+    * 10^12-doc history is too big to broadcast, so this is a shuffle hash
+    * join on the hash key — and because the probe is highly selective when
+    * snapshots overlap heavily, Spark's runtime row-level Bloom filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) prunes the probe
+    * side before the shuffle, which is exactly the Bloom-filter pre-pass the
+    * hand-rolled pipelines (CCNet, Dolma) implement manually.
+    */
+  def dedupIncremental(newDocs: DataFrame, seen: DataFrame): DataFrame =
+    newDocs.withColumn("text_md5", md5(col("text")))
+      .join(seen.select(col("text_md5")).distinct()
+          .withColumn("seen_flag", lit(1L)),
+        Seq("text_md5"), "left")
+      .withColumn("is_new", when(col("seen_flag").isNull, 1L).otherwise(0L))
+      .drop("seen_flag")
 }

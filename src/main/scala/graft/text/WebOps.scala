@@ -160,4 +160,30 @@ object WebOps {
       .select(col("host"), col("trust"), col("authority"),
         ((col("authority") - col("trust")) / col("authority")).as("spam_mass"))
   }
+
+  /** Per-domain cap (the FineWeb/Gopher "no single domain dominates the
+    * corpus" rule): keep at most `maxPerDomain` documents per host, ranked
+    * by `orderCol` DESCENDING with ascending-id tiebreak so the selection is
+    * deterministic. Output = the kept rows plus (host, rk).
+    *
+    * Scale shape: one hash shuffle on host, then a per-host sort — never a
+    * global sort. The sort key set per task is bounded by the largest host's
+    * page count; a pathological mega-host (10^8 pages of 10^12) still sorts
+    * locally inside one task, and because only `maxPerDomain` rows survive,
+    * a pre-prune is available when that ever dominates: a map-side
+    * `slice(array_sort(collect_list(struct(...))), 1, N)` partial aggregate
+    * per (input-partition, host) bounds shuffle input to N rows per host per
+    * partition. Kept as the straightforward window until measurement says
+    * otherwise.
+    */
+  def capPerDomain(pages: DataFrame, maxPerDomain: Int, orderCol: String,
+                   urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    pages.withColumn("host", host(col(urlCol)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= maxPerDomain)
+  }
 }

@@ -545,4 +545,28 @@ class TextSpec extends AnyFunSuite {
       assert(cs.last.split(" ", -1).length <= chunk)
     }
   }
+
+  test("dedupIncremental: novel iff content hash unseen in the prior snapshot") {
+    val old = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta"),   // seen verbatim -> not new
+      (11L, "gamma delta"),  // seen verbatim -> not new
+      (12L, "epsilon zeta"), // novel
+      (13L, "epsilon zeta")  // novel (within-snapshot dupes are NOT this op's job)
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupIncremental(fresh, TextOps.seenHashes(old))
+      .select("doc_id", "is_new").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 0L, 11L -> 0L, 12L -> 1L, 13L -> 1L))
+    // corpus-scale sanity: splitting documents by id and re-flagging keeps
+    // exactly the texts absent from the other half
+    val seen = TextOps.seenHashes(docs.where(col("doc_id") % 3 === 0))
+    val flagged = TextOps.dedupIncremental(docs.where(col("doc_id") % 3 =!= 0), seen)
+    val oldTexts = docs.where(col("doc_id") % 3 === 0)
+      .select("text").collect().map(_.getString(0)).toSet
+    flagged.select("doc_id", "is_new").join(docs, "doc_id").collect().foreach { r =>
+      val expect = if (oldTexts.contains(r.getAs[String]("text"))) 0L else 1L
+      assert(r.getAs[Long]("is_new") == expect, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
 }

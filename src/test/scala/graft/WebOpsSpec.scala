@@ -131,4 +131,22 @@ class WebOpsSpec extends AnyFunSuite {
     assert(math.abs(d2.getAs[Double]("top_2gram_char_frac") - 45.0 / 29) < 1e-4)
     assert(d2.getAs[Int]("gopher_pass") == 0) // fails repetition rules
   }
+
+  test("capPerDomain: top-N per host by order column, deterministic tiebreak") {
+    val pages = Seq(
+      (0L, "https://a.com/x", 100L), (1L, "https://a.com/y", 300L),
+      (2L, "https://a.com/z", 200L), (3L, "https://a.com/w", 300L),
+      (4L, "https://b.com/1", 50L)).toDF("doc_id", "url", "n_chars")
+    val kept = WebOps.capPerDomain(pages, maxPerDomain = 2, orderCol = "n_chars")
+      .select("doc_id", "host", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // a.com: 300-chars docs 1 and 3 win, tie broken by ascending doc_id
+    assert(kept.toSeq == Seq((1L, "a.com", 1L), (3L, "a.com", 2L), (4L, "b.com", 1L)))
+    // the cap holds per host and every host survives with >=1 page
+    val big = WebOps.capPerDomain(pages, maxPerDomain = 1, orderCol = "n_chars")
+    assert(big.groupBy("host").count().collect().forall(_.getLong(1) == 1L))
+    intercept[IllegalArgumentException] {
+      WebOps.capPerDomain(pages, maxPerDomain = 0, orderCol = "n_chars")
+    }
+  }
 }
