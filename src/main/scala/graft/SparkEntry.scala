@@ -510,6 +510,33 @@ object SparkEntry {
       TextOps.dedupIncremental(docs.where(col("doc_id") % 3 =!= 0), seen)
         .select(col("doc_id"), col("text_md5"), col("is_new"))
     }),
+    // anchor-text aggregation: deterministic synthetic link table (each doc
+    // links to 3 targets, anchor = a 3-word window of the source text),
+    // then top-3 anchor terms per target by inlink count
+    "q_anchor_text" -> ((s, dir) => {
+      val links = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(((col("doc_id") * 31 + col("j") * 7) % 500).cast("long").as("dst"),
+          array_join(slice(split(col("text"), " ", -1),
+            col("j") * 2 + 1, lit(3)), " ").as("anchor"))
+      WebOps.anchorText(links, topK = 3)
+        .select(col("dst"), col("term"), col("cnt"), col("rk"))
+    }),
+    // redirect-chain resolution: docs with doc_id % 4 <> 0 redirect to
+    // doc_id - 1 (chains of length up to 3), except 13<->17 which form a
+    // 2-cycle; resolve every source to its final target via pointer
+    // doubling, cycle-feeding sources flagged with -1 sentinels
+    "q_redirects" -> ((s, dir) => {
+      val red = Tables.read(s, dir, "documents")
+        .where(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id").as("src"),
+          when(col("doc_id") === 13, 17L).when(col("doc_id") === 17, 13L)
+            .otherwise(col("doc_id") - 1).as("dst"))
+      WebOps.resolveRedirects(red)
+        .select(col("src"), coalesce(col("final_dst"), lit(-1L)).as("final_dst"),
+          coalesce(col("hops"), lit(-1L)).as("hops"), col("is_cycle"))
+    }),
     // composite pipeline: per-domain quality rollup of the Gopher stats —
     // the "which domains do we keep" decision table of a crawl pipeline
     "q_domain_quality" -> ((s, dir) => {
@@ -1483,6 +1510,34 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
         |  CASE WHEN seen.text_md5 IS NULL THEN 1 ELSE 0 END AS is_new
         |FROM documents d LEFT JOIN seen ON seen.text_md5 = MD5(d.text)
         |WHERE d.doc_id % 3 <> 0""".stripMargin,
+    "q_anchor_text" ->
+      """WITH l AS (SELECT (d.doc_id * 31 + t.j * 7) % 500 AS dst,
+        |    ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(d.text, ' '),
+        |      t.j * 2 + 1, t.j * 2 + 3), ' ') AS anchor
+        |  FROM documents d, range(1, 4) t(j)),
+        |tm AS (SELECT dst, term FROM (
+        |    SELECT dst, UNNEST(STRING_SPLIT(LOWER(anchor), ' ')) AS term FROM l)
+        |  WHERE term <> ''),
+        |c AS (SELECT dst, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tm GROUP BY 1, 2),
+        |r AS (SELECT dst, term, cnt, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY dst ORDER BY cnt DESC, term) AS BIGINT) AS rk FROM c)
+        |SELECT dst, term, cnt, rk FROM r WHERE rk <= 3""".stripMargin,
+    "q_redirects" ->
+      """WITH RECURSIVE red AS (SELECT doc_id AS src,
+        |    CASE WHEN doc_id = 13 THEN 17 WHEN doc_id = 17 THEN 13
+        |         ELSE doc_id - 1 END AS dst
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |walk(src, cur, hops) AS (
+        |  SELECT src, dst, CAST(1 AS BIGINT) FROM red
+        |  UNION ALL
+        |  SELECT w.src, r.dst, w.hops + 1 FROM walk w
+        |  JOIN red r ON r.src = w.cur WHERE w.hops < 520),
+        |resolved AS (SELECT w.src, w.cur AS final_dst, w.hops FROM walk w
+        |  WHERE w.cur NOT IN (SELECT src FROM red))
+        |SELECT src, final_dst, hops, CAST(0 AS BIGINT) AS is_cycle FROM resolved
+        |UNION ALL
+        |SELECT src, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM red WHERE src NOT IN (SELECT src FROM resolved)""".stripMargin,
     "q_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang, MD5('42|' || doc_id::VARCHAR) AS hx FROM documents),
         |u AS (SELECT doc_id, lang,

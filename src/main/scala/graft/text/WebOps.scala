@@ -186,4 +186,77 @@ object WebOps {
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= maxPerDomain)
   }
+
+  /** Anchor-text aggregation: for every link target, the top-`topK` anchor
+    * terms by inlink count — the classic web-search relevance signal
+    * ("what the web calls this page"), and a labeling source for
+    * training-data pipelines. Input is a link table with a target column
+    * and the raw anchor string of each link; output is
+    * (dst, term, cnt, rk) with rk = 1..topK per target, ties broken by
+    * ascending term so the selection is deterministic.
+    *
+    * Scale shape: term explode is map-only; the (dst, term) count is one
+    * hash aggregate with map-side partial combine (the heavy lifting — at
+    * 10^12 links the combine collapses each task's repeats before the
+    * shuffle); the top-k is a window partitioned by dst over the
+    * ALREADY-AGGREGATED rows, whose per-target cardinality is the target's
+    * distinct-anchor-vocabulary, not its inlink count — hub pages with 10^8
+    * inlinks but a few thousand distinct anchor terms sort locally in one
+    * task.
+    */
+  def anchorText(links: DataFrame, topK: Int, dstCol: String = "dst",
+                 anchorCol: String = "anchor"): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val terms = links.select(
+      col(dstCol).as("dst"),
+      explode(filter(split(lower(col(anchorCol)), " ", -1), t => t =!= "")).as("term"))
+    val counts = terms.groupBy("dst", "term").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("cnt").desc, col("term").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topK)
+  }
+
+  /** Redirect-chain resolution by pointer doubling: given a functional
+    * redirect map (each `src` redirects to exactly one `dst`), resolve every
+    * source to its FINAL target — the first node in its chain that is not
+    * itself a redirect — with the hop count, and flag sources whose chain
+    * never terminates (they sit on, or feed into, a redirect cycle).
+    * Output: (src, final_dst, hops, is_cycle); cycle rows carry NULL
+    * final_dst/hops.
+    *
+    * Scale shape: this is list ranking. Following chains one hop per round
+    * is O(longest chain) joins — a 10^4-hop redirect chain (they exist in
+    * real crawls) would take 10^4 shuffles. Pointer doubling composes the
+    * map with itself each round (`m_{k+1}(u) = m_k(m_k(u))`, hops added),
+    * so round k covers 2^k hops: ceil(log2 n) + 1 self-joins TOTAL, each a
+    * hash join on the current-target key. After the last round, any source
+    * still pointing at another source is provably cyclic. Rounds are
+    * localCheckpointed to keep lineage flat.
+    */
+  def resolveRedirects(redirects: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst"): DataFrame = {
+    val m0 = redirects.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"), lit(1L).as("h"))
+    val n = m0.count()
+    if (n == 0) return m0.select(col("u").as("src"), col("v").as("final_dst"),
+      col("h").as("hops"), lit(0L).as("is_cycle")).where(lit(false))
+    val rounds = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) + 1
+    var m = m0.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val jump = m.select(col("u").as("v"), col("v").as("v2"), col("h").as("h2"))
+      m = m.join(jump, Seq("v"), "left")
+        .select(col("u"),
+          coalesce(col("v2"), col("v")).as("v"),
+          when(col("v2").isNotNull, col("h") + col("h2")).otherwise(col("h")).as("h"))
+        .localCheckpoint(true)
+    }
+    // still pointing at a redirect source after 2^rounds >= n hops => cyclic
+    val srcs = m0.select(col("u").as("v")).distinct().withColumn("cyc", lit(1L))
+    m.join(srcs, Seq("v"), "left")
+      .select(col("u").as("src"),
+        when(col("cyc").isNull, col("v")).as("final_dst"),
+        when(col("cyc").isNull, col("h")).as("hops"),
+        coalesce(col("cyc"), lit(0L)).as("is_cycle"))
+  }
 }

@@ -149,4 +149,44 @@ class WebOpsSpec extends AnyFunSuite {
       WebOps.capPerDomain(pages, maxPerDomain = 0, orderCol = "n_chars")
     }
   }
+
+  test("anchorText: top-k terms per target, count-desc with term tiebreak") {
+    val links = Seq(
+      (1L, "Cheap Flights"), (1L, "cheap   flights"), (1L, "flights"),
+      (1L, "best cheap deals"), (1L, "deals"),
+      (2L, "zz aa")).toDF("dst", "anchor")
+    val out = WebOps.anchorText(links, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    // dst 1: cheap=3, flights=3, deals=2, best=1 -> top2 = cheap, flights
+    //        (tie on 3 broken alphabetically); case folded; runs of spaces
+    //        produce no empty terms
+    // dst 2: aa=1, zz=1 -> alphabetical
+    assert(out.toSeq == Seq(
+      (1L, "cheap", 3L, 1L), (1L, "flights", 3L, 2L),
+      (2L, "aa", 1L, 1L), (2L, "zz", 1L, 2L)))
+    intercept[IllegalArgumentException] { WebOps.anchorText(links, topK = 0) }
+  }
+
+  test("resolveRedirects: chains, terminals, cycles and cycle-feeders") {
+    // 7->6->5->4 (terminal), 1->0 (terminal), 13<->17 cycle, 14->13 feeds it
+    val red = Seq((7L, 6L), (6L, 5L), (5L, 4L), (1L, 0L),
+      (13L, 17L), (17L, 13L), (14L, 13L)).toDF("src", "dst")
+    val out = WebOps.resolveRedirects(red).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L, 0L), (5L, 4L, 1L, 0L), (6L, 4L, 2L, 0L), (7L, 4L, 3L, 0L),
+      (13L, -1L, -1L, 1L), (14L, -1L, -1L, 1L), (17L, -1L, -1L, 1L)))
+    // empty map resolves to an empty result with the right schema
+    val empty = WebOps.resolveRedirects(Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(empty.columns.toSeq == Seq("src", "final_dst", "hops", "is_cycle"))
+    assert(empty.count() == 0)
+    // a long chain (64 hops) resolves with exact hop counts in log rounds
+    val chain = (1L to 64L).map(i => (i, i - 1)).toDF("src", "dst")
+    val far = WebOps.resolveRedirects(chain).where(col("src") === 64L).collect()
+    assert(far.head.getLong(1) == 0L && far.head.getLong(2) == 64L)
+  }
 }
