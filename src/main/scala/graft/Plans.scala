@@ -113,6 +113,23 @@ object Plans {
     // no single-partition Window) + two broadcast-eligible rank joins
     dump("feedback arc set (degree-delta rank → backward arcs)",
       graft.ops.Extras.feedbackArcSet(g))
+
+    // round-5 web-graph ops
+    // anchor text: explode is map-only; ONE partial-combine hash agg on
+    // (dst, term); the window runs over the already-aggregated per-target
+    // vocabulary (small), never the raw inlink rows
+    dump("anchor-text top-k (explode → partial agg → bounded window)",
+      graft.text.WebOps.anchorText(
+        Tables.read(spark, dir, "documents")
+          .select((col("doc_id") % 97).as("dst"), col("text").as("anchor")),
+        topK = 3))
+    // redirect resolution: each pointer-doubling round is ONE hash
+    // self-join on the current-target key — ceil(log2 n)+1 rounds total,
+    // lineage cut by localCheckpoint so the plan below is one round deep
+    dump("redirect resolution (one pointer-doubling round)",
+      graft.text.WebOps.resolveRedirects(
+        Tables.read(spark, dir, "documents").where(col("doc_id") % 4 =!= 0)
+          .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))))
     spark.stop()
   }
 }

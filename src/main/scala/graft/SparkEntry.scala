@@ -677,6 +677,16 @@ object SparkEntry {
       hostOf.join(auth, Seq("host"))
         .select(col("id"), col("host"), round(col("authority"), 6).as("authority"))
     }),
+    // link-farm signal: reciprocity of the 50-host contraction — the
+    // fraction of inter-domain link pairs that are mutual (link exchanges /
+    // farms push this up; Gyöngyi et al.'s spam-mass companion statistic)
+    "q_host_reciprocity" -> ((s, dir) => {
+      val pages = Pages.generateArithmetic(s, n = 1000, outDeg = 8, partitions = 8)
+      val (_, g) = Pages.toGraph(pages)
+      val hostOf = g.vertices.select(col("id"), (col("id") % 50).as("host"))
+      scalar(s, "reciprocity",
+        GraphOps.reciprocity(WebOps.hostGraph(g, hostOf, nHosts = 50)))
+    }),
     // TrustRank + relative spam mass (Gyöngyi et al. 2004) over the same
     // 50-host contraction: trusted seeds {0,7,13,21,34}, 10 iterations —
     // the oracle unrolls BOTH chains (personalized + plain) and re-derives
@@ -1266,6 +1276,15 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |JOIN ($hostPr) pr ON pr.id = p.i % 50""".stripMargin
     },
     "q_trustrank" -> trustrankSql(10),
+    "q_host_reciprocity" ->
+      """WITH pe AS (SELECT i AS src, (i * 31 + 7 * jj.j + 1) % 1000 AS dst
+        |  FROM (SELECT UNNEST(RANGE(0, 1000)) AS i)
+        |  CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS j) jj),
+        |de AS (SELECT DISTINCT src % 50 AS src, dst % 50 AS dst FROM pe
+        |  WHERE src % 50 <> dst % 50)
+        |SELECT ROUND((SELECT COUNT(*) FROM de x JOIN de y
+        |    ON x.src = y.dst AND x.dst = y.src) * 1.0
+        |  / (SELECT COUNT(*) FROM de), 6) AS reciprocity""".stripMargin,
     "q_langid" -> {
       val cands = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
         val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
