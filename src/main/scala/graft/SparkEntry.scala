@@ -677,6 +677,14 @@ object SparkEntry {
       hostOf.join(auth, Seq("host"))
         .select(col("id"), col("host"), round(col("authority"), 6).as("authority"))
     }),
+    // crawl-frontier prioritization: crawled = ids divisible by 3; rank
+    // uncrawled pages by inlinks from crawled pages, top-20
+    "q_frontier" -> ((s, dir) => {
+      val g = Tables.eventsGraph(s, dir)
+      val crawled = g.vertices.where(col("id") % 3 === 0)
+      WebOps.frontier(g.weighted.select("src", "dst"), crawled, k = 20)
+        .select(col("id"), col("n_inlinks"), col("rk"))
+    }),
     // link-farm signal: reciprocity of the 50-host contraction — the
     // fraction of inter-domain link pairs that are mutual (link exchanges /
     // farms push this up; Gyöngyi et al.'s spam-mass companion statistic)
@@ -1276,6 +1284,16 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |JOIN ($hostPr) pr ON pr.id = p.i % 50""".stripMargin
     },
     "q_trustrank" -> trustrankSql(10),
+    "q_frontier" ->
+      s"""WITH $E,
+         |c AS (SELECT id FROM v WHERE id % 3 = 0),
+         |f AS (SELECT e.dst AS id, CAST(COUNT(*) AS BIGINT) AS n_inlinks
+         |  FROM e WHERE e.src IN (SELECT id FROM c)
+         |    AND e.dst NOT IN (SELECT id FROM c)
+         |  GROUP BY e.dst),
+         |r AS (SELECT id, n_inlinks, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY n_inlinks DESC, id) AS BIGINT) AS rk FROM f)
+         |SELECT id, n_inlinks, rk FROM r WHERE rk <= 20""".stripMargin,
     "q_host_reciprocity" ->
       """WITH pe AS (SELECT i AS src, (i * 31 + 7 * jj.j + 1) % 1000 AS dst
         |  FROM (SELECT UNNEST(RANGE(0, 1000)) AS i)

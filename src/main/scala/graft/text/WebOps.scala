@@ -259,4 +259,31 @@ object WebOps {
         when(col("cyc").isNull, col("h")).as("hops"),
         coalesce(col("cyc"), lit(0L)).as("is_cycle"))
   }
+
+  /** Crawl-frontier prioritization: given the link graph and the set of
+    * already-crawled pages, rank the UNcrawled pages by how many crawled
+    * pages link to them (indegree-from-crawled — the greedy approximation
+    * of OPIC/BFS-by-popularity frontier ordering every large crawler
+    * starts from). Returns the top-`k` frontier candidates as
+    * (id, n_inlinks, rk), count-descending with ascending-id tiebreak.
+    *
+    * Scale shape: edges semi-join crawled on src (one hash join — broadcast
+    * when the crawled set is a seed list, shuffle when it's 10^11 pages),
+    * anti-join on dst, one partial-combine count aggregate, and a global
+    * top-k — which Spark executes as per-partition top-k + a k-row driver
+    * merge (TakeOrderedAndProject), never a full sort of the frontier.
+    */
+  def frontier(edges: DataFrame, crawled: DataFrame, k: Int,
+               idCol: String = "id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val c = crawled.select(col(idCol).as("cid")).distinct()
+    edges.join(c.withColumnRenamed("cid", "src"), Seq("src"), "semi")
+      .join(c.withColumnRenamed("cid", "dst"), Seq("dst"), "anti")
+      .groupBy(col("dst").as("id")).agg(count(lit(1)).as("n_inlinks"))
+      .orderBy(col("n_inlinks").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_inlinks").desc, col("id").asc)).cast("long"))
+  }
 }

@@ -189,4 +189,17 @@ class WebOpsSpec extends AnyFunSuite {
     val far = WebOps.resolveRedirects(chain).where(col("src") === 64L).collect()
     assert(far.head.getLong(1) == 0L && far.head.getLong(2) == 64L)
   }
+
+  test("frontier: indegree-from-crawled ranking of uncrawled pages") {
+    val edges = Seq((0L, 10L), (0L, 11L), (1L, 10L), (2L, 12L),
+      (10L, 11L), (5L, 13L), (1L, 0L)).toDF("src", "dst")
+    val crawled = Seq(0L, 1L, 2L).toDF("id")
+    val out = WebOps.frontier(edges, crawled, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 10 has 2 crawled inlinks; 11 and 12 tie at 1 (10->11 doesn't count:
+    // 10 is uncrawled; 5->13 doesn't count: 5 is uncrawled; 1->0 excluded:
+    // 0 is already crawled) -> id tiebreak keeps 11; k=2 bounds the output
+    assert(out.toSeq == Seq((10L, 2L, 1L), (11L, 1L, 2L)))
+    intercept[IllegalArgumentException] { WebOps.frontier(edges, crawled, 0) }
+  }
 }
