@@ -92,4 +92,45 @@ object Matching {
   /** Matching size (matched pairs). */
   def matchingSize(matching: DataFrame): Long =
     matching.where(col("mate") >= 0).count() / 2
+
+  /** `Matching.is_matching` — reference `_is_matching`
+    * (`graphobject.c` matching block; Python `Matching` wrapper in
+    * `__init__.py`): a (id, mate) vector is a valid matching iff it is
+    * symmetric (`mate(mate(v)) == v` for every matched v) and every matched
+    * pair is an actual edge. Distributed: one self-join on the matched rows
+    * (symmetry) + one anti-join against the edge table (existence) — both
+    * matching-vector-sized, broadcast-eligible against a big edge table.
+    */
+  def isMatching(g: LinkGraph, matching: DataFrame): Boolean = {
+    val m = matching.select(col("id"), col("mate")).where(col("mate") >= 0)
+    val asym = m.alias("a")
+      .join(m.select(col("id").as("bid"), col("mate").as("bmate")),
+        col("a.mate") === col("bid"), "left")
+      .where(col("bid").isNull || col("bmate") =!= col("a.id"))
+      .count()
+    if (asym > 0) return false
+    val e = g.weighted.select("src", "dst")
+    val missing = m.where(col("id") < col("mate"))
+      .join(e, (col("id") === col("src") && col("mate") === col("dst")) ||
+        (col("id") === col("dst") && col("mate") === col("src")), "left_anti")
+      .count()
+    missing == 0
+  }
+
+  /** `Matching.is_maximal` — reference `_is_maximal_matching`: a valid
+    * matching with no augmenting EDGE, i.e. every non-loop edge has at
+    * least one matched endpoint (goldens `tests/test_matching.py:47-50`).
+    * Distributed: two semi-joins of the edge table against the unmatched
+    * vertex set (loops skipped — a loop can never be in a matching).
+    */
+  def isMaximalMatching(g: LinkGraph, matching: DataFrame): Boolean = {
+    if (!isMatching(g, matching)) return false
+    val unmatched = g.vertices
+      .join(matching.where(col("mate") >= 0).select(col("id")), Seq("id"), "left_anti")
+    val augmentable = g.weighted.where(col("src") =!= col("dst"))
+      .join(unmatched.select(col("id").as("src")), Seq("src"), "semi")
+      .join(unmatched.select(col("id").as("dst")), Seq("dst"), "semi")
+      .count()
+    augmentable == 0
+  }
 }

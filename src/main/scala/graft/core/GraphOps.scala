@@ -431,6 +431,75 @@ object GraphOps {
     LinkGraph(e, g.directed, None)
   }
 
+  /** `add_vertices(k)` (`graphobject.c:12203`): k new isolated vertices.
+    * Immutable-snapshot semantics — the edge table is shared, only the
+    * explicit vertex count grows (the reference's implicit 0..n-1 set).
+    */
+  def addVertices(g: LinkGraph, k: Long): LinkGraph = {
+    require(k >= 0, s"add_vertices: k must be >= 0, got $k")
+    LinkGraph(g.edges, g.directed, Some(g.vcount() + k))
+  }
+
+  /** `add_edges(pairs)` (`graphobject.c:12218`): append edge instances
+    * (multi-edges allowed, exactly like the reference); endpoints must be
+    * in range when the vertex count is explicit (the reference raises).
+    * Pure union — the new snapshot shares the old edge table's lineage.
+    */
+  def addEdges(g: LinkGraph, pairs: Seq[(Long, Long)]): LinkGraph = {
+    val spark = g.spark
+    import spark.implicits._
+    g.numVertices.foreach { n =>
+      val bad = pairs.find(p => p._1 < 0 || p._1 >= n || p._2 < 0 || p._2 >= n)
+      require(bad.isEmpty, s"add_edges: endpoint out of range 0..${n - 1}: ${bad.get}")
+    }
+    val add = pairs.toDF("src", "dst").withColumn("weight", lit(1.0))
+    LinkGraph(g.weighted.unionByName(add), g.directed, g.numVertices)
+  }
+
+  /** `delete_edges(pairs)` (`graphobject.c:12227`): remove every edge
+    * instance matching the given pairs (both orientations when
+    * undirected). The reference deletes by edge id; this engine's
+    * canonical edge ids are per-(src,dst) pair ([[getEids]]), under which
+    * pair-delete and id-delete coincide. One broadcast anti-join.
+    */
+  def deleteEdges(g: LinkGraph, pairs: Seq[(Long, Long)]): LinkGraph = {
+    val spark = g.spark
+    import spark.implicits._
+    val del = pairs.toDF("u", "v")
+    val cond =
+      if (g.directed) col("src") === col("u") && col("dst") === col("v")
+      else (col("src") === col("u") && col("dst") === col("v")) ||
+        (col("src") === col("v") && col("dst") === col("u"))
+    LinkGraph(g.weighted.join(broadcast(del), cond, "left_anti"),
+      g.directed, g.numVertices)
+  }
+
+  /** `delete_vertices(vs)` (`graphobject.c:12210`): drop the vertices and
+    * every incident edge, then RENUMBER the survivors densely preserving
+    * relative order — the reference's re-indexing semantics (deleting
+    * vertex 3 of 0..5 leaves 0..4 with old 4,5 -> new 3,4). The dense
+    * renumbering is the repo's standard distributed rank
+    * ([[Ids.assignDense]]: range partition + per-partition offsets, no
+    * global Window); incident-edge removal falls out of the inner remap
+    * joins.
+    */
+  def deleteVertices(g: LinkGraph, vs: Seq[Long]): LinkGraph = {
+    val spark = g.spark
+    import spark.implicits._
+    val del = vs.toDF("vid")
+    val survivors = g.vertices
+      .join(broadcast(del), col("id") === col("vid"), "left_anti")
+    val mapping = Ids.assignDense(survivors.select(col("id").as("old")), "old")
+      .select(col("old"), col("id").as("nid"))
+    val n = mapping.count()
+    val e = g.weighted
+      .join(mapping.withColumnRenamed("old", "src"), Seq("src"))
+      .withColumnRenamed("nid", "nsrc")
+      .join(mapping.withColumnRenamed("old", "dst"), Seq("dst"))
+      .select(col("nsrc").as("src"), col("nid").as("dst"), col("weight"))
+    LinkGraph(e, g.directed, Some(n))
+  }
+
   /** Quotient graph by a membership mapping (id -> label):
     * `contract_vertices` + `simplify` = the reference's `cluster_graph`
     * (`graphobject.c:13272-13296`, `clustering.py:308-336`).

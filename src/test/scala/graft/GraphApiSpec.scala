@@ -204,4 +204,37 @@ class GraphApiSpec extends AnyFunSuite {
     assert(es(GraphOps.union(a, b)) == Set((0L, 1L), (1L, 2L), (2L, 3L)))
     assert(es(GraphOps.difference(a, b)) == Set((1L, 2L)))
   }
+
+  test("add_vertices / add_edges (graphobject.c:12203,12218)") {
+    val g2 = GraphOps.addVertices(g, 2L)
+    assert(g2.vcount() == 7L && g2.ecount() == g.ecount())
+    val g3 = GraphOps.addEdges(g2, Seq((5L, 6L), (0L, 1L))) // duplicate kept
+    assert(g3.ecount() == g.ecount() + 2)
+    assert(g3.weighted.where(col("src") === 0L && col("dst") === 1L).count() == 2)
+    intercept[IllegalArgumentException] { GraphOps.addEdges(g, Seq((0L, 9L))) }
+    intercept[IllegalArgumentException] { GraphOps.addVertices(g, -1L) }
+  }
+
+  test("delete_edges: every matching instance, both orientations when undirected (graphobject.c:12227)") {
+    val g3 = GraphOps.addEdges(g, Seq((0L, 1L))) // (0,1) now has multiplicity 2
+    val d = GraphOps.deleteEdges(g3, Seq((0L, 1L)))
+    assert(d.ecount() == g.ecount() - 1) // both instances removed
+    assert(d.weighted.where(col("src") === 0L && col("dst") === 1L).count() == 0)
+    // directed: the reverse pair does not match
+    assert(GraphOps.deleteEdges(g, Seq((1L, 0L))).ecount() == g.ecount())
+    // undirected: it does
+    val und = LinkGraph(g.weighted.select("src", "dst"), directed = false, Some(5L))
+    assert(GraphOps.deleteEdges(und, Seq((1L, 0L))).ecount() == g.ecount() - 1)
+  }
+
+  test("delete_vertices: incident edges drop, survivors renumber densely in order (graphobject.c:12210)") {
+    // delete 1 from 0..4: old 2,3,4 -> new 1,2,3; edges via 1 disappear
+    val d = GraphOps.deleteVertices(g, Seq(1L))
+    assert(d.vcount() == 4L)
+    val es = d.weighted.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(es == Set((0L, 1L), (1L, 2L))) // was (0,2) and (2,3)
+    // deleting a nonexistent vertex is a no-op renumber
+    assert(GraphOps.deleteVertices(g, Seq(99L)).vcount() == 5L)
+  }
 }

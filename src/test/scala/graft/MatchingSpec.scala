@@ -65,4 +65,29 @@ class MatchingSpec extends AnyFunSuite {
       Matching.maximumBipartiteMatching(g, types).count())
     assert(e.getMessage.contains("not bipartite"))
   }
+
+  test("is_matching / is_maximal: reference Matching fixture (test_matching.py:42-50)") {
+    import spark.implicits._
+    // the reference's hand-built matching vector on the LEDA graph
+    val vec = Seq(12, 10, 8, 13, -1, 14, 9, -1, 2, 6, 1, -1, 0, 3, 5)
+      .zipWithIndex.map { case (m, i) => (i.toLong, m.toLong) }
+    val m = vec.toDF("id", "mate")
+    assert(Matching.isMatching(leda, m))
+    assert(Matching.isMaximalMatching(leda, m))
+    // un-match the (0, 12) pair: still a valid matching, no longer maximal
+    // because edge (0, 12) now has both endpoints unmatched
+    val broken = vec.map { case (i, mt) =>
+      if (i == 0L || i == 12L) (i, -1L) else (i, mt) }.toDF("id", "mate")
+    assert(Matching.isMatching(leda, broken))
+    assert(!Matching.isMaximalMatching(leda, broken))
+    // asymmetric vector is not a matching
+    val asym = vec.map { case (i, mt) => if (i == 0L) (i, 13L) else (i, mt) }
+      .toDF("id", "mate")
+    assert(!Matching.isMatching(leda, asym))
+    // symmetric but non-edge pair (4, 7) is not a matching either
+    val nonEdge = vec.map { case (i, mt) =>
+      if (i == 4L) (i, 7L) else if (i == 7L) (i, 4L) else (i, mt) }
+      .toDF("id", "mate")
+    assert(!Matching.isMatching(leda, nonEdge))
+  }
 }
