@@ -360,7 +360,9 @@ object CommunityKernels {
   // -------------------------------------------------- leading eigenvector --
 
   /** Newman leading-eigenvector spectral bisection
-    * (`community_leading_eigenvector`; golden `test_decomposition.py:240-248`).
+    * (`community_leading_eigenvector`; the deprecated
+    * `community_leading_eigenvector_naive` wrapper resolves to the same
+    * algorithm; golden `test_decomposition.py:240-248`).
     * Recursively split each community by the sign pattern of the dominant
     * eigenvector of the generalized modularity matrix; stop when the split
     * no longer increases modularity or `clusters` is reached.

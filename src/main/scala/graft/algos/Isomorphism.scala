@@ -143,6 +143,9 @@ object Isomorphism {
     c
   }
 
+  /** `count_automorphisms_vf2` (and the Python `count_automorphisms_vf2`
+    * wrapper): automorphisms = isomorphisms of g with itself.
+    */
   def countAutomorphisms(g: LinkGraph, color: Option[Seq[Int]] = None): Long =
     countIsomorphisms(g, g, color, color)
 

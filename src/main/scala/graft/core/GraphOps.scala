@@ -431,19 +431,21 @@ object GraphOps {
     LinkGraph(e, g.directed, None)
   }
 
-  /** `add_vertices(k)` (`graphobject.c:12203`): k new isolated vertices.
-    * Immutable-snapshot semantics — the edge table is shared, only the
-    * explicit vertex count grows (the reference's implicit 0..n-1 set).
+  /** `add_vertices(k)` (`graphobject.c:12203`; the singular `add_vertex`
+    * is k = 1): k new isolated vertices. Immutable-snapshot semantics —
+    * the edge table is shared, only the explicit vertex count grows (the
+    * reference's implicit 0..n-1 set).
     */
   def addVertices(g: LinkGraph, k: Long): LinkGraph = {
     require(k >= 0, s"add_vertices: k must be >= 0, got $k")
     LinkGraph(g.edges, g.directed, Some(g.vcount() + k))
   }
 
-  /** `add_edges(pairs)` (`graphobject.c:12218`): append edge instances
-    * (multi-edges allowed, exactly like the reference); endpoints must be
-    * in range when the vertex count is explicit (the reference raises).
-    * Pure union — the new snapshot shares the old edge table's lineage.
+  /** `add_edges(pairs)` (`graphobject.c:12218`; the singular `add_edge`
+    * is a 1-pair call): append edge instances (multi-edges allowed,
+    * exactly like the reference); endpoints must be in range when the
+    * vertex count is explicit (the reference raises). Pure union — the
+    * new snapshot shares the old edge table's lineage.
     */
   def addEdges(g: LinkGraph, pairs: Seq[(Long, Long)]): LinkGraph = {
     val spark = g.spark

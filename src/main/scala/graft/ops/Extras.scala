@@ -199,7 +199,8 @@ object Extras {
 
   /** Sparse adjacency view in COO form (the edge table IS the matrix):
     * (row, col, value) with multi-edges collapsed by sum
-    * (`get_adjacency`, `__init__.py:653-754`).
+    * (`get_adjacency`, `__init__.py:653-754`; `get_adjacency_sparse` is
+    * the same data as a scipy CSR — COO is this engine's sparse form).
     */
   def adjacencyCoo(g: LinkGraph): DataFrame = {
     val e = if (g.directed) g.weighted else g.bidirected
