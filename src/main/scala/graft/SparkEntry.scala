@@ -677,6 +677,17 @@ object SparkEntry {
       hostOf.join(auth, Seq("host"))
         .select(col("id"), col("host"), round(col("authority"), 6).as("authority"))
     }),
+    // mutation family: delete every vertex divisible by 10 from the events
+    // graph — incident edges drop and survivors renumber densely in id
+    // order (the reference's re-indexing semantics); output the remapped
+    // edge multiset as (src, dst, n)
+    "q_del_vertices" -> ((s, dir) => {
+      val g = Tables.eventsGraph(s, dir)
+      val dels = g.vertices.where(col("id") % 10 === 0)
+        .collect().map(_.getLong(0)).toSeq
+      GraphOps.deleteVertices(g, dels).weighted
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    }),
     // crawl-frontier prioritization: crawled = ids divisible by 3; rank
     // uncrawled pages by inlinks from crawled pages, top-20
     "q_frontier" -> ((s, dir) => {
@@ -1284,6 +1295,13 @@ dl$k AS MATERIALIZED (SELECT dag.o, dag.u AS vx,
          |JOIN ($hostPr) pr ON pr.id = p.i % 50""".stripMargin
     },
     "q_trustrank" -> trustrankSql(10),
+    "q_del_vertices" ->
+      s"""WITH $E,
+         |sv AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS nid
+         |  FROM v WHERE id % 10 <> 0)
+         |SELECT a.nid AS src, b.nid AS dst, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM e JOIN sv a ON a.id = e.src JOIN sv b ON b.id = e.dst
+         |GROUP BY 1, 2""".stripMargin,
     "q_frontier" ->
       s"""WITH $E,
          |c AS (SELECT id FROM v WHERE id % 3 = 0),

@@ -157,4 +157,34 @@ object EdgeStream {
           (id, d)
       }
   }
+
+  /** Streaming crawl-frontier counters — the continuous-crawl face of
+    * [[graft.text.WebOps.frontier]]. Input is the crawl's discovery stream:
+    * each record (src, dst) means page `src` was just crawled and links to
+    * `dst`. Per-vertex state = (crawled, inlinks-from-crawled); a vertex
+    * emits an updated (id, crawled, n_inlinks) row whenever either changes.
+    * Frontier members at any instant are the rows with `crawled = false`
+    * and `n_inlinks > 0` — rank downstream exactly as the batch op does.
+    * After any prefix of the stream, the counters equal the batch
+    * `frontier` on that prefix with crawled = the srcs seen so far
+    * (stream == batch tested).
+    */
+  def frontierStream(crawl: DataFrame): Dataset[(Long, Boolean, Long)] = {
+    val spark = crawl.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    crawl.select(explode(array(
+        struct(col("src").as("id"), lit(true).as("crawled"), lit(0L).as("inc")),
+        struct(col("dst").as("id"), lit(false).as("crawled"), lit(1L).as("inc")))).as("e"))
+      .select(col("e.id"), col("e.crawled"), col("e.inc"))
+      .as[(Long, Boolean, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Boolean, Long), (Long, Boolean, Long)](GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[(Long, Boolean, Long)], state: GroupState[(Boolean, Long)]) =>
+          var (crawled, cnt) = state.getOption.getOrElse((false, 0L))
+          rows.foreach { r => crawled ||= r._2; cnt += r._3 }
+          state.update((crawled, cnt))
+          (id, crawled, cnt)
+      }
+  }
 }

@@ -282,6 +282,38 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(3L) === 1L)
   }
 
+  test("streaming frontier: cross-batch counters equal the batch frontier op") {
+    val base = java.nio.file.Files.createTempDirectory("frontstream").toString
+    Seq((0L, 10L), (0L, 11L), (1L, 10L)).toDF("src", "dst")
+      .write.parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$base/in")
+    val q = EdgeStream.frontierStream(stream)
+      .toDF("id", "crawled", "n_inlinks")
+      .writeStream.outputMode("update").format("memory").queryName("fs").start()
+    q.processAllAvailable()
+    // batch 2: 10 gets crawled (leaves the frontier), links to 11 and 12
+    Seq((10L, 11L), (10L, 12L)).toDF("src", "dst")
+      .write.mode("append").parquet(s"$base/in")
+    q.processAllAvailable(); q.stop()
+    // both state fields are monotone, so max-fold the per-id updates
+    // (memory-sink row order across batches is not contractual)
+    val latest = spark.sql("select * from fs").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> (rs.exists(_.getBoolean(1)), rs.map(_.getLong(2)).max) }
+    // frontier now: 11 (inlinks from 0 and 10), 12 (from 10); 10 crawled
+    assert(latest(10L)._1 && latest(10L)._2 == 2L) // crawled, keeps its count
+    assert(latest(11L) == ((false, 2L)))
+    assert(latest(12L) == ((false, 1L)))
+    // stream == batch: same totals as WebOps.frontier on the full edge set
+    val edges = spark.read.parquet(s"$base/in")
+    val crawled = edges.select(org.apache.spark.sql.functions.col("src").as("id")).distinct()
+    val batch = graft.text.WebOps.frontier(edges, crawled, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamFrontier = latest.collect { case (id, (false, c)) if c > 0 => id -> c }.toMap
+    assert(streamFrontier == batch)
+  }
+
   test("es.select computed-metric filter (_edge_betweenness_ge style, __init__.py:4551-4553)") {
     import org.apache.spark.sql.functions.col
     // path 0-1-2-3: edge betweenness [3, 4, 3]
