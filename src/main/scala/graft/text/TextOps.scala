@@ -298,21 +298,26 @@ object TextOps {
     * 100 TB shape.
     */
   def gopherStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // Tokenize ONCE into a bound column right after the doc-granularity
+    // repartition (the shuffle still carries raw text, not the array).
+    // Every downstream reference — including inside the n-gram ladder and
+    // the filter/intersect lambdas — is then an attribute read; the naive
+    // form re-ran the split per top-level reference and per lambda element
+    // (see ngramArray's scaladoc for the measured cost).
+    val toks = col("toks")
     val n = size(toks)
-    def grams(k: Int): Column = when(n >= k, transform(
-      sequence(lit(1), n - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
+    def grams(k: Int): Column = ngramArray(toks, k)
     val dupFrac = (c: Column) =>
       when(size(c) === 0, 0.0).otherwise(
         round(lit(1.0) - size(array_distinct(c)).cast("double") / size(c), 6))
     val parted = docs.select(col("doc_id"), col("text")).repartition(col("doc_id"))
+      .select(col("doc_id"), length(col("text")).as("n_chars_d"),
+        tokens(col("text")).as("toks"))
     val perDoc = parted.select(
       col("doc_id"),
-      length(col("text")).as("n_chars_d"),
+      col("n_chars_d"),
       n.as("word_count"),
-      round((length(col("text")) - (n - 1)).cast("double") / n, 6).as("mean_word_len"),
+      round((col("n_chars_d") - (n - 1)).cast("double") / n, 6).as("mean_word_len"),
       round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n, 6)
         .as("alpha_word_frac"),
       size(array_intersect(array_distinct(toks),
@@ -853,15 +858,23 @@ object TextOps {
     require(overlap >= 0 && overlap < chunkTokens,
       "overlap must be in [0, chunkTokens)")
     val stride = chunkTokens - overlap
-    val toks = tokens(col("text"))
+    // Bind the token array once per row: inside the transform lambda a free
+    // `tokens(col("text"))` would re-split the document for every chunk
+    // (twice per chunk here) — as a bound attribute each slice is just an
+    // array copy of its own chunk, so total work stays O(doc length).
+    val prepped = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val toks = col("toks")
     // chunks needed: 1 + ceil(max(n - chunkTokens, 0) / stride)
     val extra = greatest(size(toks) - chunkTokens, lit(0))
     val nChunks = (lit(1) + ceil(extra.cast("double") / stride)).cast("int")
+    // n_tokens = |slice(toks, i*stride+1, chunkTokens)| in closed form —
+    // saves the second slice per chunk
     val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       struct(
         array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " ").as("chunk_text"),
-        size(slice(toks, i * stride + 1, lit(chunkTokens))).cast("long").as("n_tokens")))
-    docs.select(col("doc_id"), posexplode(chunks))
+        greatest(least(lit(chunkTokens), size(toks) - i * stride), lit(0))
+          .cast("long").as("n_tokens")))
+    prepped.select(col("doc_id"), posexplode(chunks))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         col("col.chunk_text"), col("col.n_tokens"))
   }
