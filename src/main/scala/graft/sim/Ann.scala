@@ -64,14 +64,21 @@ object Ann {
     val coefs: Seq[Seq[Double]] = (0 until nBits).map { h =>
       (0 until dims).map(d => hyperplaneCoef(table, h, d))
     }
-    val emb = col("embedding").cast("array<double>")
+    // Bind the float->double cast once per row: `emb` is FREE inside the
+    // per-hyperplane lambda, so an unbound cast expression would re-copy
+    // the O(dims) array nBits times per row (tables x nBits in the
+    // all-tables variant below).
+    val emb = col("embd")
     val bits = transform(typedLit(coefs), cvec =>
       when(aggregate(zip_with(emb, cvec, (x, c) => x * c), lit(0.0d), (a, v) => a + v) >= 0, 1L)
         .otherwise(0L))
     val bucket = aggregate(
       zip_with(bits, sequence(lit(0), lit(nBits - 1)), (b, h) => b * pow(lit(2.0), h).cast("long")),
       lit(0L), (acc, v) => acc + v)
-    vectors.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        col("embedding").cast("array<double>").as("embd"))
+      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
   }
 
   /** ALL `tables` tables' buckets in ONE scan of `vectors` (round-3 verdict
@@ -91,7 +98,7 @@ object Ann {
     val coefs: Seq[Seq[Seq[Double]]] = (0 until tables).map { t =>
       (0 until nBits).map(h => (0 until dims).map(d => hyperplaneCoef(t, h, d)))
     }
-    val emb = col("embedding").cast("array<double>")
+    val emb = col("embd") // bound cast — see lshBuckets
     val bucketPerTable = transform(typedLit(coefs), tcoef =>
       aggregate(
         zip_with(
@@ -101,6 +108,7 @@ object Ann {
           sequence(lit(0), lit(nBits - 1)), (b, h) => b * pow(lit(2.0), h).cast("long")),
         lit(0L), (acc, v) => acc + v))
     vectors
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embd"))
       .select(col("vec_id"), posexplode(bucketPerTable))
       .select(col("vec_id"), col("pos").as("table"), col("col").as("bucket"))
       .localCheckpoint()
