@@ -363,7 +363,10 @@ object Leiden {
       .select(col("src").as("v"), col("dst").as("nbr"), col("weight").as("w"))
       .union(e.where(col("src") =!= col("dst"))
         .select(col("dst").as("v"), col("src").as("nbr"), col("weight").as("w")))
-      .repartition(col("v")).persist()
+      .repartition(col("nbr")).persist() // partitioned by the JOIN key: the only
+      // per-sweep use is the membership join on `nbr`, so the cached
+      // partitioning is reused and each sweep shuffles only the vertex-sized
+      // membership frame, never this O(2|E|) frame
     nb.count()
     val nwAll = g.vertices.join(nodeWeights, Seq("id"), "left")
       .select(col("id"), coalesce(col("nw"), lit(1.0)).as("nw"))
