@@ -110,7 +110,13 @@ class CommunitySpec extends AnyFunSuite {
 
   test("h-index coreness matches the sequential peel on a random graph") {
     val g = graft.core.Generators.erdosRenyiGnm(spark, 300, 900, seed = 7L)
-    val got = KCore.coreness(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // smallThreshold = 0 pins the DISTRIBUTED frontier h-index loop (the
+    // default would take the gated Batagelj-Zaveršnik collect path on a
+    // fixture this size, leaving the loop untested)
+    val got = KCore.coreness(g, smallThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gated = KCore.coreness(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == gated, "distributed frontier loop and gated peel disagree")
     // brute-force peel on the collected simple graph
     val edges = g.edges.select("src", "dst").collect()
       .map(r => (r.getLong(0), r.getLong(1))).filter(e => e._1 != e._2).distinct
