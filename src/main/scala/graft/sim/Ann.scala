@@ -27,12 +27,24 @@ object Ann {
     * query. Output: (query_id, neighbor_id, cos, rank).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // norms bound per SIDE before the cross join (cosine() inline would
+    // refold each side's norm for every pair), and the streamed corpus
+    // spread across the cluster — a small parquet read is one partition,
+    // which would serialize the whole scan onto one task
+    def norm(e: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(e, x => x * x), lit(0.0d), (a, v) => a + v))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("ce"))
+      .withColumn("nc", norm(col("ce")))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("nq", norm(col("qe")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qe").cast("array<double>"), col("ce").cast("array<double>")).as("cos"))
+        (aggregate(zip_with(col("qe"), col("ce"), (x, y) => x * y), lit(0.0d),
+          (acc, v) => acc + v) / (col("nq") * col("nc"))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
@@ -125,7 +137,14 @@ object Ann {
     // arithmetic (dot / na·nb), 3x less work on the quadratic path
     val nv = vectors.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0d), (a, v) => a + v)))
+    // the non-equi pair join is a BroadcastNestedLoopJoin that parallelizes
+    // over the STREAMED side's partitions — a small parquet read arrives as
+    // one partition, serializing the whole quadratic pair scan onto one
+    // task; spread it across the cluster first (row order per pair, and
+    // hence every per-pair fold, is unchanged)
+    val nPart = nv.sparkSession.sparkContext.defaultParallelism
     val l = nv.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
+      .repartition(nPart)
     val r = nv.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
     l.join(r, col("a") < col("b"))
       .select(col("a"), col("b"),
