@@ -199,13 +199,8 @@ object Betweenness {
       mode: Mode = Mode.All
   ): DataFrame = {
     // mode governs distance direction: Out = distances from v along edges
-    val view = mode match {
-      case Mode.Out => g
-      case Mode.In  => LinkGraph(g.weighted.select(col("dst").as("src"), col("src").as("dst"), col("weight")), g.directed, g.numVertices)
-      case Mode.All => LinkGraph(g.bidirected, directed = false, g.numVertices)
-    }
-    val t = brandesTables(view, weighted, cutoff, None)
-    val agg = t.dist.where(col("dist") > 0)
+    val dist = distanceTable(g, weighted, cutoff, mode)
+    val agg = dist.where(col("dist") > 0)
       .groupBy(col("origin").as("id"))
       .agg(count(lit(1)).cast("double").as("reached"), sum("dist").as("sumd"))
     g.vertices.join(agg, Seq("id"), "left")
@@ -225,18 +220,32 @@ object Betweenness {
       cutoff: Option[Double] = None,
       mode: Mode = Mode.All
   ): DataFrame = {
-    val view = mode match {
-      case Mode.Out => g
-      case Mode.In  => LinkGraph(g.weighted.select(col("dst").as("src"), col("src").as("dst"), col("weight")), g.directed, g.numVertices)
-      case Mode.All => LinkGraph(g.bidirected, directed = false, g.numVertices)
-    }
     val n = g.vcount()
-    val t = brandesTables(view, weighted, cutoff, None)
-    val agg = t.dist.where(col("dist") > 0)
+    val dist = distanceTable(g, weighted, cutoff, mode)
+    val agg = dist.where(col("dist") > 0)
       .groupBy(col("origin").as("id"))
       .agg(sum(lit(1.0) / col("dist")).as("s"))
     g.vertices.join(agg, Seq("id"), "left")
       .select(col("id"),
         (coalesce(col("s"), lit(0.0)) / lit(math.max(1L, n - 1).toDouble)).as("harmonic"))
+  }
+
+  /** Multi-source distance table for the distance-only centralities
+    * (closeness / harmonic): these need NO predecessor DAG or σ/δ sweep,
+    * so they route to [[Distances.multiBfs]] (unweighted — integer-level
+    * BFS with the gated driver kernel) / [[Distances.multiDistancesWeighted]]
+    * (weighted relax) instead of the full [[brandesTables]] machinery,
+    * which builds the O(n·m) shortest-path DAG they would never read.
+    * `cutoff` as a post-filter is equivalent to pruning during the sweep:
+    * every prefix of a ≤-cutoff shortest path is itself ≤ cutoff.
+    */
+  private def distanceTable(g: LinkGraph, weighted: Boolean,
+                            cutoff: Option[Double], mode: Mode): DataFrame = {
+    val effMode = if (!g.directed) Mode.All else mode
+    val d =
+      if (weighted) Distances.multiDistancesWeighted(g, effMode)
+      else Distances.multiBfs(g, effMode)
+        .select(col("origin"), col("v"), col("dist").cast("double").as("dist"))
+    cutoff.map(c => d.where(col("dist") <= c)).getOrElse(d)
   }
 }

@@ -43,7 +43,8 @@ object Distances {
     * `sources` (defaults to all vertices — guarded by [[maxExactOrigins]]).
     * Undirected uses mode=All.
     */
-  def multiBfs(g: LinkGraph, mode: Mode = Mode.All, sources: Option[DataFrame] = None): DataFrame = {
+  def multiBfs(g: LinkGraph, mode: Mode = Mode.All, sources: Option[DataFrame] = None,
+               smallThreshold: Long = 8000000L): DataFrame = {
     if (sources.isEmpty) guardAllOrigins(g, "exact BFS")
     val adj = (mode match {
       case Mode.Out => g.weighted
@@ -51,25 +52,107 @@ object Distances {
       case Mode.All => g.bidirected
     }).select(col("src").as("v"), col("dst").as("nbr")).distinct()
       .repartition(col("v")).persist()
-    adj.count()
+    val nAdj = adj.count()
     val src = sources.getOrElse(g.vertices).select(col("id").as("origin"))
-    var reach = src.select(col("origin"), col("origin").as("v"), lit(0L).as("dist"))
+
+    // adaptive small-input fast path (the WCC/coreness posture: decided by
+    // runtime COUNTs). The exact sweep is only legal on bounded inputs
+    // anyway (guardAllOrigins / bounded `sources`); when the adjacency fits
+    // one task AND the output distance table is driver-sized, a collected
+    // CSR + per-origin array BFS replaces rounds × ~6 scheduled jobs with
+    // 3. Above either bound the layered distributed loop below runs
+    // unchanged (and is pinned by the smallThreshold=0 spec).
+    if (nAdj <= smallThreshold) {
+      val spark = g.spark
+      import spark.implicits._
+      val srcIds = src.collect().map(_.getLong(0))
+      val rows = adj.collect()
+      val idx = new java.util.HashMap[Long, Int]()
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def intern(x: Long): Int =
+        if (idx.containsKey(x)) idx.get(x)
+        else { idx.put(x, ids.length); ids += x; ids.length - 1 }
+      rows.foreach { r => intern(r.getLong(0)); intern(r.getLong(1)) }
+      val n = ids.length
+      // output bound: every origin can reach at most n vertices
+      if (srcIds.length.toLong * math.max(n, 1).toLong <= 4000000L) {
+        val off = new Array[Int](n + 1)
+        rows.foreach(r => off(idx.get(r.getLong(0)) + 1) += 1)
+        for (i <- 1 to n) off(i) += off(i - 1)
+        val fill = off.clone(); val nbrs = new Array[Int](rows.length)
+        rows.foreach { r =>
+          val i = idx.get(r.getLong(0)); nbrs(fill(i)) = idx.get(r.getLong(1)); fill(i) += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val dist = new Array[Int](n)
+        val queue = new Array[Int](n)
+        srcIds.foreach { o =>
+          out += ((o, o, 0L))
+          if (idx.containsKey(o)) {
+            java.util.Arrays.fill(dist, -1)
+            val s = idx.get(o); dist(s) = 0
+            var head = 0; var tail = 0
+            queue(tail) = s; tail += 1
+            while (head < tail) {
+              val u = queue(head); head += 1
+              var j = off(u)
+              while (j < off(u + 1)) {
+                val w = nbrs(j)
+                if (dist(w) < 0) {
+                  dist(w) = dist(u) + 1
+                  out += ((o, ids(w), dist(w).toLong))
+                  queue(tail) = w; tail += 1
+                }
+                j += 1
+              }
+            }
+          }
+        }
+        adj.unpersist()
+        // parallelize, don't toDF: a multi-million-row LocalRelation gets
+        // embedded in (and re-broadcast through) every downstream plan —
+        // girth's self-joins over it measured 4x slower than the
+        // distributed loop it replaced
+        return spark.createDataset(spark.sparkContext.parallelize(
+          out.toSeq, spark.sparkContext.defaultParallelism))
+          .toDF("origin", "v", "dist")
+      }
+    }
+    // Layered accumulation: each BFS level is checkpointed ONCE and the
+    // result is the lazy union of the level frames — the old loop re-cut
+    // (re-materialized) the ENTIRE cumulative O(n·reach) table every round.
+    // Visited check: with a SYMMETRIC adjacency (Mode.All builds one by
+    // construction), a neighbor of a level-(d−1) vertex has distance in
+    // {d−2, d−1, d}, so the anti-join only needs the previous TWO levels —
+    // layer-sized frames — instead of the full cumulative table; asymmetric
+    // modes keep the full check (a vertex can be rediscovered from any
+    // earlier level there), but still as a union of already-checkpointed
+    // layers rather than a re-materialized frame.
+    val symmetric = mode == Mode.All
+    val layers = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    var frontier = src.select(col("origin"), col("origin").as("v"), lit(0L).as("dist"))
       .transform(Lineage.cut)
-    var frontier = reach
+    layers += frontier
+    var prevFrontier: Option[org.apache.spark.sql.DataFrame] = None
     var d = 0L
     var growing = true
     while (growing) {
       d += 1
+      val seen =
+        if (symmetric)
+          prevFrontier.map(p => frontier.select("origin", "v").union(p.select("origin", "v")))
+            .getOrElse(frontier.select("origin", "v"))
+        else layers.map(_.select("origin", "v")).reduce(_ union _)
       val next = frontier.join(adj, Seq("v"))
         .select(col("origin"), col("nbr").as("v")).distinct()
-        .join(reach.select("origin", "v"), Seq("origin", "v"), "left_anti")
+        .join(seen, Seq("origin", "v"), "left_anti")
         .select(col("origin"), col("v"), lit(d).as("dist"))
         .transform(Lineage.cut)
       if (next.isEmpty) growing = false
-      else { reach = reach.union(next).transform(Lineage.cut); frontier = next }
+      else { prevFrontier = Some(frontier); frontier = next; layers += next }
     }
     adj.unpersist()
-    reach
+    layers.reduce(_ union _)
   }
 
   /** Weighted all-sources distance table (origin, v, dist: double) — the

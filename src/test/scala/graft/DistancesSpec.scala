@@ -1,7 +1,7 @@
 package graft
 
 import graft.algos.{Centrality, Distances}
-import graft.core.LinkGraph
+import graft.core.{LinkGraph, Mode}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Distance/centrality goldens from /root/reference/tests/test_structural.py. */
@@ -229,6 +229,19 @@ class DistancesSpec extends AnyFunSuite {
       val want = bruteGirth(n, edges)
       want.foreach(w => assert(w % 2 == 0, "bipartite girth must be even"))
       assert(Distances.girth(g) === want, s"trial $trial edges=$edges")
+    }
+  }
+
+  test("multiBfs: distributed layered loop == gated driver kernel (all modes)") {
+    // smallThreshold = 0 pins the DISTRIBUTED loop — the default would take
+    // the gated CSR kernel on fixtures this size, leaving the loop untested
+    val g = graft.core.Generators.erdosRenyiGnm(spark, 60, 150, seed = 11L, directed = true)
+    for (mode <- Seq(Mode.All, Mode.Out, Mode.In)) {
+      val dist = Distances.multiBfs(g, mode, smallThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val gated = Distances.multiBfs(g, mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(dist == gated, s"mode $mode: distributed and gated BFS disagree")
     }
   }
 }
