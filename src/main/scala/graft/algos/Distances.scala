@@ -163,7 +163,8 @@ object Distances {
     * rounds ≤ the max hop count of any weighted shortest path.
     */
   def multiDistancesWeighted(g: LinkGraph, mode: Mode = Mode.All,
-                             sources: Option[DataFrame] = None): DataFrame = {
+                             sources: Option[DataFrame] = None,
+                             smallBfsThreshold: Long = 8000000L): DataFrame = {
     if (sources.isEmpty) guardAllOrigins(g, "exact weighted distance sweep")
     val adjRaw = (mode match {
       case Mode.Out => g.weighted
@@ -173,11 +174,73 @@ object Distances {
     val adj = adjRaw.groupBy(col("src").as("v"), col("dst").as("nbr"))
       .agg(min("weight").as("w"))
       .repartition(col("v")).persist()
-    adj.count()
+    val nAdj = adj.count()
     val minW = adj.agg(min("w")).head
     require(minW.isNullAt(0) || minW.getDouble(0) > 0.0,
       "weighted distances need strictly positive weights")
     val src = sources.getOrElse(g.vertices).select(col("id").as("origin"))
+
+    // gated driver Dijkstra — same posture and bounds as [[multiBfs]]'s
+    // kernel (adjacency fits one task, output table driver-sized); per-path
+    // distance accumulation order matches the relax loop's (hop by hop), so
+    // the values are bit-identical. Above either bound the distributed
+    // relax loop below runs unchanged.
+    if (nAdj <= smallBfsThreshold) {
+      val spark = g.spark
+      import spark.implicits._
+      val srcIds = src.collect().map(_.getLong(0))
+      val rows = adj.collect()
+      val idx = new java.util.HashMap[Long, Int]()
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def intern(x: Long): Int =
+        if (idx.containsKey(x)) idx.get(x)
+        else { idx.put(x, ids.length); ids += x; ids.length - 1 }
+      rows.foreach { r => intern(r.getLong(0)); intern(r.getLong(1)) }
+      val n = ids.length
+      if (srcIds.length.toLong * math.max(n, 1).toLong <= 4000000L) {
+        val off = new Array[Int](n + 1)
+        rows.foreach(r => off(idx.get(r.getLong(0)) + 1) += 1)
+        for (i <- 1 to n) off(i) += off(i - 1)
+        val fill = off.clone()
+        val nbrs = new Array[Int](rows.length); val ws = new Array[Double](rows.length)
+        rows.foreach { r =>
+          val i = idx.get(r.getLong(0))
+          nbrs(fill(i)) = idx.get(r.getLong(1)); ws(fill(i)) = r.getDouble(2); fill(i) += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val dist = new Array[Double](n)
+        srcIds.foreach { o =>
+          out += ((o, o, 0.0))
+          if (idx.containsKey(o)) {
+            java.util.Arrays.fill(dist, Double.PositiveInfinity)
+            val s = idx.get(o); dist(s) = 0.0
+            val pq = new java.util.PriorityQueue[(Double, Int)](
+              (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+            pq.add((0.0, s))
+            while (!pq.isEmpty) {
+              val (du, u) = pq.poll()
+              if (du <= dist(u)) {
+                var j = off(u)
+                while (j < off(u + 1)) {
+                  val v = nbrs(j); val nd = du + ws(j)
+                  if (nd < dist(v)) { dist(v) = nd; pq.add((nd, v)) }
+                  j += 1
+                }
+              }
+            }
+            var i = 0
+            while (i < n) {
+              if (i != s && dist(i) < Double.PositiveInfinity) out += ((o, ids(i), dist(i)))
+              i += 1
+            }
+          }
+        }
+        adj.unpersist()
+        return spark.createDataset(spark.sparkContext.parallelize(
+          out.toSeq, spark.sparkContext.defaultParallelism))
+          .toDF("origin", "v", "dist")
+      }
+    }
     var dist = src.select(col("origin"), col("origin").as("v"), lit(0.0).as("dist"))
       .transform(Lineage.cut)
     var frontier = dist

@@ -244,4 +244,23 @@ class DistancesSpec extends AnyFunSuite {
       assert(dist == gated, s"mode $mode: distributed and gated BFS disagree")
     }
   }
+
+  test("multiDistancesWeighted: distributed relax loop == gated driver Dijkstra") {
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 150).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).filter(e => e._1 != e._2).distinct
+    val w = edges.map { case (a, b) => (a, b, 1.0 + (a * 7 + b * 3) % 5) }
+    val spark2 = spark
+    import spark2.implicits._
+    val g = LinkGraph(w.toDF("src", "dst", "weight"), directed = true, Some(40L))
+    for (mode <- Seq(Mode.All, Mode.Out, Mode.In)) {
+      val loop = Distances.multiDistancesWeighted(g, mode, smallBfsThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val gated = Distances.multiDistancesWeighted(g, mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(loop.keySet == gated.keySet, s"mode $mode: reach sets differ")
+      loop.foreach { case (k, d) =>
+        assert(math.abs(d - gated(k)) < 1e-12, s"mode $mode $k: $d vs ${gated(k)}") }
+    }
+  }
 }
