@@ -501,7 +501,7 @@ object Distances {
     * like the reference (`graphobject.c:14030`; golden
     * `test_structural.py:511-516` accepts any valid order).
     */
-  def topologicalLayers(g: LinkGraph): DataFrame = {
+  def topologicalLayers(g: LinkGraph, smallThreshold: Long = 8000000L): DataFrame = {
     require(g.directed, "topological sort needs a directed graph")
     val spark = g.spark
     var edges = g.weighted.select("src", "dst").distinct().transform(Lineage.cut)
@@ -509,6 +509,49 @@ object Distances {
     var out = spark.range(0).select(col("id"), lit(0).as("layer")).limit(0)
     var layer = 0
     var n = remaining.count()
+
+    // gated driver Kahn peel (the WCC/coreness/multiBfs posture): the
+    // distributed peel costs ~6 scheduled jobs PER LAYER and a deep DAG has
+    // hundreds of layers (682 jobs for 0.6 MB of shuffle, StageProbe
+    // q_topo_layers) — under the gate one collect + array Kahn emits the
+    // identical (id, layer) table in 3 jobs. Same layer semantics: layer =
+    // peel round, cycles rejected with the same message.
+    if (edges.count() <= smallThreshold && n <= smallThreshold) {
+      import spark.implicits._
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val vs = remaining.select("id").collect().map(_.getLong(0))
+      val idx = new java.util.HashMap[Long, Int](vs.length * 2)
+      vs.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
+      val nv = vs.length
+      val indeg = new Array[Int](nv)
+      val off = new Array[Int](nv + 1)
+      es.foreach { case (s, d) => off(idx.get(s) + 1) += 1; indeg(idx.get(d)) += 1 }
+      for (i <- 1 to nv) off(i) += off(i - 1)
+      val fill = off.clone(); val outNbr = new Array[Int](es.length)
+      es.foreach { case (s, d) =>
+        val i = idx.get(s); outNbr(fill(i)) = idx.get(d); fill(i) += 1 }
+      val layerOf = new Array[Int](nv)
+      var frontier = (0 until nv).filter(indeg(_) == 0).toArray
+      var done = 0; var lay = 0
+      while (frontier.nonEmpty) {
+        val nextBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        frontier.foreach { u =>
+          layerOf(u) = lay; done += 1
+          var j = off(u)
+          while (j < off(u + 1)) {
+            val v = outNbr(j); indeg(v) -= 1
+            if (indeg(v) == 0) nextBuf += v
+            j += 1
+          }
+        }
+        frontier = nextBuf.toArray; lay += 1
+      }
+      require(done == nv, "graph has a cycle — not a DAG")
+      return spark.createDataset(spark.sparkContext.parallelize(
+        vs.indices.map(i => (vs(i), layerOf(i))).toSeq,
+        spark.sparkContext.defaultParallelism)).toDF("id", "layer")
+    }
+
     while (n > 0) {
       val hasIn = edges.select(col("dst").as("id")).distinct()
       val zeroIn = remaining.join(hasIn, Seq("id"), "left_anti").transform(Lineage.cut)

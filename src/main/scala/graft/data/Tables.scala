@@ -40,6 +40,10 @@ object Tables {
       .where(col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .distinct()
+      // materialize the self-join ONCE: LinkGraph derives vertices /
+      // weighted / bidirected views lazily, so without this every
+      // downstream action re-runs the O(|lineitem| per order²) pair build
+      .transform(graft.core.Lineage.cut)
     LinkGraph(e, directed = false, None)
   }
 

@@ -263,4 +263,20 @@ class DistancesSpec extends AnyFunSuite {
         assert(math.abs(d - gated(k)) < 1e-12, s"mode $mode $k: $d vs ${gated(k)}") }
     }
   }
+
+  test("topologicalLayers: distributed peel == gated driver Kahn; both reject cycles") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 3-wide layered DAG plus some skips
+    val edges = (0L until 30L).flatMap(i => Seq((i, i + 3), (i, i + 4))).filter(_._2 < 33L)
+    val g = LinkGraph(edges.toDF("src", "dst"), directed = true, None)
+    val gated = Distances.topologicalLayers(g)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dist = Distances.topologicalLayers(g, smallThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gated == dist, "gated Kahn and distributed peel disagree")
+    val cyc = LinkGraph(Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"), directed = true, None)
+    intercept[IllegalArgumentException](Distances.topologicalLayers(cyc))
+    intercept[IllegalArgumentException](Distances.topologicalLayers(cyc, smallThreshold = 0L))
+  }
 }
