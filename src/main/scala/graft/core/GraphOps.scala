@@ -587,7 +587,13 @@ object GraphOps {
     * O(Σd²) output.
     */
   private def pairOverlap(kv: DataFrame, minCommon: Long = 1L): DataFrame = {
-    val a = kv.select(col("key"), col("v").as("a"))
+    // explicit fixed-width repartition on the join key: the wedge join
+    // EXPANDS each key to deg(key)² rows AFTER the exchange, so AQE — which
+    // coalesces on the tiny pre-join input bytes — would funnel the whole
+    // quadratic expansion through one or two tasks (StageProbe: 17 tasks /
+    // 10 s for q_topk_jaccard before, full parallelism after)
+    val nPart = kv.sparkSession.sparkContext.defaultParallelism
+    val a = kv.select(col("key"), col("v").as("a")).repartition(nPart, col("key"))
     val b = kv.select(col("key"), col("v").as("b"))
     val agg = a.join(b, Seq("key")).where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
@@ -644,7 +650,10 @@ object GraphOps {
   def similarityInverseLogWeighted(g: LinkGraph, minCommon: Long = 1L): DataFrame = {
     val e = g.bidirected.where(col("src") =!= col("dst")).select("src", "dst").distinct()
     val deg = e.groupBy(col("src").as("u")).agg(count(lit(1)).as("deg"))
+    // fixed-width repartition on the wedge key — same post-join-expansion
+    // rationale as pairOverlap
     val au = e.select(col("src").as("a"), col("dst").as("u"))
+      .repartition(e.sparkSession.sparkContext.defaultParallelism, col("u"))
     val bu = e.select(col("src").as("b"), col("dst").as("u"))
     val agg = au.join(bu, Seq("u")).where(col("a") < col("b"))
       .join(deg, Seq("u"))
@@ -663,8 +672,11 @@ object GraphOps {
     // reach: (origin, v, dist) minimal distance, BFS by rounds
     var reach = g.vertices.select(col("id").as("origin"), col("id").as("v"), lit(0).as("dist"))
     var frontier = reach
+    val nPart = g.spark.sparkContext.defaultParallelism
     for (k <- 1 to order) {
-      val next = frontier.join(adj, Seq("v"))
+      // fixed-width repartition: the hub-expansion happens AFTER the
+      // exchange, so AQE's byte-based coalescing would serialize it
+      val next = frontier.repartition(nPart, col("v")).join(adj, Seq("v"))
         .select(col("origin"), col("nbr").as("v"), lit(k).as("dist"))
         .join(reach.select("origin", "v").withColumn("seen", lit(1)), Seq("origin", "v"), "left_anti")
         .distinct()

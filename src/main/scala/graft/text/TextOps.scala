@@ -87,7 +87,11 @@ object TextOps {
     * MinHash/LSH path below replaces the quadratic-prone exact join.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // fixed-width repartition on the shingle key: the self-join expands
+    // each shingle to its doc-pair square AFTER the exchange, so AQE's
+    // byte-based coalescing would serialize the expansion onto 1-2 tasks
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = sh.alias("x").join(sh.alias("y"), Seq("sh"))
       .where(col("x.doc_id") < col("y.doc_id"))
