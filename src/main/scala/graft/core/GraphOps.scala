@@ -373,7 +373,10 @@ object GraphOps {
               "from the indirect-strength join (approximation, drop logged per the no-silent-caps rule)")
         p.join(deg.where(col("d") <= cap).select("i"), Seq("i"), "left_semi")
     }
-    val ind = p.alias("a")
+    // fixed-width repartition on the pivot: the indirect-strength join
+    // expands each shared contact q to deg(q)² rows AFTER the exchange
+    // (AQE byte-based coalescing would serialize it onto 1-2 tasks)
+    val ind = p.repartition(g.spark.sparkContext.defaultParallelism, col("j")).alias("a")
       .join(pivotSide.alias("b"), col("a.j") === col("b.i"))
       .where(col("a.i") =!= col("b.j"))
       .groupBy(col("a.i").as("i"), col("b.j").as("j"))

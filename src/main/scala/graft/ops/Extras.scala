@@ -155,6 +155,10 @@ object Extras {
       .select(col("id").as("eid"), col("sd.src").as("src"), col("sd.dst").as("dst"))
     // undirected semantics: two edges adjacent iff they share any endpoint
     val ends = eid.select(col("eid"), explode(array(col("src"), col("dst"))).as("v")).distinct()
+      // fixed-width repartition on the shared endpoint: the self-join
+      // expands each vertex to deg² incident-edge pairs AFTER the exchange,
+      // so AQE's byte-based coalescing would serialize the expansion
+      .repartition(g.spark.sparkContext.defaultParallelism, col("v"))
     val adj = ends.alias("x").join(ends.alias("y"), Seq("v"))
       .where(col("x.eid") < col("y.eid"))
       .select(col("x.eid").as("src"), col("y.eid").as("dst"))
