@@ -104,17 +104,106 @@ object ShortestPaths {
     * also capped by the DAG's vertex count.
     */
   def allShortestPaths(g: LinkGraph, source: Long, targets: Seq[Long],
-                       mode: Mode = Mode.Out, maxPaths: Long = 1000000L): DataFrame = {
+                       mode: Mode = Mode.Out, maxPaths: Long = 1000000L,
+                       smallThreshold: Long = 4000000L): DataFrame = {
     val spark = g.spark
     import spark.implicits._
-    val dist = fromSources(g, Seq(source), mode)
-      .select(col("id"), col("dist")).persist()
-    dist.count()
     val adj = (mode match {
       case Mode.Out => g.weighted
       case Mode.In  => g.weighted.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
       case Mode.All => g.bidirected
-    }).select(col("src"), col("dst"), col("weight"))
+    }).select(col("src"), col("dst"), col("weight")).persist()
+    val nAdjRows = adj.count()
+
+    // gated driver enumeration (the WCC/multiBfs posture): the distributed
+    // formulation costs ~5 scheduled jobs per relax round PLUS ~5 per
+    // backward hop (204 jobs on the 13-hop oracle fixture, StageProbe
+    // q_allsp) while the whole adjacency fits in one task; under the gate a
+    // driver Dijkstra + the identical parent-DAG walk (same relative
+    // epsilon, same maxPaths / cycle guards) replaces both loops. Above the
+    // gate the distributed path below is unchanged (spec-pinned).
+    if (nAdjRows <= smallThreshold) {
+      val rows = adj.collect()
+      adj.unpersist()
+      if (rows.nonEmpty)
+        require(rows.map(_.getDouble(2)).min >= 0.0,
+          s"negative edge weights not supported (min = ${rows.map(_.getDouble(2)).min})")
+      val idx = new java.util.HashMap[Long, Int]()
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def intern(x: Long): Int =
+        if (idx.containsKey(x)) idx.get(x)
+        else { idx.put(x, ids.length); ids += x; ids.length - 1 }
+      intern(source)
+      rows.foreach { r => intern(r.getLong(0)); intern(r.getLong(1)) }
+      val n = ids.length
+      val off = new Array[Int](n + 1)
+      rows.foreach(r => off(idx.get(r.getLong(0)) + 1) += 1)
+      for (i <- 1 to n) off(i) += off(i - 1)
+      val fill = off.clone()
+      val nbrs = new Array[Int](rows.length); val ws = new Array[Double](rows.length)
+      rows.foreach { r =>
+        val i = idx.get(r.getLong(0))
+        nbrs(fill(i)) = idx.get(r.getLong(1)); ws(fill(i)) = r.getDouble(2); fill(i) += 1
+      }
+      val d = Array.fill(n)(Double.PositiveInfinity)
+      val s0 = idx.get(source); d(s0) = 0.0
+      val pq = new java.util.PriorityQueue[(Double, Int)](
+        (a: (Double, Int), b: (Double, Int)) => java.lang.Double.compare(a._1, b._1))
+      pq.add((0.0, s0))
+      while (!pq.isEmpty) {
+        val (du, u) = pq.poll()
+        if (du <= d(u)) {
+          var j = off(u)
+          while (j < off(u + 1)) {
+            val v = nbrs(j); val nd = du + ws(j)
+            if (nd < d(v)) { d(v) = nd; pq.add((nd, v)) }
+            j += 1
+          }
+        }
+      }
+      // parent DAG: u -> v on a shortest path iff d(u) + w = d(v)
+      // (identical relative epsilon to the distributed formulation)
+      val pmap = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Int]]()
+      rows.foreach { r =>
+        val u = idx.get(r.getLong(0)); val v = idx.get(r.getLong(1)); val w = r.getDouble(2)
+        if (d(u) < Double.PositiveInfinity && d(v) < Double.PositiveInfinity &&
+            math.abs(d(u) + w - d(v)) <= 1e-9 * math.max(math.abs(d(v)), 1.0)) {
+          val buf = pmap.computeIfAbsent(v, _ => scala.collection.mutable.ArrayBuffer.empty[Int])
+          if (!buf.contains(u)) buf += u
+        }
+      }
+      val reach = targets.distinct
+        .filter(t => idx.containsKey(t) && d(idx.get(t)) < Double.PositiveInfinity)
+      val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+      var produced = 0L
+      val capDepth = g.vcount() + 1
+      // explicit stack: (target, head, path-so-far); List prepend shares tails
+      val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, List[Long])]
+      reach.foreach(t => stack += ((t, idx.get(t), List(t))))
+      while (stack.nonEmpty) {
+        val (t, head, path) = stack.remove(stack.length - 1)
+        if (head == s0) results += ((t, path))
+        else {
+          require(path.length <= capDepth,
+            "allShortestPaths: 0-weight cycle on a shortest path — infinite path set")
+          val ps = pmap.get(head)
+          if (ps != null) ps.foreach { p =>
+            produced += 1
+            require(produced <= maxPaths,
+              s"allShortestPaths: > $maxPaths partial paths — " +
+                "the path set is combinatorial here; restrict targets or raise maxPaths")
+            stack += ((t, p, ids(p) :: path))
+          }
+        }
+      }
+      return spark.createDataset(spark.sparkContext.parallelize(
+        results.toSeq, spark.sparkContext.defaultParallelism))
+        .toDF("target", "path")
+    }
+
+    val dist = fromSources(g, Seq(source), mode)
+      .select(col("id"), col("dist")).persist()
+    dist.count()
     // parent DAG: u -> v lies on a shortest path iff d(u) + w = d(v)
     // (relative epsilon for float weight sums)
     val parents = adj
@@ -125,8 +214,10 @@ object ShortestPaths {
       .distinct()
       .persist()
     parents.count()
+    adj.unpersist()
     val reachable = targets.distinct.toDF("target")
       .join(dist.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+
     // grow paths backward: (target, head, path); finished when head = source
     var live = reachable.select(col("target"), col("target").as("head"),
       array(col("target")).as("path")).transform(Lineage.cut)

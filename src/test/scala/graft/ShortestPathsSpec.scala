@@ -101,6 +101,19 @@ class ShortestPathsSpec extends AnyFunSuite {
     assert(got.forall(p => p.head == 0L && p.last == 15L))
   }
 
+  test("allShortestPaths: distributed per-hop loop == gated driver walk") {
+    // smallThreshold = 0 pins the DISTRIBUTED loop (the default takes the
+    // gated driver enumeration on fixtures this size)
+    val g = LinkGraph(spark, 8, (0 until 8).map(i => (i.toLong, (i + 1) % 8L)), directed = false)
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Seq[Long])] =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSet
+    val gated = norm(ShortestPaths.allShortestPaths(g, 0L, Seq(4L), graft.core.Mode.All))
+    val dist = norm(ShortestPaths.allShortestPaths(g, 0L, Seq(4L), graft.core.Mode.All,
+      smallThreshold = 0L))
+    assert(gated == dist)
+    assert(gated.size == 2, "antipodal ring vertex has exactly two shortest paths")
+  }
+
   test("allShortestPaths explosion gate fails loudly") {
     // complete bipartite ladder: K2,2 chain gives 2^k shortest paths
     val k = 12
