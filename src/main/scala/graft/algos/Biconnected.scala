@@ -52,7 +52,7 @@ object Biconnected {
     * u < v and `block` a stable label (the min tree-edge id of the block);
     * `articulation` = single-column `id` frame of the cut vertices.
     */
-  def blocksDF(g: LinkGraph): (DataFrame, DataFrame) = {
+  def blocksDF(g: LinkGraph, smallThreshold: Long = 8000000L): (DataFrame, DataFrame) = {
     val spark = g.spark
     // canonical simple non-loop edges (the sequential kernel's view too)
     val simple = g.weighted.where(col("src") =!= col("dst"))
@@ -63,6 +63,25 @@ object Biconnected {
     if (simple.isEmpty)
       return (empty.select(col("id").as("u"), col("id").as("v"), col("id").as("block")),
         empty.select(col("id")))
+
+    // gated driver Hopcroft-Tarjan (the WCC/multiBfs posture): the
+    // Tarjan-Vishkin level machinery below costs ~6 scheduled jobs per BFS
+    // level (337 jobs at sf0.1, StageProbe q_articulation) while the whole
+    // simple-edge set fits in one task; under the gate the classical
+    // edge-stack DFS emits the identical per-edge blocks and articulation
+    // set in 3 jobs. Above the gate the distributed path is unchanged
+    // (runSequential-vs-run parity specs pin both).
+    if (simple.count() <= smallThreshold) {
+      import spark.implicits._
+      val es = simple.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val vs = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val (blockRows, aps) = tarjanEdgeBlocks(es, vs)
+      return (
+        spark.createDataset(spark.sparkContext.parallelize(
+          blockRows.toSeq, spark.sparkContext.defaultParallelism)).toDF("u", "v", "block"),
+        spark.createDataset(spark.sparkContext.parallelize(
+          aps, math.max(1, spark.sparkContext.defaultParallelism / 4))).toDF("id"))
+    }
 
     val adj = simple.select(col("u").as("a"), col("v").as("b"))
       .union(simple.select(col("v").as("a"), col("u").as("b")))
@@ -215,8 +234,8 @@ object Biconnected {
   /** Distributed Tarjan-Vishkin, collected to the reference's Seq view:
     * components ordered by min member, articulation points sorted.
     */
-  def run(g: LinkGraph): Result = {
-    val (blocks, articulation) = blocksDF(g)
+  def run(g: LinkGraph, smallThreshold: Long = 8000000L): Result = {
+    val (blocks, articulation) = blocksDF(g, smallThreshold)
     val comps = blocks
       .select(col("block"), array(col("u"), col("v")).as("uv"))
       .select(col("block"), explode(col("uv")).as("id"))
@@ -240,6 +259,19 @@ object Biconnected {
       .map { case (u, v) => (math.min(u, v), math.max(u, v)) }
       .distinct
     val vertices = g.vertices.collect().map(_.getLong(0)).sorted
+    val (blockRows, aps) = tarjanEdgeBlocks(edges, vertices)
+    val comps = blockRows.groupBy(_._3).values
+      .map(rows => rows.flatMap(r => Seq(r._1, r._2)).toSet)
+      .toSeq.sortBy(_.min)
+    Result(comps, aps)
+  }
+
+  /** The classical edge-stack DFS over collected (u < v, distinct, loop-free)
+    * edges: per-edge block assignment + articulation set. Shared by
+    * [[runSequential]] and [[blocksDF]]'s small-input gate.
+    */
+  private[graft] def tarjanEdgeBlocks(edges: Array[(Long, Long)], vertices: Array[Long])
+      : (scala.collection.mutable.ArrayBuffer[(Long, Long, Long)], Seq[Long]) = {
     val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
     edges.foreach { case (u, v) => adj(u) = v :: adj(u); adj(v) = u :: adj(v) }
     adj.keys.toSeq.foreach(k => adj(k) = adj(k).sorted)
@@ -247,7 +279,8 @@ object Biconnected {
     val disc = scala.collection.mutable.Map.empty[Long, Int]
     val low = scala.collection.mutable.Map.empty[Long, Int]
     val aps = scala.collection.mutable.SortedSet.empty[Long]
-    val comps = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val blockRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var blockId = 0L
     val edgeStack = scala.collection.mutable.Stack.empty[(Long, Long)]
     var timer = 0
 
@@ -275,21 +308,22 @@ object Biconnected {
               low(parent) = math.min(low(parent), low(v))
               if (low(v) >= disc(parent)) {
                 // pop the component's edges up to and including (parent, v)
-                val members = scala.collection.mutable.Set.empty[Long]
-                var done = false
-                while (!done && edgeStack.nonEmpty) {
+                var popped = false
+                var emitted = false
+                while (!popped && edgeStack.nonEmpty) {
                   val (a, b) = edgeStack.pop()
-                  members += a; members += b
-                  if ((a, b) == ((parent, v))) done = true
+                  blockRows += ((math.min(a, b), math.max(a, b), blockId))
+                  emitted = true
+                  if ((a, b) == ((parent, v))) popped = true
                 }
-                if (members.nonEmpty) comps += members.toSet
+                if (emitted) blockId += 1
                 if (parent != root || rootChildren > 1) aps += parent
               }
             }
         }
       }
     }
-    Result(comps.toSeq, aps.toSeq)
+    (blockRows, aps.toSeq)
   }
 
   /** `articulation_points` / `cut_vertices` (`graphobject.c:13018`). */

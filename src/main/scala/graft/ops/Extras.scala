@@ -328,7 +328,7 @@ object Extras {
     * never reported as a bridge (matching the reference's multigraph
     * semantics — ADVICE r01). Self-loops are dropped (never bridges).
     */
-  def bridges(g: LinkGraph, md5Tags: Boolean = false): DataFrame = {
+  def bridges(g: LinkGraph, md5Tags: Boolean = false, smallThreshold: Long = 8000000L): DataFrame = {
     import graft.core.Lineage
     val spark = g.spark
     // canonical undirected non-loop copies with multiplicity
@@ -338,6 +338,30 @@ object Extras {
       .transform(Lineage.cut)
     if (mult.isEmpty)
       return spark.range(0).select(col("id").as("src"), col("id").as("dst")).limit(0)
+
+    // gated driver kernel (the WCC/blocksDF posture): a bridge is exactly a
+    // SINGLETON biconnected block whose pair multiplicity is 1 (a doubled
+    // edge closes a 2-cycle and can never be a bridge), so the shared
+    // Hopcroft-Tarjan edge-block kernel answers bridges directly when the
+    // canonical edge set fits in one task. Above the gate the distributed
+    // XOR-tag sweep below is unchanged (pinned by the smallThreshold=0
+    // parity spec).
+    if (mult.count() <= smallThreshold) {
+      import spark.implicits._
+      val rows = mult.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val es = rows.map(r => (r._1, r._2))
+      val vs = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val (blockRows, _) = graft.algos.Biconnected.tarjanEdgeBlocks(es, vs)
+      val blockSize = blockRows.groupBy(_._3).map { case (b, rs) => b -> rs.length }
+      val multOf = rows.map(r => (r._1, r._2) -> r._3).toMap
+      val out = blockRows
+        .filter(r => blockSize(r._3) == 1 && multOf((r._1, r._2)) == 1L)
+        .map(r => (r._1, r._2)).sorted
+      return spark.createDataset(spark.sparkContext.parallelize(
+        out.toSeq, math.max(1, spark.sparkContext.defaultParallelism / 4)))
+        .toDF("src", "dst")
+    }
+
     val adj = mult.select(col("u").as("a"), col("v").as("b"))
       .union(mult.select(col("v").as("a"), col("u").as("b")))
       .repartition(col("a")).persist()

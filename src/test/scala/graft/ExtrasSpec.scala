@@ -60,6 +60,18 @@ class ExtrasSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L), (2L, 3L)))
   }
 
+  test("bridges: distributed XOR-tag sweep == gated Hopcroft-Tarjan kernel") {
+    // smallThreshold = 0 pins the DISTRIBUTED sweep (the default takes the
+    // gated kernel on fixtures this size)
+    for (seed <- 1 to 4) {
+      val g = graft.core.Generators.erdosRenyiGnm(spark, 50, 40, seed = seed.toLong)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(pairs(Extras.bridges(g, smallThreshold = 0L)) == pairs(Extras.bridges(g)),
+        s"mismatch at seed $seed")
+    }
+  }
+
   test("batched random walks: 1000 walkers, every hop is an edge, deterministic") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
