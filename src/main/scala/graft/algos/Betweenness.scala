@@ -142,17 +142,110 @@ object Betweenness {
     */
   @volatile private[graft] var lastLevelCount: Int = 0
 
+  /** Gated driver Brandes (2001) over the collected adjacency — the
+    * WCC/multiBfs posture for the O(n·m) exact sweep, which is only ever
+    * run on bounded inputs anyway. Returns raw (unscaled) per-vertex deltas
+    * and per-DAG-edge contributions, or None above the gate (the
+    * distributed level-sweep machinery then runs unchanged, pinned by the
+    * smallThreshold=0 parity spec). FP summation order differs from the
+    * distributed sweep in the last ulps — the same class of difference the
+    * DuckDB oracle already absorbs at its 4-decimal rounding.
+    */
+  private def brandesKernel(g: LinkGraph, smallThreshold: Long)
+      : Option[(Array[(Long, Double)], java.util.HashMap[(Long, Long), Double])] = {
+    val adjDf = (if (g.directed) g.weighted else g.bidirected)
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val rows = adjDf.limit((smallThreshold + 1).toInt).collect()
+    if (rows.length > smallThreshold) return None
+    val idx = new java.util.HashMap[Long, Int]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def intern(x: Long): Int =
+      if (idx.containsKey(x)) idx.get(x)
+      else { idx.put(x, ids.length); ids += x; ids.length - 1 }
+    rows.foreach { r => intern(r.getLong(0)); intern(r.getLong(1)) }
+    val n = ids.length
+    val off = new Array[Int](n + 1)
+    rows.foreach(r => off(idx.get(r.getLong(0)) + 1) += 1)
+    for (i <- 1 to n) off(i) += off(i - 1)
+    val fill = off.clone(); val nbrs = new Array[Int](rows.length)
+    rows.foreach { r =>
+      val i = idx.get(r.getLong(0)); nbrs(fill(i)) = idx.get(r.getLong(1)); fill(i) += 1
+    }
+    val vb = new Array[Double](n)
+    val eb = new java.util.HashMap[(Long, Long), Double]()
+    val dist = new Array[Int](n); val sigma = new Array[Double](n)
+    val delta = new Array[Double](n); val order = new Array[Int](n)
+    val queue = new Array[Int](n)
+    val predHead = new Array[Int](n)   // per-vertex pred list head into predEdge
+    val predNext = new Array[Int](rows.length)
+    val predFrom = new Array[Int](rows.length)
+    var s = 0
+    while (s < n) {
+      java.util.Arrays.fill(dist, -1); java.util.Arrays.fill(sigma, 0.0)
+      java.util.Arrays.fill(delta, 0.0); java.util.Arrays.fill(predHead, -1)
+      var predCnt = 0
+      dist(s) = 0; sigma(s) = 1.0
+      var head = 0; var tail = 0; var ordCnt = 0
+      queue(tail) = s; tail += 1
+      while (head < tail) {
+        val u = queue(head); head += 1
+        order(ordCnt) = u; ordCnt += 1
+        var j = off(u)
+        while (j < off(u + 1)) {
+          val w = nbrs(j)
+          if (dist(w) < 0) { dist(w) = dist(u) + 1; queue(tail) = w; tail += 1 }
+          if (dist(w) == dist(u) + 1) {
+            sigma(w) += sigma(u)
+            predFrom(predCnt) = u; predNext(predCnt) = predHead(w)
+            predHead(w) = predCnt; predCnt += 1
+          }
+          j += 1
+        }
+      }
+      var k = ordCnt - 1
+      while (k >= 0) {
+        val w = order(k)
+        var p = predHead(w)
+        while (p >= 0) {
+          val u = predFrom(p)
+          val c = sigma(u) / sigma(w) * (1.0 + delta(w))
+          delta(u) += c
+          val key = if (g.directed) (ids(u), ids(w))
+                    else (math.min(ids(u), ids(w)), math.max(ids(u), ids(w)))
+          eb.merge(key, c, java.lang.Double.sum)
+          p = predNext(p)
+        }
+        if (w != s) vb(w) += delta(w)
+        k -= 1
+      }
+      s += 1
+    }
+    Some((ids.indices.map(i => (ids(i), vb(i))).toArray, eb))
+  }
+
   /** Per-vertex betweenness (id, betweenness). Exact when `sources` is None. */
   def vertexBetweenness(
       g: LinkGraph,
       weighted: Boolean = false,
       cutoff: Option[Double] = None,
-      sources: Option[DataFrame] = None
+      sources: Option[DataFrame] = None,
+      smallThreshold: Long = 8000000L
   ): DataFrame = {
+    val scale = if (g.directed) 1.0 else 0.5
+    if (!weighted && cutoff.isEmpty && sources.isEmpty) {
+      brandesKernel(g, smallThreshold).foreach { case (vb, _) =>
+        val spark = g.spark
+        import spark.implicits._
+        val raw = spark.createDataset(spark.sparkContext.parallelize(
+          vb.toSeq, math.max(1, spark.sparkContext.defaultParallelism / 4))).toDF("id", "b")
+        return g.vertices.join(raw, Seq("id"), "left")
+          .select(col("id"), (coalesce(col("b"), lit(0.0)) * scale).as("betweenness"))
+      }
+    }
     val t = brandesTables(g, weighted, cutoff, sources)
     val raw = t.delta.where(col("origin") =!= col("v"))
       .groupBy(col("v").as("id")).agg(sum("delta").as("b"))
-    val scale = if (g.directed) 1.0 else 0.5
     g.vertices.join(raw, Seq("id"), "left")
       .select(col("id"), (coalesce(col("b"), lit(0.0)) * scale).as("betweenness"))
   }
@@ -165,8 +258,27 @@ object Betweenness {
       g: LinkGraph,
       weighted: Boolean = false,
       cutoff: Option[Double] = None,
-      sources: Option[DataFrame] = None
+      sources: Option[DataFrame] = None,
+      smallThreshold: Long = 8000000L
   ): DataFrame = {
+    if (!weighted && cutoff.isEmpty && sources.isEmpty) {
+      brandesKernel(g, smallThreshold).foreach { case (_, eb) =>
+        val spark = g.spark
+        import spark.implicits._
+        val scale = if (g.directed) 1.0 else 0.5
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        eb.forEach((k, v) => buf += ((k._1, k._2, v * scale)))
+        val agg = spark.createDataset(spark.sparkContext.parallelize(
+          buf.toSeq, math.max(1, spark.sparkContext.defaultParallelism / 4)))
+          .toDF("src", "dst", "betweenness")
+        val edgeSet =
+          if (g.directed) g.weighted.select("src", "dst").where(col("src") =!= col("dst")).distinct()
+          else g.weighted.where(col("src") =!= col("dst"))
+            .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst")).distinct()
+        return edgeSet.join(agg, Seq("src", "dst"), "left")
+          .select(col("src"), col("dst"), coalesce(col("betweenness"), lit(0.0)).as("betweenness"))
+      }
+    }
     val t = brandesTables(g, weighted, cutoff, sources)
     val wDelta = t.dag
       .join(t.delta, Seq("origin", "v"), "left")

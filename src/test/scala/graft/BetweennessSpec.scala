@@ -119,4 +119,27 @@ class BetweennessSpec extends AnyFunSuite {
     assert(vb(gu) == Betweenness.vertexBetweenness(wu, weighted = true).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap)
   }
+
+  test("distributed Brandes level sweep == gated driver kernel (vertex + edge)") {
+    // smallThreshold = 0 pins the DISTRIBUTED path; 1e-9 tolerance covers
+    // FP summation-order differences between the two sweeps
+    for ((seed, directed) <- Seq((3, false), (5, true))) {
+      val g = graft.core.Generators.erdosRenyiGnm(spark, 30, 60,
+        directed = directed, seed = seed.toLong)
+      val vGate = Betweenness.vertexBetweenness(g).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val vDist = Betweenness.vertexBetweenness(g, smallThreshold = 0L).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(vGate.keySet == vDist.keySet)
+      vGate.foreach { case (k, x) =>
+        assert(math.abs(x - vDist(k)) < 1e-9, s"vertex $k seed $seed: $x vs ${vDist(k)}") }
+      val eGate = Betweenness.edgeBetweenness(g).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val eDist = Betweenness.edgeBetweenness(g, smallThreshold = 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(eGate.keySet == eDist.keySet)
+      eGate.foreach { case (k, x) =>
+        assert(math.abs(x - eDist(k)) < 1e-9, s"edge $k seed $seed: $x vs ${eDist(k)}") }
+    }
+  }
 }
