@@ -354,7 +354,8 @@ object Distances {
     */
   val girthDefaultSampleOrigins = 4096
 
-  def girth(g: LinkGraph, maxOrigins: Option[Int] = None): Option[Long] = {
+  def girth(g: LinkGraph, maxOrigins: Option[Int] = None,
+            smallThreshold: Long = 8000000L): Option[Long] = {
     val ue = g.weighted.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct().persist()
@@ -374,6 +375,72 @@ object Distances {
       und.vertices.select(col("id"), xxhash64(lit(42L), col("id")).as("h"))
         .orderBy("h").limit(k).select("id")
     }
+
+    // gated driver kernel (the WCC/multiBfs posture): the distributed path
+    // shuffles the |E| × origins candidate frame (272 MB / 44 jobs at
+    // sf0.1, StageProbe q_girth) while the whole canonical edge set fits in
+    // one task. The kernel replicates the EXACT same candidate math per
+    // origin — odd cycle da == db → 2da+1; adjacent-level edge whose deeper
+    // endpoint has ≥ 2 BFS parents → da+db+1 — including the identical
+    // sampled-origin set (selected by the same Spark expression), so exact
+    // and estimator modes both agree with the distributed loop.
+    if (ue.count() <= smallThreshold) {
+      val es = ue.collect().map(r => (r.getLong(0), r.getLong(1)))
+      ue.unpersist()
+      val idx = new java.util.HashMap[Long, Int]()
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def intern(x: Long): Int =
+        if (idx.containsKey(x)) idx.get(x)
+        else { idx.put(x, ids.length); ids += x; ids.length - 1 }
+      es.foreach { e => intern(e._1); intern(e._2) }
+      val n = ids.length
+      val off = new Array[Int](n + 1)
+      es.foreach { case (a, b) => off(idx.get(a) + 1) += 1; off(idx.get(b) + 1) += 1 }
+      for (i <- 1 to n) off(i) += off(i - 1)
+      val fill = off.clone(); val nbrs = new Array[Int](es.length * 2)
+      es.foreach { case (a, b) =>
+        val i = idx.get(a); val j = idx.get(b)
+        nbrs(fill(i)) = j; fill(i) += 1; nbrs(fill(j)) = i; fill(j) += 1
+      }
+      val srcIdx: Array[Int] = sources match {
+        case Some(df) => df.collect().map(r => idx.get(r.getLong(0)))
+        case None     => (0 until n).toArray
+      }
+      val dist = new Array[Int](n); val queue = new Array[Int](n)
+      var best = Long.MaxValue
+      srcIdx.foreach { s =>
+        java.util.Arrays.fill(dist, -1)
+        dist(s) = 0; var head = 0; var tail = 0
+        queue(tail) = s; tail += 1
+        while (head < tail) {
+          val u = queue(head); head += 1
+          var j = off(u)
+          while (j < off(u + 1)) {
+            val w = nbrs(j)
+            if (dist(w) < 0) { dist(w) = dist(u) + 1; queue(tail) = w; tail += 1 }
+            j += 1
+          }
+        }
+        es.foreach { case (al, bl) =>
+          val a = idx.get(al); val b = idx.get(bl)
+          val da = dist(a); val db = dist(b)
+          if (da >= 0 && db >= 0) {
+            if (da == db) best = math.min(best, 2L * da + 1)
+            else if (math.abs(da - db) == 1) {
+              val deeper = if (da > db) a else b
+              var np = 0; var j = off(deeper)
+              while (j < off(deeper + 1)) {
+                if (dist(nbrs(j)) == dist(deeper) - 1) np += 1
+                j += 1
+              }
+              if (np >= 2) best = math.min(best, da.toLong + db + 1)
+            }
+          }
+        }
+      }
+      return if (best == Long.MaxValue) None else Some(best)
+    }
+
     val dist = multiBfs(und, Mode.All, sources).persist()
     dist.count()
     val da = dist.select(col("origin"), col("v").as("a"), col("dist").as("da"))

@@ -229,6 +229,9 @@ class DistancesSpec extends AnyFunSuite {
       val want = bruteGirth(n, edges)
       want.foreach(w => assert(w % 2 == 0, "bipartite girth must be even"))
       assert(Distances.girth(g) === want, s"trial $trial edges=$edges")
+      // smallThreshold = 0 pins the DISTRIBUTED candidate pipeline
+      assert(Distances.girth(g, smallThreshold = 0L) === want,
+        s"distributed trial $trial edges=$edges")
     }
   }
 
