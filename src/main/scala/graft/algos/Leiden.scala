@@ -357,8 +357,83 @@ object Leiden {
   def localMove(g: LinkGraph, nodeWeights: DataFrame, gammaEff: Double,
                 initial: Option[DataFrame] = None,
                 restrictTo: Option[DataFrame] = None,
-                sweepCap: Int = 20, fixedSweeps: Option[Int] = None): DataFrame = {
+                sweepCap: Int = 20, fixedSweeps: Option[Int] = None,
+                smallThreshold: Long = 8000000L): DataFrame = {
     val e = g.weighted.persist()
+
+    // gated driver kernel for the DETERMINISTIC fixed-sweep mode (plain
+    // id-parity, no refinement restriction, singleton start) — the same
+    // posture and bit-for-bit contract as Louvain.localMove's kernel: CPM
+    // gains (kvc − γ·nw·tot(c) vs kvc_own − γ·nw·(tot(own) − nw)), argmax
+    // tie min label, synchronous parity sweeps. Seeded-parity convergence
+    // mode and the restricted refinement sweeps stay distributed.
+    if (fixedSweeps.isDefined && restrictTo.isEmpty && initial.isEmpty
+        && e.count() <= smallThreshold) {
+      val spark = g.spark
+      import spark.implicits._
+      val rows = e.select("src", "dst", "weight").collect()
+      e.unpersist()
+      val vids = g.vertices.select("id").collect().map(_.getLong(0))
+      val nwMap = new java.util.HashMap[Long, Double]()
+      nodeWeights.select("id", "nw").collect()
+        .foreach(r => nwMap.put(r.getLong(0), r.getDouble(1)))
+      val idx = new java.util.HashMap[Long, Int](vids.length * 2)
+      vids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
+      val n = vids.length
+      val nw = Array.tabulate(n)(i => nwMap.getOrDefault(vids(i), 1.0))
+      val plain = rows.filter(r => r.getLong(0) != r.getLong(1))
+      val off = new Array[Int](n + 1)
+      plain.foreach { r =>
+        off(idx.get(r.getLong(0)) + 1) += 1; off(idx.get(r.getLong(1)) + 1) += 1
+      }
+      for (i <- 1 to n) off(i) += off(i - 1)
+      val fill = off.clone()
+      val nbrs = new Array[Int](plain.length * 2); val ws = new Array[Double](plain.length * 2)
+      plain.foreach { r =>
+        val a = idx.get(r.getLong(0)); val b = idx.get(r.getLong(1)); val w = r.getDouble(2)
+        nbrs(fill(a)) = b; ws(fill(a)) = w; fill(a) += 1
+        nbrs(fill(b)) = a; ws(fill(b)) = w; fill(b) += 1
+      }
+      val memb = vids.clone()
+      val next = new Array[Long](n)
+      var sweep = 0
+      while (sweep < fixedSweeps.get) {
+        val tot = new java.util.HashMap[Long, Double]()
+        var i = 0
+        while (i < n) { tot.merge(memb(i), nw(i), java.lang.Double.sum); i += 1 }
+        i = 0
+        while (i < n) {
+          val own = memb(i)
+          val kvc = new java.util.HashMap[Long, Double]()
+          kvc.put(own, 0.0)
+          var j = off(i)
+          while (j < off(i + 1)) {
+            kvc.merge(memb(nbrs(j)), ws(j), java.lang.Double.sum); j += 1
+          }
+          val stayGain = kvc.get(own) - gammaEff * nw(i) * (tot.get(own) - nw(i))
+          var bestGain = Double.NaN; var bestLabel = Long.MaxValue; var has = false
+          val it = kvc.entrySet().iterator()
+          while (it.hasNext) {
+            val en = it.next()
+            if (en.getKey != own) {
+              val gain = en.getValue - gammaEff * nw(i) * tot.get(en.getKey)
+              if (!has || gain > bestGain || (gain == bestGain && en.getKey < bestLabel)) {
+                has = true; bestGain = gain; bestLabel = en.getKey
+              }
+            }
+          }
+          val mayMove = vids(i) % 2 == (sweep % 2).toLong
+          next(i) = if (mayMove && has && bestGain > stayGain + 1e-12) bestLabel else own
+          i += 1
+        }
+        System.arraycopy(next, 0, memb, 0, n)
+        sweep += 1
+      }
+      return spark.createDataset(spark.sparkContext.parallelize(
+        vids.indices.map(i => (vids(i), memb(i))).toSeq,
+        spark.sparkContext.defaultParallelism)).toDF("id", "label")
+    }
+
     val nb = e.where(col("src") =!= col("dst"))
       .select(col("src").as("v"), col("dst").as("nbr"), col("weight").as("w"))
       .union(e.where(col("src") =!= col("dst"))

@@ -38,11 +38,93 @@ object Louvain {
     *        it) instead of seeded-parity-until-converged.
     */
   def localMove(g: LinkGraph, sweepCap: Int = 20, minGain: Double = 1e-12,
-                fixedSweeps: Option[Int] = None): DataFrame = {
+                fixedSweeps: Option[Int] = None,
+                smallThreshold: Long = 8000000L): DataFrame = {
     val e = g.weighted.persist()
     val totalW = e.agg(sum("weight")).head.getDouble(0)
     if (totalW == 0.0) { e.unpersist(); return g.vertices.select(col("id"), col("id").as("label")) }
     val m2 = 2.0 * totalW
+
+    // gated driver kernel for the DETERMINISTIC fixed-sweep mode (the
+    // oracle-mirrored mode: plain id-parity scheduling, synchronous
+    // updates): replicates the distributed sweep's math exactly — same
+    // stay/move gains, same argmax tie-break (max gain, tie min label),
+    // same parity gate — over collected arrays, replacing ~20 scheduled
+    // jobs per sweep. On integer-weight graphs every aggregate is exact, so
+    // labels are bit-identical to the distributed sweep (pinned by spec).
+    // The seeded-parity CONVERGENCE mode stays distributed at every size:
+    // its per-sweep coin is a Spark xxhash64 expression, and replicating
+    // that bit-for-bit in scala is a maintenance trap.
+    if (fixedSweeps.isDefined && e.count() <= smallThreshold) {
+      val spark = g.spark
+      import spark.implicits._
+      val rows = e.select("src", "dst", "weight").collect()
+      e.unpersist()
+      val vids = g.vertices.select("id").collect().map(_.getLong(0))
+      val idx = new java.util.HashMap[Long, Int](vids.length * 2)
+      vids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
+      val n = vids.length
+      val k = new Array[Double](n)
+      rows.foreach { r =>
+        k(idx.get(r.getLong(0))) += r.getDouble(2)
+        k(idx.get(r.getLong(1))) += r.getDouble(2)
+      }
+      // non-loop adjacency, both directions, CSR
+      val plain = rows.filter(r => r.getLong(0) != r.getLong(1))
+      val off = new Array[Int](n + 1)
+      plain.foreach { r =>
+        off(idx.get(r.getLong(0)) + 1) += 1; off(idx.get(r.getLong(1)) + 1) += 1
+      }
+      for (i <- 1 to n) off(i) += off(i - 1)
+      val fill = off.clone()
+      val nbrs = new Array[Int](plain.length * 2); val ws = new Array[Double](plain.length * 2)
+      plain.foreach { r =>
+        val a = idx.get(r.getLong(0)); val b = idx.get(r.getLong(1)); val w = r.getDouble(2)
+        nbrs(fill(a)) = b; ws(fill(a)) = w; fill(a) += 1
+        nbrs(fill(b)) = a; ws(fill(b)) = w; fill(b) += 1
+      }
+      val memb = vids.clone() // label = own id initially
+      val next = new Array[Long](n)
+      val cap2 = fixedSweeps.get
+      var sweep = 0
+      while (sweep < cap2) {
+        val tot = new java.util.HashMap[Long, Double]()
+        var i = 0
+        while (i < n) { tot.merge(memb(i), k(i), java.lang.Double.sum); i += 1 }
+        i = 0
+        while (i < n) {
+          val own = memb(i)
+          val kvc = new java.util.HashMap[Long, Double]()
+          kvc.put(own, 0.0)
+          var j = off(i)
+          while (j < off(i + 1)) {
+            kvc.merge(memb(nbrs(j)), ws(j), java.lang.Double.sum); j += 1
+          }
+          val stayGain = kvc.get(own) - (tot.get(own) - k(i)) * k(i) / m2
+          var bestGain = Double.NaN; var bestLabel = Long.MaxValue; var has = false
+          val it = kvc.entrySet().iterator()
+          while (it.hasNext) {
+            val en = it.next()
+            if (en.getKey != own) {
+              val gain = en.getValue - tot.get(en.getKey) * k(i) / m2
+              // min struct(-gain, clabel): max gain, tie -> min label
+              if (!has || gain > bestGain || (gain == bestGain && en.getKey < bestLabel)) {
+                has = true; bestGain = gain; bestLabel = en.getKey
+              }
+            }
+          }
+          val mayMove = vids(i) % 2 == (sweep % 2).toLong
+          next(i) = if (mayMove && has && bestGain > stayGain + minGain) bestLabel else own
+          i += 1
+        }
+        System.arraycopy(next, 0, memb, 0, n)
+        sweep += 1
+      }
+      return spark.createDataset(spark.sparkContext.parallelize(
+        vids.indices.map(i => (vids(i), memb(i))).toSeq,
+        spark.sparkContext.defaultParallelism)).toDF("id", "label")
+    }
+
     // strength incl. self-loops counted twice (both endpoints)
     val kv = e.select(col("src").as("id"), col("weight"))
       .union(e.select(col("dst").as("id"), col("weight")))

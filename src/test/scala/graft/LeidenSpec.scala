@@ -151,4 +151,22 @@ class LeidenSpec extends AnyFunSuite {
     val clInf = Leiden.communityLeidenSequential(figC1, Leiden.CPM, beta = 0.0, nIterations = -1)
     assert(memb(cl2) === memb(clInf))
   }
+
+  test("fixed-sweep mode: distributed sweep == gated driver kernel, label for label") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // smallThreshold = 0 pins the DISTRIBUTED sweep; integer weights make
+    // every aggregate exact, so labels must agree bit-for-bit
+    for ((n, m, seed) <- Seq((40, 90, 4L), (60, 150, 11L))) {
+      val g = graft.core.Generators.erdosRenyiGnm(spark, n.toLong, m.toLong, seed = seed)
+      val nw = g.vertices.select(col("id"), lit(1.0).as("nw"))
+      for (sweeps <- Seq(2, 4)) {
+        val gated = Leiden.localMove(g, nw, gammaEff = 0.5, fixedSweeps = Some(sweeps))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dist = Leiden.localMove(g, nw, gammaEff = 0.5, fixedSweeps = Some(sweeps),
+          smallThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gated == dist, s"n=$n sweeps=$sweeps: kernel and distributed sweep disagree")
+      }
+    }
+  }
 }

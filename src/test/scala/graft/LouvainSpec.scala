@@ -37,6 +37,21 @@ class LouvainSpec extends AnyFunSuite {
     assert(q > 0.34, s"distributed local move Q=$q")
   }
 
+  test("fixed-sweep mode: distributed sweep == gated driver kernel, label for label") {
+    // smallThreshold = 0 pins the DISTRIBUTED sweep; integer weights make
+    // every aggregate exact, so labels must agree bit-for-bit
+    for ((n, m, seed) <- Seq((40, 90, 3L), (60, 150, 9L))) {
+      val g = graft.core.Generators.erdosRenyiGnm(spark, n.toLong, m.toLong, seed = seed)
+      for (sweeps <- Seq(2, 4)) {
+        val gated = Louvain.localMove(g, fixedSweeps = Some(sweeps)).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dist = Louvain.localMove(g, fixedSweeps = Some(sweeps), smallThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gated == dist, s"n=$n sweeps=$sweeps: kernel and distributed sweep disagree")
+      }
+    }
+  }
+
   test("two cliques joined by an edge: one level, clean split, q improves on singletons") {
     val two = GraphOps.disjointUnion(LinkGraph.full(spark, 5), LinkGraph.full(spark, 5))
     val g = LinkGraph(two.weighted.union(Seq((0L, 5L, 1.0)).toDF("src", "dst", "weight")),
