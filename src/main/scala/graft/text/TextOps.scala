@@ -113,7 +113,12 @@ object TextOps {
     * production path (identical algorithm, different hash family).
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16, md5Mode: Boolean = false): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+    // spread the docs BEFORE the explode: the k seeded hashes per shingle
+    // run in the pre-shuffle partial-aggregate stage, whose parallelism is
+    // the input's partition count — a small parquet read is ONE partition,
+    // serializing the whole signature computation onto one task
+    val sh = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
     val mins = (0 until k).map { i =>
       val h = if (md5Mode) md5(concat_ws("|", lit(i.toString), col("sh")))
               else xxhash64(lit(i), col("sh")).cast("string")
@@ -572,6 +577,8 @@ object TextOps {
     require(minLen > 0 && winnow > 0 && minDocs >= 2,
       s"need minLen>0, winnow>0, minDocs>=2; got ($minLen, $winnow, $minDocs)")
     val all = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism) // spread
+      // the per-position substring explosion (input arrives as 1 partition)
       .where(length(col("text")) >= minLen)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (minLen - 1))).as("p"),
