@@ -27,8 +27,16 @@ object Components {
     */
   def wcc(g: LinkGraph, store: Option[CheckpointStore] = None, maxIter: Int = 50,
           smallThreshold: Long = 1000000L): DataFrame = {
+    // NOTE loops ride along in the persisted frame (they are a no-op for
+    // min-label propagation and for union-find); the distributed join below
+    // filters them per-scan from the cached rows. Keeping them means the
+    // small-path vertex set can be derived from the COLLECTED rows instead
+    // of from g.vertices — whose edge-endpoint derivation would re-run the
+    // whole upstream pipeline (LSH candidate generation, pair confirm, ...)
+    // once for the gate count and once more for the output set. That double
+    // recompute was the dominant cost of every dedup query that ends in a
+    // WCC over candidate pairs (q_embed_dedup_lsh: 3 full pipeline runs).
     val adj = g.bidirected.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst"))
       .repartition(col("src"))
       .persist()
     // adaptive small-input fast path (the AQE posture, decided by a runtime
@@ -41,8 +49,10 @@ object Components {
     // replaces ~44 jobs with 3 (StageProbe, sf0.1 q_wcc). Above the gate —
     // any real web-scale run — nothing changes. Checkpointed runs keep the
     // distributed loop: resume tests replay per-round lineage.
+    // Gate without extra jobs: explicit n when given; otherwise every vertex
+    // is an endpoint of some collected row, so |V| <= |adj rows| <= gate.
     if (store.isEmpty && adj.count() <= smallThreshold
-        && g.vertices.count() <= smallThreshold) {
+        && g.numVertices.forall(_ <= smallThreshold)) {
       val spark = g.spark
       import spark.implicits._
       val parent = new java.util.HashMap[Long, Long]()
@@ -53,21 +63,28 @@ object Components {
         while (c != r) { val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt }
         r
       }
-      adj.collect().foreach { row =>
+      val rows = adj.collect()
+      rows.foreach { row =>
         val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
         if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
       }
-      val out = g.vertices.select("id").collect()
-        .map(r => (r.getLong(0), find(r.getLong(0)))).toSeq
+      val vset: Iterator[Long] = g.numVertices match {
+        case Some(n) => Iterator.range(0L, n)
+        case None    => // distinct endpoints, loops included — same set
+          rows.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+            .to(scala.collection.immutable.SortedSet).iterator
+      }
+      val out = vset.map(v => (v, find(v))).toSeq
       adj.unpersist()
       return out.toDF("id", "comp")
     }
+    val adjNoLoop = adj.where(col("src") =!= col("dst"))
     var labels = g.vertices.select(col("id"), col("id").as("comp")).transform(graft.core.Lineage.cut)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val t0 = System.currentTimeMillis()
-      val nbrMin = adj.join(labels, adj("src") === labels("id"))
+      val nbrMin = adjNoLoop.join(labels, adjNoLoop("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr_comp"))
       // pre-round label rides as `old` so the convergence count is a scan
       // of the checkpointed frame, not a shuffle join per round

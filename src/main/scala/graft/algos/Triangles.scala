@@ -22,15 +22,23 @@ import org.apache.spark.sql.functions.{count => cnt}
   */
 object Triangles {
 
-  /** Undirected simple edge view canonicalized to src < dst. */
+  /** Undirected simple edge view canonicalized to src < dst. A
+    * builder-asserted canonical-simple graph (the co-part build) skips the
+    * filter + least/greatest + distinct — a full shuffle of the edge table
+    * the construction already paid for.
+    */
   private def simpleEdges(g: LinkGraph): DataFrame =
-    g.edges.where(col("src") =!= col("dst"))
+    if (g.canonicalSimple) g.edges.select(col("src"), col("dst"))
+    else g.edges.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
       .distinct()
 
   /** All triangles as (a, b, c) rows, each triangle exactly once. */
   def triangleTriples(g: LinkGraph): DataFrame = {
-    val e = simpleEdges(g).transform(graft.core.Lineage.cut)
+    // canonical-simple edges are already materialized by their builder —
+    // re-cutting would copy the table once more for nothing
+    val e0 = simpleEdges(g)
+    val e = if (g.canonicalSimple) e0 else e0.transform(graft.core.Lineage.cut)
     // total degree on the simple graph, for the orientation order
     val deg = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .groupBy("v").agg(cnt(lit(1)).as("deg"))
@@ -54,7 +62,11 @@ object Triangles {
     // sf0.1 (StageProbe), and the gap widens with skew at web scale.
     // Orientation still bounds every array by O(sqrt m) (arboricity), so no
     // row is hub-sized.
+    // adj is referenced TWICE below (nlo and nhi side) — cut it so the
+    // collect_list aggregate runs once, not once per reference (the
+    // duplicated-subtree plan the r06 before-dump shows for q_local_cc)
     val adj = oriented.groupBy(col("lo")).agg(collect_list(col("hi")).as("nbrs"))
+      .transform(graft.core.Lineage.cut)
     oriented
       .join(adj.select(col("lo"), col("nbrs").as("nlo")), Seq("lo"))
       .join(adj.select(col("lo").as("hi"), col("nbrs").as("nhi")), Seq("hi"))
@@ -68,9 +80,11 @@ object Triangles {
   /** Per-vertex triangle count (id, triangles); zero for triangle-free. */
   def perVertex(g: LinkGraph): DataFrame = {
     val t = triangleTriples(g)
-    val ends = t.select(col("a").as("id"))
-      .union(t.select(col("b").as("id")))
-      .union(t.select(col("c").as("id")))
+    // ONE traversal of the triple stream: explode each triangle into its 3
+    // corners in the same projection. The previous union of three selects
+    // referenced `t` three times, which re-ran the whole adjacency-join
+    // pipeline per reference (r06 before-plan: triple SortMergeJoin subtree).
+    val ends = t.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
     val counts = ends.groupBy("id").agg(cnt(lit(1)).as("triangles"))
     g.vertices.join(counts, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))

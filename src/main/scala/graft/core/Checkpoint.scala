@@ -76,15 +76,20 @@ final class CheckpointStore(val root: String, val runId: String) {
   * leaf estimate each superstep, keeping planning O(1) per iteration.
   */
 object Lineage {
-  def cut(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val rdd = df.rdd
-    // truncate the RDD lineage too: without this the closure-serialized RDD
-    // DAG grows one level per superstep and eventually overflows the stack
-    rdd.localCheckpoint()
-    rdd.count() // materialize eagerly (superstep barrier)
-    spark.createDataFrame(rdd, df.schema)
-  }
+  def cut(df: DataFrame): DataFrame =
+    // Dataset.localCheckpoint(eager=true) truncates BOTH the logical plan
+    // (flat LogicalRDD — constant plan depth per superstep) and the RDD
+    // lineage, exactly like the previous `df.rdd` + `createDataFrame` pair,
+    // but with two structural advantages (guide §1.4/§2.4):
+    //  - it checkpoints the INTERNAL UnsafeRow RDD, so no per-superstep
+    //    InternalRow -> external Row -> InternalRow codec round-trip
+    //    (DeserializeToObject/SerializeFromObject pairs disappear from every
+    //    iterative plan);
+    //  - the LogicalRDD keeps the physical plan's output partitioning and
+    //    ordering, so a loop whose state is already hash-partitioned on the
+    //    next join key (ranks on id, membership on nbr, frontier on src)
+    //    re-enters the superstep join with NO new Exchange.
+    df.localCheckpoint(true)
 
   /** Cheap materialization without plan truncation: persist + count. The
     * cached InMemoryRelation carries REAL size stats (no estimate
@@ -121,13 +126,24 @@ object Lineage {
     val spark = df.sparkSession
     val rowBytes = df.schema.map(_.dataType.defaultSize).sum.max(1)
     val maxRows = maxLocalBytes / rowBytes
-    val rdd = df.rdd
-    rdd.localCheckpoint()
-    val n = rdd.count() // materialize eagerly (superstep barrier)
-    if (n <= maxRows) {
+    // checkpoint once (one full execution); the count and the tiny-case
+    // collect both read the checkpointed UnsafeRows, so they are cheap
+    // cache-scan jobs, not re-executions of the plan
+    val cp = df.localCheckpoint(true)
+    if (cp.count() <= maxRows) {
       import scala.jdk.CollectionConverters._
-      spark.createDataFrame(rdd.collect().toSeq.asJava, df.schema)
-    } else spark.createDataFrame(rdd, df.schema)
+      spark.createDataFrame(cp.collect().toSeq.asJava, df.schema)
+    } else cp
+  }
+
+  /** Collect-to-LocalRelation cut for state that is tiny BY CONSTRUCTION
+    * (k-means centroids: k·d rows at any corpus size; PQ codebooks). ONE
+    * job, and the LocalRelation's real tiny stats make every downstream
+    * join a static broadcast. Never use for corpus-sized state.
+    */
+  def cutLocal(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
   }
 }
 

@@ -31,7 +31,16 @@ final case class Edge(src: Long, dst: Long, weight: Double)
 final case class LinkGraph(
     edges: DataFrame,
     directed: Boolean,
-    numVertices: Option[Long] = None
+    numVertices: Option[Long] = None,
+    /** Builder-asserted problem knowledge the optimizer cannot derive
+      * (guide §8): `edges` is already a SIMPLE canonical edge set — distinct
+      * rows, no self-loops, and src < dst when undirected. Lets operators
+      * that need the simple view (triangles, transitivity, knn) skip a full
+      * re-canonicalization shuffle (filter + least/greatest + distinct over
+      * the whole edge table). Only set it where the construction guarantees
+      * it (e.g. the co-part build ends in exactly that distinct).
+      */
+    canonicalSimple: Boolean = false
 ) {
   def spark: SparkSession = edges.sparkSession
 

@@ -35,7 +35,15 @@ object Tables {
     * parts iff they appear in the same order; canonical src < dst.
     */
   def copartGraph(spark: SparkSession, dir: String): LinkGraph = {
-    val li = read(spark, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // fixed-width repartition BEFORE the expanding self-join: AQE coalesces
+    // the exchange on PRE-join bytes (600k rows -> 3 partitions at sf0.1)
+    // and serializes the O(items-per-order²) pair expansion onto those few
+    // tasks; an explicit numPartitions repartition is exempt from AQE
+    // coalescing, and the aliased join reuses the single exchange
+    // (same pathology and fix as the r5 wedge/shingle expansion joins)
+    val li = read(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(spark.sparkContext.defaultParallelism, col("ok"))
     val e = li.alias("a").join(li.alias("b"), Seq("ok"))
       .where(col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
@@ -44,7 +52,8 @@ object Tables {
       // weighted / bidirected views lazily, so without this every
       // downstream action re-runs the O(|lineitem| per order²) pair build
       .transform(graft.core.Lineage.cut)
-    LinkGraph(e, directed = false, None)
+    // src < dst distinct by construction -> consumers skip re-canonicalizing
+    LinkGraph(e, directed = false, None, canonicalSimple = true)
   }
 
   /** Sparse tree-plus-chords graph over `events` user ids: binary-tree

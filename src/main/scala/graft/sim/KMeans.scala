@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Exploded (vec_id, i, x) view of (vec_id, embedding). */
+  /** Exploded (vec_id, i, x) view of (vec_id, embedding). Deliberately NOT
+    * pre-repartitioned: an A/B at sf0.1 showed the extra exchange+stage per
+    * lloyd() call costing more than the per-round exchange it saved (the
+    * per-round aggregates shuffle only N·k tiny rows).
+    */
   private def exploded(vectors: DataFrame): DataFrame =
     vectors.select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")))
@@ -51,10 +55,12 @@ object KMeans {
     val w = Window.orderBy("vec_id")
     val seeds = vectors.select(col("vec_id")).orderBy("vec_id").limit(k)
       .select(col("vec_id"), (row_number().over(w) - 1).cast("long").as("cid"))
-    // hard-cut the iterating state (centroids are k*d rows -> LocalRelation;
-    // assignments are N rows -> distributed cut): keeps each round's plan
-    // constant-size instead of doubling per round
-    var cent = Lineage.cutAdaptive(ex.join(seeds, Seq("vec_id"))
+    // hard-cut the iterating state (centroids are k*d rows BY CONSTRUCTION
+    // -> one-job collect to LocalRelation; assignments are N rows ->
+    // distributed cut): keeps each round's plan constant-size instead of
+    // doubling per round, at one job per cut instead of the old
+    // count-then-collect pair
+    var cent = Lineage.cutLocal(ex.join(seeds, Seq("vec_id"))
       .select(col("cid"), col("i"), col("x").as("cx")))
 
     def assignTo(c: DataFrame): DataFrame = {
@@ -69,9 +75,12 @@ object KMeans {
     var asg: DataFrame = null
     var t = 0
     while (t < iters) {
+      // cutAdaptive: tiny assignments come back as a LocalRelation whose
+      // real stats make the centroid-update join a static broadcast;
+      // corpus-sized assignments stay a distributed cut
       asg = Lineage.cutAdaptive(assignTo(cent))
       if (t < iters - 1)
-        cent = Lineage.cutAdaptive(
+        cent = Lineage.cutLocal(
           ex.join(asg.select(col("vec_id"), col("cluster").as("cid")), Seq("vec_id"))
             .groupBy("cid", "i").agg(avg("x").as("cx")))
       t += 1
