@@ -100,7 +100,10 @@ object KCore {
         }
         k += 1
       }
-      val coreDf = ids.indices.map(i2 => (ids(i2), dcur(i2).toLong)).toDF("id", "coreness")
+      // parallelize, don't toDF: a driver Seq toDF embeds an up-to-8M-row
+      // LocalRelation into the downstream join plan (same rule as multiBfs)
+      val coreDf = spark.createDataset(spark.sparkContext.parallelize(
+        ids.indices.map(i2 => (ids(i2), dcur(i2).toLong)))).toDF("id", "coreness")
       return g.vertices.join(coreDf, Seq("id"), "left")
         .select(col("id"), coalesce(col("coreness"), lit(0L)).as("coreness"))
     }

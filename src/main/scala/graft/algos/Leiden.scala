@@ -422,7 +422,9 @@ object Leiden {
               }
             }
           }
-          val mayMove = vids(i) % 2 == (sweep % 2).toLong
+          // floorMod, not %: Spark's pmod(id, 2) is non-negative for negative
+          // ids, and the kernel must match the distributed sweep bit-for-bit
+          val mayMove = math.floorMod(vids(i), 2L) == (sweep % 2).toLong
           next(i) = if (mayMove && has && bestGain > stayGain + 1e-12) bestLabel else own
           i += 1
         }

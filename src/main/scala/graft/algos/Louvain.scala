@@ -113,7 +113,9 @@ object Louvain {
               }
             }
           }
-          val mayMove = vids(i) % 2 == (sweep % 2).toLong
+          // floorMod, not %: Spark's pmod(id, 2) is non-negative for negative
+          // ids, and the kernel must match the distributed sweep bit-for-bit
+          val mayMove = math.floorMod(vids(i), 2L) == (sweep % 2).toLong
           next(i) = if (mayMove && has && bestGain > stayGain + minGain) bestLabel else own
           i += 1
         }

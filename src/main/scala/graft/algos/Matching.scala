@@ -103,6 +103,11 @@ object Matching {
     */
   def isMatching(g: LinkGraph, matching: DataFrame): Boolean = {
     val m = matching.select(col("id"), col("mate")).where(col("mate") >= 0)
+    // a self-matched vertex (mate == id) passes the symmetry self-join
+    // trivially and the id < mate filter below would skip it; the reference's
+    // igraph_is_matching rejects it, so count it with the asymmetry check
+    val selfm = m.where(col("mate") === col("id")).count()
+    if (selfm > 0) return false
     val asym = m.alias("a")
       .join(m.select(col("id").as("bid"), col("mate").as("bmate")),
         col("a.mate") === col("bid"), "left")

@@ -89,7 +89,15 @@ object Lineage {
     //    ordering, so a loop whose state is already hash-partitioned on the
     //    next join key (ranks on id, membership on nbr, frontier on src)
     //    re-enters the superstep join with NO new Exchange.
-    df.localCheckpoint(true)
+    // The raw checkpoint must NOT be returned as-is: since SPARK-39748 its
+    // LogicalRDD carries the origin plan's statistics, and chained across
+    // supersteps those estimates compound multiplicatively until Catalyst
+    // spends minutes on million-digit BigInt products (the failure mode
+    // this object's docstring documents — it bit again the first time cut
+    // used localCheckpoint directly). dropOriginStats rebuilds the
+    // LogicalRDD with fresh leaf stats, keeping the rows + partitioning.
+    org.apache.spark.sql.execution.GraftLogicalRdd.dropOriginStats(
+      df.localCheckpoint(true))
 
   /** Cheap materialization without plan truncation: persist + count. The
     * cached InMemoryRelation carries REAL size stats (no estimate
@@ -129,7 +137,8 @@ object Lineage {
     // checkpoint once (one full execution); the count and the tiny-case
     // collect both read the checkpointed UnsafeRows, so they are cheap
     // cache-scan jobs, not re-executions of the plan
-    val cp = df.localCheckpoint(true)
+    val cp = org.apache.spark.sql.execution.GraftLogicalRdd.dropOriginStats(
+      df.localCheckpoint(true))
     if (cp.count() <= maxRows) {
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(cp.collect().toSeq.asJava, df.schema)

@@ -22,6 +22,30 @@ object Ann {
     dot / (na * nb)
   }
 
+  /** Dot product / squared norm over float-array columns WITHOUT an
+    * array-level cast. Two measured pitfalls these helpers encode (r06
+    * microbench, 450k 64-dim pairs):
+    *  - `getItem` over `cast(arr as array<double>)` re-runs the WHOLE
+    *    O(dims) array cast per extracted element once CollapseProject
+    *    inlines the projection (measured 1.1 ms/row on a broadcast build);
+    *    casting each ELEMENT inside the lambda is exact (float->double is
+    *    lossless) and copies nothing;
+    *  - a fully unrolled 64-term codegen tree is ~3x SLOWER than the
+    *    zip_with/aggregate higher-order form (1.16 s vs 0.37 s) — the HOF
+    *    path reads primitive array slots without boxing, and one fused
+    *    lambda beats 64 separate null-checked getItems.
+    * The fold order (lit(0.0) seed, left-to-right) is the one every
+    * previous form used, so cos values are bit-for-bit unchanged.
+    */
+  private[sim] def dotF(a: org.apache.spark.sql.Column,
+                        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  private[sim] def norm2F(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
   /** Exact top-k cosine neighbors for each query vector (brute force):
     * broadcast the (small) query set against the corpus, window-rank per
     * query. Output: (query_id, neighbor_id, cos, rank).
@@ -31,20 +55,15 @@ object Ann {
     // refold each side's norm for every pair), and the streamed corpus
     // spread across the cluster — a small parquet read is one partition,
     // which would serialize the whole scan onto one task
-    def norm(e: org.apache.spark.sql.Column) =
-      sqrt(aggregate(transform(e, x => x * x), lit(0.0d), (a, v) => a + v))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").cast("array<double>").as("ce"))
-      .withColumn("nc", norm(col("ce")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .withColumn("nc", sqrt(norm2F(col("ce"))))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    val q = queries.select(col("vec_id").as("query_id"),
-        col("embedding").cast("array<double>").as("qe"))
-      .withColumn("nq", norm(col("qe")))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("nq", sqrt(norm2F(col("qe"))))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (aggregate(zip_with(col("qe"), col("ce"), (x, y) => x * y), lit(0.0d),
-          (acc, v) => acc + v) / (col("nq") * col("nc"))).as("cos"))
+        (dotF(col("qe"), col("ce")) / (col("nq") * col("nc"))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
@@ -135,12 +154,12 @@ object Ann {
     // norms precomputed per vector BEFORE the pair join: one interpreted
     // higher-order aggregate per pair (the dot) instead of three — same
     // arithmetic (dot / na·nb), 3x less work on the quadratic path
-    val nv = vectors.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0d), (a, v) => a + v)))
+    val nv = vectors.select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", sqrt(norm2F(col("e"))))
     // the non-equi pair join is a BroadcastNestedLoopJoin that parallelizes
     // over the STREAMED side's partitions — a small parquet read arrives as
-    // one partition, serializing the whole quadratic pair scan onto one
-    // task; spread it across the cluster first (row order per pair, and
+    // one partition, which would serialize the whole quadratic pair scan onto
+    // one task; spread it across the cluster first (row order per pair, and
     // hence every per-pair fold, is unchanged)
     val nPart = nv.sparkSession.sparkContext.defaultParallelism
     val l = nv.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
@@ -148,8 +167,7 @@ object Ann {
     val r = nv.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
     l.join(r, col("a") < col("b"))
       .select(col("a"), col("b"),
-        (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-          / (col("na") * col("nb"))).as("cos"))
+        (dotF(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
@@ -171,21 +189,28 @@ object Ann {
     // by (table, bucket): ONE bucket scan, ONE size aggregate, ONE
     // candidate self-join instead of `tables` of each (round-3 verdict #3).
     val b = cappedBuckets(lshBucketsAll(vectors, nBits, tables), maxBucket)
+    // fixed-width repartition on the pair key INSTEAD of a bare distinct():
+    // AQE sizes the distinct exchange from pre-aggregation bytes and
+    // coalesces the confirm stage onto 2-3 tasks; an explicit repartition is
+    // exempt from coalescing, the distinct aggregate reuses its partitioning
+    // (no extra exchange), and the per-pair cosine confirm downstream runs
+    // at full width (same pathology + fix as the r5 wedge/shingle joins)
+    val np = vectors.sparkSession.sparkContext.defaultParallelism
     val candIds =
       b.select(col("vec_id").as("a"), col("table"), col("bucket"), col("sub"))
         .join(b.select(col("vec_id").as("b"), col("table"), col("bucket"), col("sub")),
           Seq("table", "bucket", "sub"))
         .where(col("a") < col("b"))
         .select(col("a"), col("b"))
-        .distinct()
-    val nv = vectors.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0d), (a, v) => a + v)))
+        .repartition(np, col("a"), col("b"))
+        .dropDuplicates("a", "b")
+    val nv = vectors.select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", sqrt(norm2F(col("e"))))
     candIds
       .join(nv.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na")), Seq("a"))
       .join(nv.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
-        (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-          / (col("na") * col("nb"))).as("cos"))
+        (dotF(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
@@ -232,8 +257,14 @@ object Ann {
     val pairs = if (exact) nearDupPairs(vectors, threshold)
                 else nearDupPairsLsh(vectors, threshold, nBits, tables)
     val ids = vectors.select(col("vec_id").as("id"))
+    // cut BEFORE LinkGraph: wcc's bidirected view unions the edge frame
+    // with its own swap, and an uncut frame would re-run the entire
+    // candidate-confirm pipeline once per union branch (measured: the
+    // confirm stage read its candidate exchange exactly twice, 2x 464k
+    // rows, and the cut halves the query's dominant stage)
     val g = graft.core.LinkGraph(
-      pairs.select(col("a").as("src"), col("b").as("dst")), directed = false)
+      graft.core.Lineage.cut(pairs.select(col("a").as("src"), col("b").as("dst"))),
+      directed = false)
     val comp = graft.algos.Components.wcc(g) // (id, comp) over pair endpoints
     ids.join(comp, Seq("id"), "left")
       .select(col("id").as("vec_id"),
@@ -348,7 +379,8 @@ object Ann {
       .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), Seq("neighbor_id"))
       .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qe").cast("array<double>"), col("ce").cast("array<double>")).as("cos"))
+        (dotF(col("qe"), col("ce"))
+          / (sqrt(norm2F(col("qe"))) * sqrt(norm2F(col("ce"))))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))

@@ -102,13 +102,20 @@ object KMeans {
     */
   def semDedup(vectors: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
     val asg = assign(vectors, k, iters)
-    val v = vectors.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // norms bound once per VECTOR (Ann.cosine inline would refold both
+    // norms per PAIR on the cluster-local quadratic scan), and the dot as
+    // the unrolled codegen'd tree — identical fold order, so the cosine
+    // compared against tau is bit-for-bit the same
+    val v = vectors.select(col("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", sqrt(Ann.norm2F(col("emb"))))
       .join(asg, Seq("vec_id"))
-    val a = v.select(col("cluster"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
-    val b = v.select(col("cluster"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
+    val a = v.select(col("cluster"), col("vec_id").as("a_id"), col("emb").as("a_emb"),
+      col("nrm").as("a_nrm"))
+    val b = v.select(col("cluster"), col("vec_id").as("b_id"), col("emb").as("b_emb"),
+      col("nrm").as("b_nrm"))
     val drops = a.join(b, Seq("cluster"))
       .where(col("a_id") < col("b_id"))
-      .where(Ann.cosine(col("a_emb"), col("b_emb")) >= tau)
+      .where(Ann.dotF(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")) >= tau)
       .select(col("b_id").as("vec_id")).distinct()
     v.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),

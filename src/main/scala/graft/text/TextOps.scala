@@ -711,28 +711,38 @@ object TextOps {
     * bit-for-bit) and add-alpha smoothing on both distributions. High-weight
     * docs are the ones importance resampling would keep.
     *
-    * Scale shape: the two distributions are hash aggregates down to at most
-    * `buckets` rows; the per-doc scoring joins the exploded features
-    * against that broadcast-sized ratio table and aggregates per doc — one
-    * explode + three aggregates, no step larger than the feature stream.
+    * Scale shape: ONE explode+hash pass per corpus. The raw pass reduces
+    * immediately to per-(doc, bucket) instance counts (<= docs x buckets
+    * rows — map-side combinable); the raw bucket distribution, its total
+    * AND the per-doc scoring all derive from that table, so the raw text
+    * is never exploded or md5'd twice (guide §1.2: remove whole passes
+    * before tuning anything inside one). Scoring is then a broadcast join
+    * of the tiny ratio table against the count table, with
+    * sum(count x logratio) replacing the instance-level sum — exact in
+    * real arithmetic since every instance of bucket b contributes the
+    * identical lr(b).
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
                   alpha: Double = 1.0): DataFrame = {
     require(buckets >= 2, s"dsir: need buckets >= 2, got $buckets")
-    def feats(df: DataFrame): DataFrame = df.select(col("doc_id"),
+    // spread the docs BEFORE the explode: a single-file parquet read is one
+    // partition, which would serialize the per-feature md5 hashing onto one
+    // task (same pathology + fix as the minhash shingle explode)
+    def feats(df: DataFrame): DataFrame = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
         explode(concat(ngramsAll(col("text"), 1), ngramsAll(col("text"), 2))).as("g"))
       .select(col("doc_id"),
         pmod(conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long"),
           lit(buckets.toLong)).as("b"))
-    val tFeats = feats(target)
-    val rFeats = feats(raw)
-    // the bucket tables are <= `buckets` rows: materialize them once
-    // (localCheckpoint) and derive the feature totals from THEM, instead of
-    // separate .count() actions that would re-scan the whole exploded
-    // feature stream — at corpus scale that removes two full passes over
-    // the text (5 -> 3: one per distribution + the scoring join)
-    val tCounts = tFeats.groupBy("b").agg(count(lit(1)).as("ct")).localCheckpoint(true)
-    val rCounts = rFeats.groupBy("b").agg(count(lit(1)).as("cr")).localCheckpoint(true)
+    // the single pass over the raw corpus: per-(doc, bucket) feature counts
+    val rDocB = feats(raw).groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // bucket tables are <= `buckets` rows: materialize once and derive the
+    // totals from THEM (no .count() re-scan of the feature stream)
+    val tCounts = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+      .localCheckpoint(true)
+    val rCounts = rDocB.groupBy("b").agg(sum(col("c")).as("cr")).localCheckpoint(true)
     val totT = tCounts.agg(coalesce(sum(col("ct")), lit(0L))).first().getLong(0).toDouble
     val totR = rCounts.agg(coalesce(sum(col("cr")), lit(0L))).first().getLong(0).toDouble
     // every bucket raw features touch appears in rCounts, so the left join
@@ -741,9 +751,9 @@ object TextOps {
       .select(col("b"),
         (log((coalesce(col("ct"), lit(0L)) + alpha) / (totT + alpha * buckets))
           - log((col("cr") + alpha) / (totR + alpha * buckets))).as("lr"))
-    rFeats.join(broadcast(ratio), Seq("b"))
+    rDocB.join(broadcast(ratio), Seq("b"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), round(sum(col("lr")), 6).as("logweight"))
+      .agg(sum(col("c")).as("n_feats"), round(sum(col("c") * col("lr")), 6).as("logweight"))
   }
 
   /** Corpus-level line deduplication (the C4 "discard duplicate three-

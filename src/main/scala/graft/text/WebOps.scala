@@ -166,25 +166,52 @@ object WebOps {
     * by `orderCol` DESCENDING with ascending-id tiebreak so the selection is
     * deterministic. Output = the kept rows plus (host, rk).
     *
-    * Scale shape: one hash shuffle on host, then a per-host sort — never a
-    * global sort. The sort key set per task is bounded by the largest host's
-    * page count; a pathological mega-host (10^8 pages of 10^12) still sorts
-    * locally inside one task, and because only `maxPerDomain` rows survive,
-    * a pre-prune is available when that ever dominates: a map-side
-    * `slice(array_sort(collect_list(struct(...))), 1, N)` partial aggregate
-    * per (input-partition, host) bounds shuffle input to N rows per host per
-    * partition. Kept as the straightforward window until measurement says
-    * otherwise.
+    * Scale shape (round-5 verdict #1 — the one flagged scale-killer): a
+    * `row_number` window partitioned by host would ship EVERY page of a
+    * Zipf mega-host (10^8 pages of wordpress.com at 10^12 scale) through
+    * one task's sort. Instead the top-N is computed as a two-level
+    * aggregate (guide §2.5 "two-level aggregation" applied to top-N):
+    *  1. map-side partial top-N per (input-partition, host) —
+    *     `slice(array_sort(collect_list(struct(...)), cmp), 1, N)`; the
+    *     grouping key includes `spark_partition_id()`, so groups are
+    *     partition-local, the partial aggregate completes map-side, and the
+    *     exchange carries at most N rows per host PER PARTITION instead of
+    *     the host's full page count;
+    *  2. one merge aggregate per host over those bounded candidate lists,
+    *     re-sorted and sliced to the global top-N; `posexplode` of the
+    *     final sorted slice yields rk = position + 1 directly.
+    * Result is row-for-row identical to the window form: the order
+    * (orderCol DESC NULLS LAST, id ASC) is total because ids are unique,
+    * and every global top-N row is necessarily in its partition's local
+    * top-N.
     */
   def capPerDomain(pages: DataFrame, maxPerDomain: Int, orderCol: String,
                    urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
     require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("host"))
-      .orderBy(col(orderCol).desc, col(idCol).asc)
-    pages.withColumn("host", host(col(urlCol)))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= maxPerDomain)
+    val hosted = pages.withColumn("host", host(col(urlCol)))
+    val outCols = hosted.columns
+    // (orderCol DESC NULLS LAST, id ASC) as an array_sort comparator; the
+    // full output row rides along as a nested struct payload
+    val rec = struct(col(orderCol).as("_o"), col(idCol).as("_i"),
+      struct(outCols.map(col): _*).as("_r"))
+    def cmp(l: Column, r: Column): Column =
+      when(l.getField("_o").isNull && r.getField("_o").isNotNull, 1)
+        .when(l.getField("_o").isNotNull && r.getField("_o").isNull, -1)
+        .when(l.getField("_o") > r.getField("_o"), -1)
+        .when(l.getField("_o") < r.getField("_o"), 1)
+        .when(l.getField("_i") < r.getField("_i"), -1)
+        .when(l.getField("_i") > r.getField("_i"), 1)
+        .otherwise(0)
+    val partial = hosted
+      .withColumn("_p", spark_partition_id())
+      .groupBy(col("_p"), col("host"))
+      .agg(slice(array_sort(collect_list(rec), cmp), 1, maxPerDomain).as("_top"))
+    val merged = partial.groupBy("host")
+      .agg(slice(array_sort(flatten(collect_list(col("_top"))), cmp), 1, maxPerDomain)
+        .as("_top"))
+    merged.select(posexplode(col("_top")).as(Seq("_pos", "_rec")))
+      .select(outCols.map(c => col(s"_rec._r.`$c`").as(c))
+        :+ (col("_pos") + 1).cast("long").as("rk"): _*)
   }
 
   /** Anchor-text aggregation: for every link target, the top-`topK` anchor
@@ -242,14 +269,16 @@ object WebOps {
     if (n == 0) return m0.select(col("u").as("src"), col("v").as("final_dst"),
       col("h").as("hops"), lit(0L).as("is_cycle")).where(lit(false))
     val rounds = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) + 1
-    var m = m0.localCheckpoint(true)
+    // Lineage.cut, not raw localCheckpoint: the self-join squares the
+    // carried size estimate every round, so over log2(n) rounds a raw
+    // checkpoint's origin stats grow to 2^rounds digits (see Lineage docs)
+    var m = graft.core.Lineage.cut(m0)
     for (_ <- 1 to rounds) {
       val jump = m.select(col("u").as("v"), col("v").as("v2"), col("h").as("h2"))
-      m = m.join(jump, Seq("v"), "left")
+      m = graft.core.Lineage.cut(m.join(jump, Seq("v"), "left")
         .select(col("u"),
           coalesce(col("v2"), col("v")).as("v"),
-          when(col("v2").isNotNull, col("h") + col("h2")).otherwise(col("h")).as("h"))
-        .localCheckpoint(true)
+          when(col("v2").isNotNull, col("h") + col("h2")).otherwise(col("h")).as("h")))
     }
     // still pointing at a redirect source after 2^rounds >= n hops => cyclic
     val srcs = m0.select(col("u").as("v")).distinct().withColumn("cyc", lit(1L))

@@ -150,6 +150,30 @@ class WebOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerDomain: two-level top-N aggregate == row_number window (skewed hosts)") {
+    // 600 pages over a Zipf-ish host mix (one mega-host with 500 pages),
+    // many order-column ties, spread over several input partitions — pins
+    // the r06 map-side partial top-N rewrite to the window semantics it
+    // replaced, row for row including rk
+    val pages = spark.range(600).repartition(7)
+      .select(col("id").as("doc_id"),
+        concat(lit("https://h"),
+          when(col("id") < 500, lit(0)).otherwise(col("id") % 13), lit(".com/p"),
+          col("id")).as("url"),
+        (col("id") % 9 * 10).as("n_chars"))
+    val got = WebOps.capPerDomain(pages, maxPerDomain = 5, orderCol = "n_chars")
+      .select("doc_id", "host", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("n_chars").desc, col("doc_id").asc)
+    val want = pages.withColumn("host", WebOps.host(col("url")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 5)
+      .select("doc_id", "host", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(got == want)
+  }
+
   test("anchorText: top-k terms per target, count-desc with term tiebreak") {
     val links = Seq(
       (1L, "Cheap Flights"), (1L, "cheap   flights"), (1L, "flights"),
