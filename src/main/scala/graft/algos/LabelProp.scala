@@ -48,8 +48,90 @@ object LabelProp {
       maxIter: Int = 50,
       store: Option[CheckpointStore] = None,
       fixedIters: Option[Int] = None,
-      minTieBreak: Boolean = false
+      minTieBreak: Boolean = false,
+      smallThreshold: Long = 8000000L
   ): DataFrame = {
+    // Gated driver kernel for the DETERMINISTIC mode (fixedIters +
+    // minTieBreak, no initial/fixed/store — exactly the oracle-mirrored
+    // q_lpa shape; r5/r6 kernel posture): each distributed sweep costs ~4
+    // scheduled jobs (votes join, argmax aggregate, update join, cut) on a
+    // gate-sized graph — replaced by one collect + array sweeps. Same math:
+    // synchronous updates, weighted mass, argmax with exact-equality tie to
+    // the smallest label (bit-exact on integer-weight graphs, where mass
+    // sums are exact in any order; the parity spec pins label-for-label
+    // equality). The seeded-hash tie-break mode and the convergence/
+    // oscillation-guard mode stay distributed at every size.
+    if (fixedIters.isDefined && minTieBreak && initial.isEmpty && fixed.isEmpty
+        && store.isEmpty && g.numVertices.forall(_ <= smallThreshold)) {
+      val eDf = g.bidirected.select(col("src"), col("dst"), col("weight"))
+      if (eDf.count() <= smallThreshold) {
+        val spark = g.spark
+        import spark.implicits._
+        val rows = eDf.collect()
+        val vids: Array[Long] = g.numVertices match {
+          case Some(n0) => Array.tabulate(n0.toInt)(_.toLong)
+          case None =>
+            val seen = new java.util.HashSet[Long]()
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            rows.foreach { r =>
+              val a = r.getLong(0); val b = r.getLong(1)
+              if (seen.add(a)) buf += a
+              if (seen.add(b)) buf += b
+            }
+            buf.toArray
+        }
+        val n = vids.length
+        val idx = new java.util.HashMap[Long, Int](n * 2)
+        vids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
+        // non-loop arcs as parallel arrays (bidirected already carries both
+        // directions; vote flows src -> dst)
+        val plain = rows.filter(r => r.getLong(0) != r.getLong(1))
+        val aSrc = new Array[Int](plain.length)
+        val aDst = new Array[Int](plain.length)
+        val aW = new Array[Double](plain.length)
+        var i = 0
+        while (i < plain.length) {
+          aSrc(i) = idx.get(plain(i).getLong(0)); aDst(i) = idx.get(plain(i).getLong(1))
+          aW(i) = plain(i).getDouble(2); i += 1
+        }
+        var memb: Array[Long] = vids.clone()
+        var it = 0
+        val iters = fixedIters.get
+        while (it < iters) {
+          val votes = Array.fill(n)(null: java.util.HashMap[Long, Double])
+          var j = 0
+          while (j < plain.length) {
+            val d = aDst(j)
+            if (votes(d) == null) votes(d) = new java.util.HashMap[Long, Double]()
+            votes(d).merge(memb(aSrc(j)), aW(j), java.lang.Double.sum)
+            j += 1
+          }
+          val next = new Array[Long](n)
+          var v = 0
+          while (v < n) {
+            if (votes(v) == null) next(v) = memb(v)
+            else {
+              var bestLabel = Long.MaxValue; var bestMass = Double.NegativeInfinity
+              val itr = votes(v).entrySet().iterator()
+              while (itr.hasNext) {
+                val en = itr.next()
+                if (en.getValue > bestMass
+                    || (en.getValue == bestMass && en.getKey < bestLabel)) {
+                  bestMass = en.getValue; bestLabel = en.getKey
+                }
+              }
+              next(v) = bestLabel
+            }
+            v += 1
+          }
+          memb = next
+          it += 1
+        }
+        return spark.createDataset(spark.sparkContext.parallelize(
+          vids.indices.map(i2 => (vids(i2), memb(i2))).toSeq,
+          spark.sparkContext.defaultParallelism)).toDF("id", "label")
+      }
+    }
     val adj = g.bidirected.select(col("src"), col("dst"), col("weight"))
       .where(col("src") =!= col("dst"))
       .repartition(col("src"))

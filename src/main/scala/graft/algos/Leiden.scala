@@ -368,12 +368,29 @@ object Leiden {
     // tie min label, synchronous parity sweeps. Seeded-parity convergence
     // mode and the restricted refinement sweeps stay distributed.
     if (fixedSweeps.isDefined && restrictTo.isEmpty && initial.isEmpty
-        && e.count() <= smallThreshold) {
+        && e.count() <= smallThreshold
+        && g.numVertices.forall(_ <= smallThreshold)) {
       val spark = g.spark
       import spark.implicits._
       val rows = e.select("src", "dst", "weight").collect()
       e.unpersist()
-      val vids = g.vertices.select("id").collect().map(_.getLong(0))
+      // vertex set from the collected rows + explicit numVertices (the
+      // g.vertices derivation is a full distinct over the bidirected
+      // endpoint union - one more scheduled job the kernel doesn't need;
+      // WCC small-path precedent). Kernel output does not depend on vids
+      // order: sweeps are synchronous over the previous membership.
+      val vids: Array[Long] = g.numVertices match {
+        case Some(n0) => Array.tabulate(n0.toInt)(_.toLong)
+        case None =>
+          val seen = new java.util.HashSet[Long]()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          rows.foreach { r =>
+            val a = r.getLong(0); val b = r.getLong(1)
+            if (seen.add(a)) buf += a
+            if (seen.add(b)) buf += b
+          }
+          buf.toArray
+      }
       val nwMap = new java.util.HashMap[Long, Double]()
       nodeWeights.select("id", "nw").collect()
         .foreach(r => nwMap.put(r.getLong(0), r.getDouble(1)))

@@ -55,12 +55,29 @@ object Louvain {
     // The seeded-parity CONVERGENCE mode stays distributed at every size:
     // its per-sweep coin is a Spark xxhash64 expression, and replicating
     // that bit-for-bit in scala is a maintenance trap.
-    if (fixedSweeps.isDefined && e.count() <= smallThreshold) {
+    if (fixedSweeps.isDefined && e.count() <= smallThreshold
+        && g.numVertices.forall(_ <= smallThreshold)) {
       val spark = g.spark
       import spark.implicits._
       val rows = e.select("src", "dst", "weight").collect()
       e.unpersist()
-      val vids = g.vertices.select("id").collect().map(_.getLong(0))
+      // vertex set from the collected rows + explicit numVertices (the
+      // g.vertices derivation is a full distinct over the bidirected
+      // endpoint union - one more scheduled job the kernel doesn't need;
+      // WCC small-path precedent). Kernel output does not depend on vids
+      // order: sweeps are synchronous over the previous membership.
+      val vids: Array[Long] = g.numVertices match {
+        case Some(n0) => Array.tabulate(n0.toInt)(_.toLong)
+        case None =>
+          val seen = new java.util.HashSet[Long]()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          rows.foreach { r =>
+            val a = r.getLong(0); val b = r.getLong(1)
+            if (seen.add(a)) buf += a
+            if (seen.add(b)) buf += b
+          }
+          buf.toArray
+      }
       val idx = new java.util.HashMap[Long, Int](vids.length * 2)
       vids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
       val n = vids.length

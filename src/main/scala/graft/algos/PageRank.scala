@@ -70,9 +70,10 @@ object PageRank {
       reset: Option[DataFrame] = None,
       fixedIters: Option[Int] = None,
       store: Option[CheckpointStore] = None,
-      strategy: Strategy = EdgeJoin
+      strategy: Strategy = EdgeJoin,
+      smallThreshold: Long = 8000000L
   ): Result =
-    runFrom(g, initial = None, startIter = 0, damping, tol, maxIter, reset, fixedIters, store, strategy)
+    runFrom(g, initial = None, startIter = 0, damping, tol, maxIter, reset, fixedIters, store, strategy, smallThreshold)
 
   /** Resume a durable run from its latest snapshot: identical loop, starting
     * state read back from the store (north_rule resumability).
@@ -101,12 +102,120 @@ object PageRank {
       reset: Option[DataFrame],
       fixedIters: Option[Int],
       store: Option[CheckpointStore],
-      strategy: Strategy
+      strategy: Strategy,
+      smallThreshold: Long = 8000000L
   ): Result = {
     strategy match {
       case GridBlocks(p) =>
         return PageRankGrid.run(g, damping, tol, maxIter, reset, fixedIters, store, initial, startIter, p)
       case _ =>
+    }
+    // Gated driver kernel for the FIXED-ITERATION in-memory uniform-reset
+    // mode (the oracle-mirrored mode; r5 kernel posture — Brandes / BZ /
+    // fixed-sweep Louvain precedent): a 15-iteration power loop on a
+    // gate-sized graph costs ~2 scheduled jobs per superstep plus AQE
+    // re-planning — pure driver overhead that one collect + an array loop
+    // replaces with 2 jobs total. The kernel replicates the distributed
+    // update exactly (same row-normalization, same dangling-mass formula,
+    // same uniform init, same reset normalization for personalized runs);
+    // per-vertex message sums are IEEE-order-dependent either way (shuffle
+    // order varies run to run), and the parity spec pins kernel ==
+    // distributed at 1e-9. Tolerance-mode, durable-store and resumed runs
+    // always stay distributed.
+    if (fixedIters.isDefined && store.isEmpty && initial.isEmpty
+        && g.numVertices.forall(_ <= smallThreshold)
+        && strategy == EdgeJoin) {
+      val eDf = g.outView.select("src", "dst", "weight")
+      if (eDf.count() <= smallThreshold) {
+        val spark = g.spark
+        import spark.implicits._
+        val rows = eDf.collect()
+        val vids: Array[Long] = g.numVertices match {
+          case Some(n0) => Array.tabulate(n0.toInt)(_.toLong)
+          case None =>
+            val seen = new java.util.HashSet[Long]()
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            rows.foreach { r =>
+              val a = r.getLong(0); val b = r.getLong(1)
+              if (seen.add(a)) buf += a
+              if (seen.add(b)) buf += b
+            }
+            buf.toArray
+        }
+        val n = vids.length
+        require(n > 0, "empty graph")
+        val idx = new java.util.HashMap[Long, Int](n * 2)
+        vids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
+        val outw = new Array[Double](n)
+        rows.foreach(r => outw(idx.get(r.getLong(0))) += r.getDouble(2))
+        val src = new Array[Int](rows.length)
+        val dst = new Array[Int](rows.length)
+        val p = new Array[Double](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          val r = rows(i)
+          src(i) = idx.get(r.getLong(0)); dst(i) = idx.get(r.getLong(1))
+          p(i) = r.getDouble(2) / outw(src(i))
+          i += 1
+        }
+        // personalization: same math as the distributed branch — total over
+        // the FULL reset frame (ids outside the vertex set contribute to the
+        // normalizer only), missing vertices coalesce to 0
+        val resetArr: Array[Double] = reset match {
+          case None => Array.fill(n)(1.0 / n)
+          case Some(r) =>
+            val rRows = r.select(col("id"), col("reset").cast("double")).collect()
+            var tot = 0.0
+            rRows.foreach(rr => tot += rr.getDouble(1))
+            require(tot > 0.0, "reset vector must not be all zeros")
+            val arr = new Array[Double](n)
+            rRows.foreach { rr =>
+              if (idx.containsKey(rr.getLong(0)))
+                arr(idx.get(rr.getLong(0))) = rr.getDouble(1) / tot
+            }
+            arr
+        }
+        // branch on the same STATIC property the distributed loop branches
+        // on: without dangling vertices NO mass correction is applied, even
+        // when a personalized reset leaves total rank below 1 (reset ids
+        // outside the vertex set count only in the normalizer) — applying
+        // the correction unconditionally diverged 1.9e-2 by iteration 7 in
+        // the parity spec
+        val hasOut = new Array[Boolean](n)
+        var si = 0
+        while (si < rows.length) { hasOut(src(si)) = true; si += 1 }
+        var hasDangling = false
+        var hv = 0
+        while (hv < n) { if (!hasOut(hv)) hasDangling = true; hv += 1 }
+        var rank = Array.fill(n)(1.0 / n)
+        var it = 0
+        val iters = fixedIters.get
+        while (it < iters) {
+          val msg = new Array[Double](n)
+          var j = 0
+          while (j < rows.length) { msg(dst(j)) += p(j) * rank(src(j)); j += 1 }
+          val danglingMass =
+            if (!hasDangling) 0.0
+            else {
+              var msgTotal = 0.0
+              var v = 0
+              while (v < n) { msgTotal += msg(v); v += 1 }
+              math.max(0.0, 1.0 - msgTotal)
+            }
+          val next = new Array[Double](n)
+          var v = 0
+          while (v < n) {
+            next(v) = (1.0 - damping + damping * danglingMass) * resetArr(v) + damping * msg(v)
+            v += 1
+          }
+          rank = next
+          it += 1
+        }
+        val out = spark.createDataset(spark.sparkContext.parallelize(
+          vids.indices.map(i2 => (vids(i2), rank(i2))).toSeq,
+          spark.sparkContext.defaultParallelism)).toDF("id", "rank")
+        return Result(out, startIter + iters, Double.MaxValue, Nil)
+      }
     }
     val vertices = g.vertices.localCheckpoint(true)
     val n = vertices.count()

@@ -33,12 +33,90 @@ object Triangles {
       .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
       .distinct()
 
-  /** All triangles as (a, b, c) rows, each triangle exactly once. */
-  def triangleTriples(g: LinkGraph): DataFrame = {
-    // canonical-simple edges are already materialized by their builder —
-    // re-cutting would copy the table once more for nothing
+  /** Gated driver triangle kernel (r6; Brandes/Louvain-kernel posture):
+    * per-vertex and global triangle counts are INTEGERS — a driver count
+    * over the collected canonical edge list is exactly the distributed
+    * count with none of its ~8 scheduled jobs (deg join, orientation cut,
+    * adjacency aggregate cut, intersect join). Orientation and intersection
+    * replicate the distributed math one-for-one: orient low (deg, id) ->
+    * high, triangles = common out-neighbors per oriented edge. Returns
+    * per-vertex counts over the edge-endpoint vertex set; callers attach
+    * isolated vertices exactly as they do for the distributed path.
+    */
+  private def kernelCounts(edges: Array[(Long, Long)]): java.util.HashMap[Long, Long] = {
+    val seen = new java.util.HashSet[Long]()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    edges.foreach { case (a, b) =>
+      if (seen.add(a)) buf += a
+      if (seen.add(b)) buf += b
+    }
+    val vids = buf.toArray
+    val n = vids.length
+    val idx = new java.util.HashMap[Long, Int](n * 2)
+    vids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
+    val deg = new Array[Int](n)
+    edges.foreach { case (a, b) => deg(idx.get(a)) += 1; deg(idx.get(b)) += 1 }
+    // orient low (deg, id) -> high (deg, id); CSR of out-neighbors
+    val lo = new Array[Int](edges.length); val hi = new Array[Int](edges.length)
+    var i = 0
+    while (i < edges.length) {
+      val a = idx.get(edges(i)._1); val b = idx.get(edges(i)._2)
+      val aFirst = deg(a) < deg(b) || (deg(a) == deg(b) && edges(i)._1 < edges(i)._2)
+      lo(i) = if (aFirst) a else b
+      hi(i) = if (aFirst) b else a
+      i += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < edges.length) { off(lo(i) + 1) += 1; i += 1 }
+    i = 1; while (i <= n) { off(i) += off(i - 1); i += 1 }
+    val fill = off.clone()
+    val nbr = new Array[Int](edges.length)
+    i = 0
+    while (i < edges.length) { nbr(fill(lo(i))) = hi(i); fill(lo(i)) += 1; i += 1 }
+    i = 0
+    while (i < n) { java.util.Arrays.sort(nbr, off(i), off(i + 1)); i += 1 }
+    val tri = new Array[Long](n)
+    i = 0
+    while (i < edges.length) {
+      val u = lo(i); val v = hi(i)
+      var p = off(u); var q = off(v)
+      while (p < off(u + 1) && q < off(v + 1)) {
+        val x = nbr(p); val y = nbr(q)
+        if (x == y) { tri(u) += 1; tri(v) += 1; tri(x) += 1; p += 1; q += 1 }
+        else if (x < y) p += 1
+        else q += 1
+      }
+      i += 1
+    }
+    val out = new java.util.HashMap[Long, Long](n * 2)
+    i = 0
+    while (i < n) { out.put(vids(i), tri(i)); i += 1 }
+    out
+  }
+
+  /** Canonical simple edges, cut once; Left(collected rows) under the gate,
+    * Right(the cut frame) above it — so the distributed path reuses the
+    * same materialization instead of cutting twice.
+    */
+  private def collectedSimple(g: LinkGraph, smallThreshold: Long)
+      : Either[Array[(Long, Long)], DataFrame] = {
+    val e = preparedEdges(g)
+    if (e.count() > smallThreshold) Right(e)
+    else Left(e.collect().map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** Canonical simple edges, materialized exactly once (a canonical-simple
+    * builder already materialized them; everything else pays one cut).
+    */
+  private def preparedEdges(g: LinkGraph): DataFrame = {
     val e0 = simpleEdges(g)
-    val e = if (g.canonicalSimple) e0 else e0.transform(graft.core.Lineage.cut)
+    if (g.canonicalSimple) e0 else e0.transform(graft.core.Lineage.cut)
+  }
+
+  /** All triangles as (a, b, c) rows, each triangle exactly once. */
+  def triangleTriples(g: LinkGraph): DataFrame = triplesFrom(preparedEdges(g))
+
+  private def triplesFrom(e: DataFrame): DataFrame = {
     // total degree on the simple graph, for the orientation order
     val deg = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .groupBy("v").agg(cnt(lit(1)).as("deg"))
@@ -75,17 +153,39 @@ object Triangles {
   }
 
   /** Global triangle count (= `cliques(3,3)` size, `graphobject.c:15738`). */
-  def count(g: LinkGraph): Long = triangleTriples(g).count()
+  def count(g: LinkGraph, smallThreshold: Long = 8000000L): Long =
+    collectedSimple(g, smallThreshold) match {
+      case Left(edges) =>
+        var t = 0L
+        kernelCounts(edges).values().forEach(v => t += v)
+        t / 3
+      case Right(e) => triplesFrom(e).count()
+    }
 
   /** Per-vertex triangle count (id, triangles); zero for triangle-free. */
-  def perVertex(g: LinkGraph): DataFrame = {
-    val t = triangleTriples(g)
-    // ONE traversal of the triple stream: explode each triangle into its 3
-    // corners in the same projection. The previous union of three selects
-    // referenced `t` three times, which re-ran the whole adjacency-join
-    // pipeline per reference (r06 before-plan: triple SortMergeJoin subtree).
-    val ends = t.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-    val counts = ends.groupBy("id").agg(cnt(lit(1)).as("triangles"))
+  def perVertex(g: LinkGraph, smallThreshold: Long = 8000000L): DataFrame = {
+    val counts = collectedSimple(g, smallThreshold) match {
+      case Left(edges) =>
+        // kernel counts cover the simple-edge endpoint set; the vertex join
+        // below attaches isolated / loop-only vertices with 0 exactly like
+        // the distributed path's left join
+        val spark = g.spark
+        import spark.implicits._
+        val km = kernelCounts(edges)
+        val seq = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        km.forEach((k, v) => seq += ((k, v)))
+        spark.createDataset(spark.sparkContext.parallelize(seq.toSeq,
+          spark.sparkContext.defaultParallelism)).toDF("id", "triangles")
+      case Right(e) =>
+        val t = triplesFrom(e)
+        // ONE traversal of the triple stream: explode each triangle into its
+        // 3 corners in the same projection. The previous union of three
+        // selects referenced `t` three times, which re-ran the whole
+        // adjacency-join pipeline per reference (r06 before-plan: triple
+        // SortMergeJoin subtree).
+        val ends = t.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+        ends.groupBy("id").agg(cnt(lit(1)).as("triangles"))
+    }
     g.vertices.join(counts, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }

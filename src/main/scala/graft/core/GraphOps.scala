@@ -790,9 +790,39 @@ object GraphOps {
     * reference's membership comparisons (`test_decomposition.py:175-188`).
     * Input: (id, label); output: (id, label) with dense labels.
     */
-  def canonicalizeMembership(membership: DataFrame): DataFrame = {
+  def canonicalizeMembership(membership: DataFrame,
+                             smallThreshold: Long = 8000000L): DataFrame = {
     val labelCol = membership.columns.filter(_ != "id").head
-    val m = membership.select(col("id"), col(labelCol).as("label"))
+    val m0 = membership.select(col("id"), col(labelCol).cast("long").as("label"))
+    // materialize the (vertex-sized) membership once: both paths below need
+    // it twice (gate count + renumber), and the community queries hand us
+    // uncut kernel/loop output
+    val m = Lineage.cut(m0)
+    // gated driver renumber (same posture as the WCC/Louvain small paths):
+    // the full distributed renumber below costs ~8 scheduled jobs
+    // (aggregate + assignDense's distinct/sort/counts/emit + two joins) —
+    // pure per-job overhead on a kernel-gated membership that fits in one
+    // task. Labels are renumbered to the dense rank of their minimum member
+    // id, ascending — byte-identical to the assignDense path.
+    if (m.count() <= smallThreshold) {
+      val spark = m.sparkSession
+      import spark.implicits._
+      val rows = m.collect() // cache-read of the cut state, not a recompute
+      val minId = new java.util.HashMap[Long, Long]()
+      rows.foreach { r =>
+        val l = r.getLong(1)
+        val id = r.getLong(0)
+        val cur = minId.getOrDefault(l, Long.MaxValue)
+        if (id < cur) minId.put(l, id)
+      }
+      val sorted = minId.values().stream().mapToLong(_.longValue()).sorted().toArray
+      val rank = new java.util.HashMap[Long, Long]()
+      var i = 0
+      while (i < sorted.length) { rank.put(sorted(i), i.toLong); i += 1 }
+      return spark.createDataset(spark.sparkContext.parallelize(
+        rows.toSeq.map(r => (r.getLong(0), rank.get(minId.get(r.getLong(1))))),
+        spark.sparkContext.defaultParallelism)).toDF("id", "label")
+    }
     // distinct labels can be O(n) (e.g. WCC on a web graph): dense-rank them
     // with the range-partitioned assigner, never a single-partition Window
     val firstSeen = m.groupBy("label").agg(min("id").as("first_id"))

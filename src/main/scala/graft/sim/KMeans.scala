@@ -48,8 +48,81 @@ object KMeans {
     * assignment was computed against. [[graft.sim.Pq]] uses the centroids
     * as its per-subspace codebook; [[assign]] keeps only the membership.
     */
-  def lloyd(vectors: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+  def lloyd(vectors: DataFrame, k: Int, iters: Int,
+            smallThreshold: Long = 8000000L): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1, s"kmeans: need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    // Gated driver kernel (r5/r6 kernel posture — Brandes / fixed-sweep
+    // Louvain / fixed-iter PageRank precedent): each distributed Lloyd
+    // round costs ~4 scheduled jobs (assignment cutAdaptive, centroid
+    // cutLocal collect, plus their AQE stages) — and Pq.encode runs the
+    // whole loop once PER SUBSPACE. Under the gate one collect + array
+    // loops replace them all; the math is identical (same seeds, same
+    // argmin tie-break to the smaller cid, same empty-cluster drop, same
+    // mean update), per-sum IEEE order differs exactly as it does between
+    // two distributed runs, and the parity spec pins kernel == distributed
+    // at 1e-9. Above the gate nothing changes.
+    val vCast = vectors.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val nVec = vCast.count()
+    if (nVec > 0 && nVec <= smallThreshold) {
+      val spark = vectors.sparkSession
+      import spark.implicits._
+      val rows = vCast.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val n = rows.length
+      val nc = math.min(k, n)
+      val dims = rows(0)._2.length
+      val cent = Array.tabulate(nc)(i => rows(i)._2.clone())
+      val active = Array.fill(nc)(true)
+      val asg = new Array[Int](n)
+      var t = 0
+      while (t < iters) {
+        var v = 0
+        while (v < n) {
+          val e = rows(v)._2
+          var best = -1; var bestD2 = Double.MaxValue
+          var c = 0
+          while (c < nc) {
+            if (active(c)) {
+              var d2 = 0.0; var j = 0
+              val cc = cent(c)
+              while (j < dims) { val dx = e(j) - cc(j); d2 += dx * dx; j += 1 }
+              if (best < 0 || d2 < bestD2) { best = c; bestD2 = d2 }
+            }
+            c += 1
+          }
+          asg(v) = best
+          v += 1
+        }
+        if (t < iters - 1) {
+          val sums = Array.fill(nc)(new Array[Double](dims))
+          val cnts = new Array[Long](nc)
+          v = 0
+          while (v < n) {
+            val c = asg(v); val e = rows(v)._2
+            cnts(c) += 1
+            var j = 0
+            while (j < dims) { sums(c)(j) += e(j); j += 1 }
+            v += 1
+          }
+          var c = 0
+          while (c < nc) {
+            if (cnts(c) > 0) {
+              var j = 0
+              while (j < dims) { cent(c)(j) = sums(c)(j) / cnts(c); j += 1 }
+            } else active(c) = false
+            c += 1
+          }
+        }
+        t += 1
+      }
+      val asgDf = spark.createDataset(spark.sparkContext.parallelize(
+        rows.indices.map(i => (rows(i)._1, asg(i).toLong)).toSeq,
+        spark.sparkContext.defaultParallelism)).toDF("vec_id", "cluster")
+      val centDf = (0 until nc).filter(active)
+        .flatMap(c => (0 until dims).map(j => (c.toLong, j + 1, cent(c)(j))))
+        .toDF("cid", "i", "cx")
+      return (asgDf, centDf)
+    }
     val ex = Lineage.soft(exploded(vectors))
     // deterministic seed: the k smallest vec_ids, cid in vec_id order
     val w = Window.orderBy("vec_id")

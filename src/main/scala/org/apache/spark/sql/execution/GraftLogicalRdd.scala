@@ -31,9 +31,15 @@ object GraftLogicalRdd {
     val ds = df.asInstanceOf[Dataset[Row]]
     ds.queryExecution.logical match {
       case lr: LogicalRDD =>
+        // outputPartitioning/outputOrdering are dropped along with the
+        // stats: a preserved partitioning makes every downstream Project
+        // re-derive alias-mapped partitioning candidates
+        // (PartitioningPreservingUnaryExecNode.outputPartitioning), and a
+        // q_louvain probe caught the driver burning ~7 s of pure CPU in
+        // that expansion — far more than the occasional saved Exchange is
+        // worth on these loop shapes.
         Dataset.ofRows(ds.sparkSession,
-          LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
-            lr.isStreaming, lr.stream)(ds.sparkSession, None, None))
+          LogicalRDD(lr.output, lr.rdd)(ds.sparkSession, None, None))
       case _ => df
     }
   }

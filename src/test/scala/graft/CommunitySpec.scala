@@ -40,6 +40,27 @@ class CommunitySpec extends AnyFunSuite {
     assert(m == Seq(0, 0, 0, 0, 0, 1, 1, 1, 1, 1), s"got $m")
   }
 
+  test("LPA fixed-iter min-tie mode: gated driver kernel == distributed, label for label") {
+    // integer-weight multigraph with self-loops, parallel edges, an isolated
+    // vertex (via explicit n) and a directed input (bidirected view) —
+    // smallThreshold = 0 pins the distributed sweep as the reference for
+    // the r6 gated kernel
+    val g1 = LinkGraph(spark, 9,
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L),
+        (6L, 6L), (0L, 1L), (7L, 0L)), directed = true)
+    val g2 = LinkGraph.weighted(spark, 6,
+      Seq((0L, 1L, 2.0), (1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 4L, 1.0), (4L, 5L, 3.0)),
+      directed = false)
+    for (g <- Seq(g1, g2); iters <- Seq(1, 5)) {
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kern = m(LabelProp.run(g, fixedIters = Some(iters), minTieBreak = true))
+      val dist = m(LabelProp.run(g, fixedIters = Some(iters), minTieBreak = true,
+        smallThreshold = 0L))
+      assert(kern == dist, s"iters=$iters")
+    }
+  }
+
   test("LPA deterministic across partition counts (design contract §2.12)") {
     val g = LinkGraph(spark, 30, (0 until 60).map { k =>
       val a = (k * 7919 + 13) % 30; val b = (k * 104729 + 7) % 30

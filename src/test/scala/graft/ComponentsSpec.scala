@@ -15,6 +15,24 @@ class ComponentsSpec extends AnyFunSuite {
     assert(TestSession.reindex(m) == Seq(0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 3, 3))
   }
 
+  test("canonicalizeMembership: gated driver renumber == distributed path, row for row") {
+    // adversarial labels: negative, non-dense, shared across id ranges
+    import spark.implicits._
+    val memb = Seq((0L, 7L), (1L, -3L), (2L, 7L), (3L, 100L), (4L, -3L),
+      (5L, 5L), (6L, 5L), (7L, 100L), (8L, 42L)).toDF("id", "cl")
+      .repartition(4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val small = rows(GraphOps.canonicalizeMembership(memb))
+    val dist = rows(GraphOps.canonicalizeMembership(memb, smallThreshold = 0L))
+    assert(small == dist)
+    // dense 0..k-1 by ascending min member id: -3 (min 1) ... wait min ids:
+    // 7->0, -3->1, 100->3, 5->5, 42->8 => ranks by min id: 7=>0, -3=>1,
+    // 100=>2, 5=>3, 42=>4
+    assert(small == Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 2L), (4L, 1L),
+      (5L, 3L), (6L, 3L), (7L, 2L), (8L, 4L)))
+  }
+
   test("WCC ignores direction; isolated vertices are their own components") {
     val g = LinkGraph(spark, 6, Seq((0L, 1L), (2L, 1L), (3L, 4L)), directed = true)
     val m = TestSession.longVector(Components.wcc(g), "comp").toSeq

@@ -68,6 +68,29 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("lloyd: gated driver kernel == distributed loop (labels exact, centroids 1e-9)") {
+    // seeded random set (including a k > #distinct-points shape that empties
+    // clusters); smallThreshold = 0 pins the distributed Lloyd loop as the
+    // reference for the r6 gated kernel
+    val rnd = new scala.util.Random(7)
+    val pts = (0L until 40L).map(i =>
+      (i, Array.fill(5)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val tiny = Seq((0L, Array(1.0f, 1.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(5.0f, 5.0f))).toDF("vec_id", "embedding")
+    for ((df, k, iters) <- Seq((pts, 4, 3), (pts, 4, 1), (tiny, 3, 3))) {
+      val (ka, kc) = KMeans.lloyd(df, k, iters)
+      val (da, dc) = KMeans.lloyd(df, k, iters, smallThreshold = 0L)
+      val kaM = ka.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val daM = da.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(kaM == daM, s"labels k=$k iters=$iters")
+      val kcM = kc.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val dcM = dc.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(kcM.keySet == dcM.keySet, s"centroid keys k=$k iters=$iters")
+      val drift = kcM.map { case (key, v) => math.abs(v - dcM(key)) }.max
+      assert(drift < 1e-9, s"centroid drift $drift k=$k iters=$iters")
+    }
+  }
+
   test("semDedup drops the larger id of a near-identical pair, cluster-local only") {
     // 0/1 nearly identical (cos ~1), 2 orthogonal-ish, far blob 3/4 identical
     val df = Seq(

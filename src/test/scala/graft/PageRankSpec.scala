@@ -2,6 +2,7 @@ package graft
 
 import graft.algos.PageRank
 import graft.core.LinkGraph
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Goldens from /root/reference/tests/test_structural.py:389-404. */
@@ -57,6 +58,40 @@ class PageRankSpec extends AnyFunSuite {
     val from0to1 = v(1) - base - 0.0 // v1 only receives from 0
     val from0to2 = v(2) - base
     assert(math.abs(from0to1 / from0to2 - 3.0) < 1e-6)
+  }
+
+  test("fixed-iter mode: gated driver kernel == distributed loop at 1e-9") {
+    // three regimes: undirected star (bidirected view), a directed graph
+    // WITH dangling vertices, and a weighted multigraph with a self-loop —
+    // smallThreshold = 0 pins the distributed superstep loop as the
+    // reference for the r6 gated kernel (same posture as the Brandes /
+    // fixed-sweep Louvain parity specs)
+    val graphs = Seq(
+      LinkGraph.star(spark, 11),
+      LinkGraph(spark, 6, Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (4L, 0L)),
+        directed = true), // 3 and 5 dangling, 5 isolated
+      LinkGraph.weighted(spark, 5,
+        Seq((0L, 1L, 2.0), (0L, 1L, 1.0), (1L, 2L, 5.0), (2L, 2L, 1.0), (3L, 0L, 0.5)),
+        directed = true))
+    for (g <- graphs; iters <- Seq(1, 7); pers <- Seq(false, true)) {
+      // personalized mode too: reset mass on even ids (plus an id outside
+      // the vertex set, which must count in the normalizer only)
+      val reset =
+        if (!pers) None
+        else Some(g.vertices.select(col("id"),
+          when(col("id") % 2 === 0, lit(2.0)).otherwise(lit(0.0)).as("reset"))
+          .unionByName(Seq((999L, 1.0)).toDF("id", "reset")))
+      val kern = PageRank.run(g, damping = 0.85, fixedIters = Some(iters),
+          reset = reset)
+        .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dist = PageRank.run(g, damping = 0.85, fixedIters = Some(iters),
+          reset = reset, smallThreshold = 0L)
+        .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(kern.keySet == dist.keySet)
+      val maxDiff = kern.map { case (k, v) => math.abs(v - dist(k)) }.max
+      assert(maxDiff < 1e-9,
+        s"kernel vs distributed drift $maxDiff (iters=$iters, pers=$pers)")
+    }
   }
 
   test("invariance under vertex relabeling (property)") {

@@ -43,6 +43,19 @@ class TrianglesSpec extends AnyFunSuite {
     assert(math.abs(cc(0) - 0.25) < 1e-6, s"got ${cc(0)}")
   }
 
+  test("gated driver kernel == distributed count/perVertex (seeded random graph)") {
+    // multi-edges, self-loops, isolated vertices (explicit n) — simpleEdges
+    // canonicalizes; smallThreshold = 0 pins the distributed orientation/
+    // intersect pipeline as the reference for the r6 integer kernel
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 400).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val g = LinkGraph(spark, 45, es, directed = true)
+    assert(Triangles.count(g) == Triangles.count(g, smallThreshold = 0L))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m(Triangles.perVertex(g)) == m(Triangles.perVertex(g, smallThreshold = 0L)))
+  }
+
   test("triangle count invariant under edge order & direction (property)") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 2L), (1L, 3L))
     val a = LinkGraph(spark, 5, edges, directed = false)
