@@ -168,6 +168,14 @@ object EdgeStream {
     * After any prefix of the stream, the counters equal the batch
     * `frontier` on that prefix with crawled = the srcs seen so far
     * (stream == batch tested).
+    *
+    * Delivery contract: the `cnt += inc` counter is NOT replay-idempotent —
+    * the stream == batch equality above assumes exactly-once processing
+    * (the checkpointed micro-batch pipeline with an exactly-once sink).
+    * Under an at-least-once sink with batch replays, inlink counts can
+    * double-count; if replays must be tolerated, dedup (src, dst) pairs
+    * upstream (e.g. [[dedupStream]] / a watermarked dropDuplicates) before
+    * feeding this operator.
     */
   def frontierStream(crawl: DataFrame): Dataset[(Long, Boolean, Long)] = {
     val spark = crawl.sparkSession
