@@ -411,45 +411,61 @@ object Leiden {
         nbrs(fill(a)) = b; ws(fill(a)) = w; fill(a) += 1
         nbrs(fill(b)) = a; ws(fill(b)) = w; fill(b) += 1
       }
-      val memb = vids.clone()
-      val next = new Array[Long](n)
+      val membIdx = Array.tabulate(n)(identity)
+      val nextIdx = new Array[Int](n)
+      // index-based labels + stamped scratch instead of per-vertex HashMaps
+      // (see the Louvain kernel note: same accumulation order, same argmax
+      // rule on label VALUES, bit-identical labels, ~2 s less driver time)
+      val tot = new Array[Double](n)
+      val kvcArr = new Array[Double](n)
+      val stamp = Array.fill(n)(-1)
+      val touched = new Array[Int](n)
+      var stampC = 0
       var sweep = 0
       while (sweep < fixedSweeps.get) {
-        val tot = new java.util.HashMap[Long, Double]()
+        java.util.Arrays.fill(tot, 0.0)
         var i = 0
-        while (i < n) { tot.merge(memb(i), nw(i), java.lang.Double.sum); i += 1 }
+        while (i < n) { tot(membIdx(i)) += nw(i); i += 1 }
         i = 0
         while (i < n) {
-          val own = memb(i)
-          val kvc = new java.util.HashMap[Long, Double]()
-          kvc.put(own, 0.0)
+          val own = membIdx(i)
+          stampC += 1
+          var nt = 0
+          stamp(own) = stampC; touched(nt) = own; nt += 1; kvcArr(own) = 0.0
           var j = off(i)
           while (j < off(i + 1)) {
-            kvc.merge(memb(nbrs(j)), ws(j), java.lang.Double.sum); j += 1
+            val l = membIdx(nbrs(j))
+            if (stamp(l) != stampC) {
+              stamp(l) = stampC; touched(nt) = l; nt += 1; kvcArr(l) = 0.0
+            }
+            kvcArr(l) += ws(j)
+            j += 1
           }
-          val stayGain = kvc.get(own) - gammaEff * nw(i) * (tot.get(own) - nw(i))
-          var bestGain = Double.NaN; var bestLabel = Long.MaxValue; var has = false
-          val it = kvc.entrySet().iterator()
-          while (it.hasNext) {
-            val en = it.next()
-            if (en.getKey != own) {
-              val gain = en.getValue - gammaEff * nw(i) * tot.get(en.getKey)
-              if (!has || gain > bestGain || (gain == bestGain && en.getKey < bestLabel)) {
-                has = true; bestGain = gain; bestLabel = en.getKey
+          val stayGain = kvcArr(own) - gammaEff * nw(i) * (tot(own) - nw(i))
+          var bestGain = Double.NaN; var bestLabelIdx = -1; var has = false
+          var t = 0
+          while (t < nt) {
+            val l = touched(t)
+            if (l != own) {
+              val gain = kvcArr(l) - gammaEff * nw(i) * tot(l)
+              if (!has || gain > bestGain
+                  || (gain == bestGain && vids(l) < vids(bestLabelIdx))) {
+                has = true; bestGain = gain; bestLabelIdx = l
               }
             }
+            t += 1
           }
           // floorMod, not %: Spark's pmod(id, 2) is non-negative for negative
           // ids, and the kernel must match the distributed sweep bit-for-bit
           val mayMove = math.floorMod(vids(i), 2L) == (sweep % 2).toLong
-          next(i) = if (mayMove && has && bestGain > stayGain + 1e-12) bestLabel else own
+          nextIdx(i) = if (mayMove && has && bestGain > stayGain + 1e-12) bestLabelIdx else own
           i += 1
         }
-        System.arraycopy(next, 0, memb, 0, n)
+        System.arraycopy(nextIdx, 0, membIdx, 0, n)
         sweep += 1
       }
       return spark.createDataset(spark.sparkContext.parallelize(
-        vids.indices.map(i => (vids(i), memb(i))).toSeq,
+        vids.indices.map(i => (vids(i), vids(membIdx(i)))).toSeq,
         spark.sparkContext.defaultParallelism)).toDF("id", "label")
     }
 

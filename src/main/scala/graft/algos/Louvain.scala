@@ -41,9 +41,6 @@ object Louvain {
                 fixedSweeps: Option[Int] = None,
                 smallThreshold: Long = 8000000L): DataFrame = {
     val e = g.weighted.persist()
-    val totalW = e.agg(sum("weight")).head.getDouble(0)
-    if (totalW == 0.0) { e.unpersist(); return g.vertices.select(col("id"), col("id").as("label")) }
-    val m2 = 2.0 * totalW
 
     // gated driver kernel for the DETERMINISTIC fixed-sweep mode (the
     // oracle-mirrored mode: plain id-parity scheduling, synchronous
@@ -61,6 +58,13 @@ object Louvain {
       import spark.implicits._
       val rows = e.select("src", "dst", "weight").collect()
       e.unpersist()
+      // total weight from the collected rows (saves the pre-gate aggregate
+      // job; exact on integer-weight graphs, where any summation order
+      // yields the identical double — the same caveat every kernel
+      // aggregate in this file carries)
+      var totalW = 0.0
+      rows.foreach(r => totalW += r.getDouble(2))
+      val m2 = 2.0 * totalW
       // vertex set from the collected rows + explicit numVertices (the
       // g.vertices derivation is a full distinct over the bidirected
       // endpoint union - one more scheduled job the kernel doesn't need;
@@ -78,6 +82,12 @@ object Louvain {
           }
           buf.toArray
       }
+      // totalW == 0 degenerate (weightless graph): own-id labels, matching
+      // the distributed early return below
+      if (totalW == 0.0)
+        return spark.createDataset(spark.sparkContext.parallelize(
+          vids.toSeq.map(v => (v, v)),
+          spark.sparkContext.defaultParallelism)).toDF("id", "label")
       val idx = new java.util.HashMap[Long, Int](vids.length * 2)
       vids.zipWithIndex.foreach { case (id, i) => idx.put(id, i) }
       val n = vids.length
@@ -100,49 +110,73 @@ object Louvain {
         nbrs(fill(a)) = b; ws(fill(a)) = w; fill(a) += 1
         nbrs(fill(b)) = a; ws(fill(b)) = w; fill(b) += 1
       }
-      val memb = vids.clone() // label = own id initially
-      val next = new Array[Long](n)
+      val membIdx = Array.tabulate(n)(identity)
+      val nextIdx = new Array[Int](n)
+      // label state as INDICES into vids (every label is a vertex id) with
+      // stamped scratch arrays instead of per-vertex HashMaps: the boxed
+      // Long->Double merges dominated the kernel wall (~2 s of the query).
+      // Accumulation order per label (adjacency scan order) and the argmax
+      // rule (max gain, tie -> smaller label VALUE) are unchanged, so the
+      // labels stay bit-identical to the HashMap form and to the pinned
+      // distributed sweep.
+      val tot = new Array[Double](n)
+      val kvcArr = new Array[Double](n)
+      val stamp = Array.fill(n)(-1)
+      val touched = new Array[Int](n)
+      var stampC = 0
       val cap2 = fixedSweeps.get
       var sweep = 0
       while (sweep < cap2) {
-        val tot = new java.util.HashMap[Long, Double]()
+        java.util.Arrays.fill(tot, 0.0)
         var i = 0
-        while (i < n) { tot.merge(memb(i), k(i), java.lang.Double.sum); i += 1 }
+        while (i < n) { tot(membIdx(i)) += k(i); i += 1 }
         i = 0
         while (i < n) {
-          val own = memb(i)
-          val kvc = new java.util.HashMap[Long, Double]()
-          kvc.put(own, 0.0)
+          val own = membIdx(i)
+          stampC += 1
+          var nt = 0
+          stamp(own) = stampC; touched(nt) = own; nt += 1; kvcArr(own) = 0.0
           var j = off(i)
           while (j < off(i + 1)) {
-            kvc.merge(memb(nbrs(j)), ws(j), java.lang.Double.sum); j += 1
+            val l = membIdx(nbrs(j))
+            if (stamp(l) != stampC) {
+              stamp(l) = stampC; touched(nt) = l; nt += 1; kvcArr(l) = 0.0
+            }
+            kvcArr(l) += ws(j)
+            j += 1
           }
-          val stayGain = kvc.get(own) - (tot.get(own) - k(i)) * k(i) / m2
-          var bestGain = Double.NaN; var bestLabel = Long.MaxValue; var has = false
-          val it = kvc.entrySet().iterator()
-          while (it.hasNext) {
-            val en = it.next()
-            if (en.getKey != own) {
-              val gain = en.getValue - tot.get(en.getKey) * k(i) / m2
+          val stayGain = kvcArr(own) - (tot(own) - k(i)) * k(i) / m2
+          var bestGain = Double.NaN; var bestLabelIdx = -1; var has = false
+          var t = 0
+          while (t < nt) {
+            val l = touched(t)
+            if (l != own) {
+              val gain = kvcArr(l) - tot(l) * k(i) / m2
               // min struct(-gain, clabel): max gain, tie -> min label
-              if (!has || gain > bestGain || (gain == bestGain && en.getKey < bestLabel)) {
-                has = true; bestGain = gain; bestLabel = en.getKey
+              if (!has || gain > bestGain
+                  || (gain == bestGain && vids(l) < vids(bestLabelIdx))) {
+                has = true; bestGain = gain; bestLabelIdx = l
               }
             }
+            t += 1
           }
           // floorMod, not %: Spark's pmod(id, 2) is non-negative for negative
           // ids, and the kernel must match the distributed sweep bit-for-bit
           val mayMove = math.floorMod(vids(i), 2L) == (sweep % 2).toLong
-          next(i) = if (mayMove && has && bestGain > stayGain + minGain) bestLabel else own
+          nextIdx(i) = if (mayMove && has && bestGain > stayGain + minGain) bestLabelIdx else own
           i += 1
         }
-        System.arraycopy(next, 0, memb, 0, n)
+        System.arraycopy(nextIdx, 0, membIdx, 0, n)
         sweep += 1
       }
       return spark.createDataset(spark.sparkContext.parallelize(
-        vids.indices.map(i => (vids(i), memb(i))).toSeq,
+        vids.indices.map(i => (vids(i), vids(membIdx(i)))).toSeq,
         spark.sparkContext.defaultParallelism)).toDF("id", "label")
     }
+
+    val totalW = e.agg(sum("weight")).head.getDouble(0)
+    if (totalW == 0.0) { e.unpersist(); return g.vertices.select(col("id"), col("id").as("label")) }
+    val m2 = 2.0 * totalW
 
     // strength incl. self-loops counted twice (both endpoints)
     val kv = e.select(col("src").as("id"), col("weight"))
