@@ -83,6 +83,34 @@ class DistancesSpec extends AnyFunSuite {
     assert(math.abs(hub(1) - 1.0) < 1e-9 && math.abs(hub(0)) < 1e-9)
   }
 
+  test("evcent/HITS fixed-iter mode: gated driver kernel == distributed at 1e-9") {
+    // weighted digraph with a dangling sink, a self-loop and an isolated
+    // vertex (explicit n), plus the undirected star; smallThreshold = 0
+    // pins the distributed power loops as the reference for the r6 kernels
+    val g1 = LinkGraph.weighted(spark, 7,
+      Seq((0L, 1L, 2.0), (1L, 2L, 1.0), (2L, 0L, 1.0), (2L, 3L, 3.0), (4L, 4L, 1.0),
+        (0L, 2L, 1.0)), directed = true)
+    val g2 = LinkGraph.star(spark, 11)
+    for (g <- Seq(g1, g2); iters <- Seq(1, 20)) {
+      val ek = Centrality.eigenvector(g, fixedIters = Some(iters))
+      val ed = Centrality.eigenvector(g, fixedIters = Some(iters), smallThreshold = 0L)
+      def m(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.collect().map(r => r.getLong(0) -> r.getDouble(df.columns.indexOf(c))).toMap
+      val ekm = m(ek.scores, "centrality"); val edm = m(ed.scores, "centrality")
+      assert(ekm.keySet == edm.keySet)
+      assert(ekm.map { case (k, v) => math.abs(v - edm(k)) }.max < 1e-9, s"evcent iters=$iters")
+      assert(math.abs(ek.eigenvalue - ed.eigenvalue) < 1e-9)
+      assert(ek.iterations == ed.iterations)
+      val hk = Centrality.hits(g, fixedIters = Some(iters))
+      val hd = Centrality.hits(g, fixedIters = Some(iters), smallThreshold = 0L)
+      for (c <- Seq("hub", "authority")) {
+        val a = m(hk, c); val b = m(hd, c)
+        assert(a.keySet == b.keySet)
+        assert(a.map { case (k, v) => math.abs(v - b(k)) }.max < 1e-9, s"hits $c iters=$iters")
+      }
+    }
+  }
+
   test("average path length + histogram on Ring(5) (test_structural.py:741-756 analog)") {
     // ring of 5: each pair at distance 1 or 2; avg = (5*1 + 5*2)*2/(20) = 1.5
     val g = LinkGraph.ring(spark, 5)
